@@ -1,0 +1,79 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Target-side apply semantics: upsert/delete materialization, CAS
+  * columns, deadlines, and declarative schema mapping.
+  *
+  * Reference: `internal/target/apply` (ordered upsert/delete batches) and
+  * `internal/util/applycfg/conf.go:52` (per-table Config: CASColumns,
+  * Deadlines, Exprs, Extras, Ignore, SourceNames).
+  *
+  * Spark-first design: "apply a stream of mutations to a table" becomes
+  * "reduce the mutation set to the final row per key" — a single hash
+  * aggregation, after which tombstones are dropped. The reference replays
+  * mutations row-by-row against a SQL target; on Spark the same result is
+  * a shuffle-once `max_by`, which is what survives a 100 TB replay.
+  */
+object Apply {
+
+  /** Materialize current state from an upsert/delete mutation stream:
+    * last-one-wins per key, then drop keys whose final op is a delete
+    * (reference: `types.Mutation.IsDelete`, `types.go:143`).
+    */
+  def upsertDelete(muts: DataFrame, keys: Seq[String], order: Column, isDelete: Column): DataFrame = {
+    val withTomb = muts.withColumn("__tomb", isDelete)
+    Msort.latestByKey(withTomb, keys, order)
+      .filter(!col("__tomb"))
+      .drop("__tomb")
+  }
+
+  /** Compare-and-set apply: a mutation only replaces the current row if
+    * its CAS column tuple is greater (reference: applycfg.CASColumns —
+    * "the columns for compare-and-set operations"). Over a whole batch
+    * this reduces to keeping the row with the maximal CAS tuple per key.
+    */
+  def casApply(muts: DataFrame, keys: Seq[String], casOrder: Column): DataFrame =
+    Msort.latestByKey(muts, keys, casOrder)
+
+  /** Deadline filter: discard mutations older than `resolved - deadline`
+    * (reference: applycfg.Deadlines — drop changes that are already stale
+    * when they arrive). `resolved` is the max mutation time in the batch,
+    * computed distributively and joined back as a broadcast scalar — no
+    * driver-side collect.
+    */
+  def deadlineFilter(muts: DataFrame, ts: String, deadline: String): DataFrame = {
+    val resolved = muts.agg(max(col(ts)).as("__resolved"))
+    muts.crossJoin(broadcast(resolved))
+      .filter(col(ts) >= col("__resolved") - expr(s"INTERVAL $deadline"))
+      .drop("__resolved")
+  }
+
+  /** Declarative source→target schema mapping (reference: applycfg
+    * SourceNames renames, Exprs synthetic expressions, Ignore drops,
+    * Extras packs unmapped source columns into a JSON column; plus
+    * `internal/target/schemawatch` which discovers the target shape).
+    * All of it is a single `select` — Catalyst prunes the parquet scan to
+    * exactly the referenced source columns.
+    */
+  def schemaMap(
+      src: DataFrame,
+      renames: Seq[(String, String)],
+      exprs: Seq[(String, Column)],
+      ignore: Seq[String],
+      extrasJson: Option[(String, Seq[String])]): DataFrame = {
+    val kept = src.columns.filterNot(c =>
+      ignore.contains(c) ||
+        renames.exists(_._1 == c) ||
+        extrasJson.exists(_._2.contains(c)))
+    val cols =
+      kept.map(col).toIndexedSeq ++
+        renames.map { case (from, to) => col(from).as(to) } ++
+        exprs.map { case (name, e) => e.as(name) } ++
+        extrasJson.toSeq.map { case (name, srcCols) =>
+          to_json(struct(srcCols.map(col): _*)).as(name)
+        }
+    src.select(cols: _*)
+  }
+}

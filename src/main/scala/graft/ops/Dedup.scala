@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design: everything is expressed over (doc, shingle) rows and
+  * hash aggregations — never an O(n²) comparison. The LSH band-bucket
+  * join bounds candidate generation; exact Jaccard runs only on
+  * candidates. All hashing is `xxhash64` (codegen'd, no UDFs).
+  */
+object Dedup {
+
+  private def norm(text: Column): Column = lower(trim(text))
+
+  /** Exact dedup: md5 over normalized text, groups keyed by the hash;
+    * canonical doc = min id per group.
+    */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame = {
+    val withFp = docs.select(col(id), md5(norm(col(text))).as("fp"))
+    val groups = withFp.groupBy("fp")
+      .agg(count(lit(1)).as("group_size"), min(col(id)).as("canonical_id"))
+    withFp.join(groups, "fp")
+      .withColumn("is_dup", col(id) =!= col("canonical_id"))
+  }
+
+  /** Word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(norm(text), "\\s+")
+    // sliding window over the token array, built declaratively
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signatures: `numHashes` permutations simulated by seeded
+    * xxhash64; elementwise-min folded with zip_with — rows stay at
+    * (doc × shingle) cardinality, one groupBy produces the signature.
+    */
+  def minhashSignatures(docs: DataFrame, id: String, text: String,
+      numHashes: Int = 64, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(id), explode(shingles(col(text), k)).as("shingle"))
+    val hashes = sh.select(
+      col(id),
+      transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => xxhash64(col("shingle"), i)).as("hs"))
+    val maxArr = array_repeat(lit(Long.MaxValue), numHashes)
+    hashes.groupBy(col(id))
+      .agg(
+        aggregate(
+          collect_list(col("hs")),
+          maxArr,
+          (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("signature"),
+        count(lit(1)).as("n_shingles"))
+  }
+
+  /** LSH banding: split each signature into `bands` bands of
+    * `rowsPerBand`, hash each band → (band_id, bucket) keys. Documents
+    * sharing any bucket become candidate pairs — the ONLY pair source,
+    * so candidate count is bounded by bucket occupancy, not n².
+    */
+  def lshCandidates(sigs: DataFrame, id: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(
+      col(id),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band_id"), col("bucket"), col(id).as("id_a"))
+    val b = banded.select(col("band_id"), col("bucket"), col(id).as("id_b"))
+    a.join(b, Seq("band_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs (the verification
+    * stage after LSH): |A∩B| via a shingle join, |A∪B| = |A|+|B|−|∩|.
+    */
+  def jaccard(docs: DataFrame, id: String, text: String,
+      pairs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(id), explode(shingles(col(text), k)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col(id).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(id).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+  }
+
+  /** 64-bit SimHash: per token hash, +1/−1 vote per bit, sign of the
+    * summed votes becomes the bit. Folded with zip_with like minhash —
+    * one groupBy, no UDFs.
+    */
+  def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id), explode(split(norm(col(text)), "\\s+")).as("tok"))
+    val votes = toks.select(
+      col(id),
+      transform(
+        sequence(lit(0), lit(63)),
+        // shiftright's Scala binding takes a literal Int; inside a
+        // higher-order lambda the shift amount is a Column, so call the
+        // SQL function directly.
+        i => when(call_function("shiftright", xxhash64(col("tok")), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as("v"))
+    val zeros = array_repeat(lit(0), 64)
+    votes.groupBy(col(id))
+      .agg(
+        aggregate(
+          collect_list(col("v")),
+          zeros,
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("votes"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("simhash",
+        aggregate(
+          zip_with(col("votes"), sequence(lit(0), lit(63)),
+            (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc.bitwiseOR(x)))
+      .drop("votes")
+  }
+}

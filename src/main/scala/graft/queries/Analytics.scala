@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics over the TPC-H-ish star schema + the events stream.
+  *
+  * Determinism rules (shared with every oracle pair in this repo):
+  *  - monetary aggregates go through DECIMAL(28,6) (exact, associative,
+  *    partial-aggregable) and are cast back to double at the end;
+  *  - divisions happen in double on both engines, in the same order;
+  *  - every result carries a total ORDER BY on a unique key.
+  */
+object Analytics {
+
+  private val dec = "decimal(28,6)"
+  private def cents(value: Column): Column = round(value * 100).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary: single scan, hash agg with
+    * map-side partial aggregation; the shipdate filter is pushed to the
+    * parquet scan.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val discPrice = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+    val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax"))).cast(dec)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(dec)).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped shipping priority: the filtered customer dim is
+    * broadcast, so the only shuffle is the final aggregation on
+    * l_orderkey; top-k via global sort of the (small) aggregate.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp_ntz")
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped local-supplier revenue: all dims broadcast; the
+    * orders→lineitem join shuffles on orderkey once, then one agg.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Top users by purchase volume: pre-aggregate per user (shuffle once),
+    * then rank the small aggregate.
+    */
+  def topUsersWindow(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(cents(col("value"))).as("purchase_cents"))
+    val w = Window.orderBy(col("purchase_cents").desc, col("user_id"))
+    per.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 25)
+      .orderBy("rnk", "user_id")
+  }
+
+  val topUsersSql: String =
+    """WITH per AS (
+      |  SELECT user_id, COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS purchase_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT user_id, n_purchases, purchase_cents, rnk
+      |FROM (SELECT *, RANK() OVER (ORDER BY purchase_cents DESC, user_id) AS rnk FROM per)
+      |WHERE rnk <= 25
+      |ORDER BY rnk, user_id""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): lag + running sum,
+    * both windows partitioned by user (one shuffle on user_id).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevUs = lag(unix_micros(col("ts").cast("timestamp")), 1).over(wOrd)
+    val isNew = when(prevUs.isNull || unix_micros(col("ts").cast("timestamp")) - prevUs > 1800000000L, 1)
+      .otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("is_new", isNew)
+      .withColumn("session_id",
+        sum(col("is_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM y GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Signup→purchase funnel: two keyed aggregates + one join; the
+    * conditional "first purchase after signup" stays set-based.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_purchase_ts"))
+    signups.join(purchases, "user_id")
+      .select("user_id", "signup_ts", "first_purchase_ts")
+      .orderBy("user_id")
+  }
+
+  val eventFunnelSql: String =
+    """WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      |  FROM events e JOIN s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      |  GROUP BY e.user_id)
+      |SELECT s.user_id, s.signup_ts, p.first_purchase_ts
+      |FROM s JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_top_users_window" -> (topUsersWindow _),
+    "q_sessionize" -> (sessionize _),
+    "q_event_funnel" -> (eventFunnel _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q_top_users_window" -> topUsersSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_event_funnel" -> eventFunnelSql)
+}

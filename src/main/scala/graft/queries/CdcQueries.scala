@@ -1,0 +1,320 @@
+package graft.queries
+
+import graft.Tables
+import graft.cdc._
+import graft.streaming.StreamApply
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's CDC surface exercised over the `events` mutation
+  * stream: `user_id` is the row key, `ts` the HLC wall time, `event_id`
+  * the deterministic logical tiebreak, `event_type` the operation,
+  * `props` the JSON payload, `value` the CAS/metric column.
+  */
+object CdcQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+  private def ord: Column = struct(col("ts"), col("event_id"))
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // -- 1: msort.UniqueByKey ------------------------------------------------
+  def latestByKey(s: SparkSession, dir: String): DataFrame =
+    Msort.latestByKey(events(s, dir), Seq("user_id"), ord).orderBy("user_id")
+
+  val latestByKeySql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events e) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // -- 2: msort.UniqueByTimeKey -------------------------------------------
+  def uniqueByTimeKey(s: SparkSession, dir: String): DataFrame =
+    Msort.uniqueByTimeKey(events(s, dir), Seq("user_id"), "ts", col("event_id"))
+      .orderBy("user_id", "ts", "event_id")
+
+  val uniqueByTimeKeySql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM events e) t
+      |WHERE rn = 1 ORDER BY user_id, ts, event_id""".stripMargin
+
+  // -- 3: target/apply upsert+delete --------------------------------------
+  def applyUpsertDelete(s: SparkSession, dir: String): DataFrame =
+    Apply.upsertDelete(events(s, dir), Seq("user_id"), ord,
+      col("event_type") === "error").orderBy("user_id")
+
+  val applyUpsertDeleteSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events e) t
+      |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin
+
+  // -- 4: applycfg.CASColumns ---------------------------------------------
+  def casApply(s: SparkSession, dir: String): DataFrame =
+    Apply.casApply(events(s, dir), Seq("user_id"),
+      struct(col("value"), col("ts"), col("event_id"))).orderBy("user_id")
+
+  val casApplySql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, ts DESC, event_id DESC) AS rn
+      |  FROM events e) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // -- 5: applycfg.Deadlines ----------------------------------------------
+  def deadlines(s: SparkSession, dir: String): DataFrame =
+    Apply.deadlineFilter(events(s, dir), "ts", "1 DAY").orderBy("event_id")
+
+  val deadlinesSql: String =
+    """SELECT * FROM events
+      |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+      |ORDER BY event_id""".stripMargin
+
+  // -- 6: staging/checkpoint resolved windows -----------------------------
+  def resolvedWindows(s: SparkSession, dir: String): DataFrame =
+    Staging.resolvedWindows(events(s, dir), "ts", "user_id",
+      sum(cents(col("value")))).orderBy("window_start")
+
+  val resolvedWindowsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_muts,
+      |  COUNT(DISTINCT user_id) AS n_keys,
+      |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS metric
+      |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  // -- 7: Stager.FilterApplied --------------------------------------------
+  def stageFilterApplied(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val ck = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAY")).as("__ck"))
+    val applied = ev.crossJoin(broadcast(ck)).filter(col("ts") <= col("__ck"))
+      .select("event_id")
+    Staging.filterApplied(ev, applied, Seq("event_id")).orderBy("event_id")
+  }
+
+  val stageFilterAppliedSql: String =
+    """SELECT * FROM events
+      |WHERE event_id NOT IN (
+      |  SELECT event_id FROM events
+      |  WHERE ts <= (SELECT MIN(ts) + INTERVAL 15 DAY FROM events))
+      |ORDER BY event_id""".stripMargin
+
+  // -- 8: Stager.Retire ----------------------------------------------------
+  def stageRetire(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val rt = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAY")).as("__retire"))
+    Staging.retire(ev.crossJoin(broadcast(rt)), "ts", col("__retire"))
+      .drop("__retire").orderBy("event_id")
+  }
+
+  val stageRetireSql: String =
+    """SELECT * FROM events
+      |WHERE ts > (SELECT MIN(ts) + INTERVAL 15 DAY FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // -- 9: target/dlq -------------------------------------------------------
+  def dlq(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val (_, dead) = Dlq.route(events(s, dir), Seq(
+      "missing_payload_key" -> k.isNull,
+      "out_of_range" -> (k >= 90)))
+    dead.select("event_id", "user_id", "event_type", "dlq_reason").orderBy("event_id")
+  }
+
+  val dlqSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 'missing_payload_key'
+      |       WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90 THEN 'out_of_range'
+      |  END AS dlq_reason
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+      |   OR CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  // -- 10: merge/standard.go three-way merge -------------------------------
+  def mergeConflicts(s: SparkSession, dir: String): DataFrame = {
+    val wBefore = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val before = lag(col("value"), 1).over(wBefore)
+    MergeOps.threeWayMerge(
+        events(s, dir).withColumn("before_value", before),
+        "user_id", Seq(col("ts"), col("event_id")),
+        col("before_value"), col("value"),
+        (target, _, proposed) => greatest(target, proposed))
+      .select("event_id", "user_id", "event_type", "value", "before_value",
+        "target_value", "merge_status", "resolved_value")
+      .orderBy("event_id")
+  }
+
+  val mergeConflictsSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS before_value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS target_value
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, value, before_value, target_value,
+      |  CASE WHEN target_value IS NULL OR target_value = before_value THEN 'clean'
+      |       WHEN target_value = value THEN 'idempotent'
+      |       ELSE 'conflict' END AS merge_status,
+      |  -- resolved reuses the exact status CASE chain so three-valued
+      |  -- NULL logic matches the engine's when().when().otherwise() chain
+      |  CASE WHEN (CASE WHEN target_value IS NULL OR target_value = before_value THEN 'clean'
+      |                  WHEN target_value = value THEN 'idempotent'
+      |                  ELSE 'conflict' END) = 'conflict'
+      |       THEN greatest(target_value, value) ELSE value END AS resolved_value
+      |FROM t ORDER BY event_id""".stripMargin
+
+  // -- 11: util/cdcjson payload extraction ---------------------------------
+  def ndjsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val ndjsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- 12: schemawatch + applycfg schema mapping ---------------------------
+  def schemaMap(s: SparkSession, dir: String): DataFrame =
+    Apply.schemaMap(events(s, dir),
+        renames = Seq("user_id" -> "uid"),
+        exprs = Seq("total_cents" -> cents(col("value"))),
+        ignore = Seq("value", "props", "ts"),
+        extrasJson = Some(("extras", Seq("event_type"))))
+      .orderBy("event_id")
+
+  val schemaMapSql: String =
+    """SELECT event_id, user_id AS uid,
+      |  CAST(ROUND(value * 100, 0) AS BIGINT) AS total_cents,
+      |  '{"event_type":"' || event_type || '"}' AS extras
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -- 13: script dispatch fan-out -----------------------------------------
+  def fanOut(s: SparkSession, dir: String): DataFrame = {
+    val route = when(col("event_type") === "purchase", "billing")
+      .when(col("event_type") === "signup", "crm")
+      .when(col("event_type") === "error", "dlq_route")
+      .otherwise("telemetry")
+    events(s, dir)
+      .groupBy(route.as("route"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).as("cents"))
+      .orderBy("route")
+  }
+
+  val fanOutSql: String =
+    """SELECT CASE WHEN event_type = 'purchase' THEN 'billing'
+      |            WHEN event_type = 'signup' THEN 'crm'
+      |            WHEN event_type = 'error' THEN 'dlq_route'
+      |            ELSE 'telemetry' END AS route,
+      |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1 ORDER BY route""".stripMargin
+
+  // -- 14: sequencer/besteffort per-key progress ---------------------------
+  def bestEffortOrder(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_muts"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        max_by(col("event_id"), ord).as("last_event_id"),
+        sum(cents(col("value"))).as("cents"))
+      .orderBy("user_id")
+
+  val bestEffortOrderSql: String =
+    """WITH last AS (
+      |  SELECT user_id, event_id AS last_event_id FROM (
+      |    SELECT user_id, event_id,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |g AS (
+      |  SELECT user_id, COUNT(*) AS n_muts, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id)
+      |SELECT g.user_id, g.n_muts, g.first_ts, g.last_ts, last.last_event_id, g.cents
+      |FROM g JOIN last USING (user_id) ORDER BY user_id""".stripMargin
+
+  // -- 15: source/objstore changefeed files (rows-only) --------------------
+  def changefeedFiles(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_changefeed_$sfTag"
+    val envelope = events(s, dir).select(
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(to_json(struct(col("event_id"), col("user_id"), col("value"))))
+        .as("after"),
+      to_json(array(col("user_id"))).as("key"),
+      concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"), lit(".0000000000"))
+        .as("updated"))
+    envelope.write.mode("overwrite").json(outDir)
+    Changefeed.read(s, outDir)
+      .agg(count(lit(1)).as("n_muts"),
+        sum(when(col("is_delete"), 1L).otherwise(0L)).as("n_deletes"),
+        min(col("hlc.nanos")).as("min_nanos"),
+        max(col("hlc.nanos")).as("max_nanos"))
+  }
+
+  // -- 16: streaming latest-by-key (batch-equivalent path) -----------------
+  def streamApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[StreamApply.KeyedMut]
+    val muts = StreamApply.fromEvents(events(s, dir)).as[StreamApply.KeyedMut]
+    StreamApply.applyBatch(muts).toDF()
+      .select(col("key").as("user_id"), col("tiebreak").as("event_id"),
+        col("op").as("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val streamApplySql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // -- 17: util/workload generator + FK check (rows-only) ------------------
+  def workloadCheck(s: SparkSession, dir: String): DataFrame =
+    Workload.consistencyReport(s, 1000L, 10000L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_latest_by_key" -> (latestByKey _),
+    "cdc_unique_by_time_key" -> (uniqueByTimeKey _),
+    "cdc_apply_upsert_delete" -> (applyUpsertDelete _),
+    "cdc_cas" -> (casApply _),
+    "cdc_deadlines" -> (deadlines _),
+    "cdc_resolved_windows" -> (resolvedWindows _),
+    "cdc_stage_filter_applied" -> (stageFilterApplied _),
+    "cdc_stage_retire" -> (stageRetire _),
+    "cdc_dlq" -> (dlq _),
+    "cdc_merge_conflicts" -> (mergeConflicts _),
+    "cdc_ndjson_extract" -> (ndjsonExtract _),
+    "cdc_schema_map" -> (schemaMap _),
+    "cdc_fan_out" -> (fanOut _),
+    "cdc_best_effort_order" -> (bestEffortOrder _),
+    "cdc_changefeed_files" -> (changefeedFiles _),
+    "cdc_stream_apply" -> (streamApply _),
+    "cdc_workload_check" -> (workloadCheck _))
+
+  val oracles: Map[String, String] = Map(
+    "cdc_latest_by_key" -> latestByKeySql,
+    "cdc_unique_by_time_key" -> uniqueByTimeKeySql,
+    "cdc_apply_upsert_delete" -> applyUpsertDeleteSql,
+    "cdc_cas" -> casApplySql,
+    "cdc_deadlines" -> deadlinesSql,
+    "cdc_resolved_windows" -> resolvedWindowsSql,
+    "cdc_stage_filter_applied" -> stageFilterAppliedSql,
+    "cdc_stage_retire" -> stageRetireSql,
+    "cdc_dlq" -> dlqSql,
+    "cdc_merge_conflicts" -> mergeConflictsSql,
+    "cdc_ndjson_extract" -> ndjsonExtractSql,
+    "cdc_schema_map" -> schemaMapSql,
+    "cdc_fan_out" -> fanOutSql,
+    "cdc_best_effort_order" -> bestEffortOrderSql,
+    "cdc_stream_apply" -> streamApplySql)
+}

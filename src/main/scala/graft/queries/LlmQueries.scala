@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`. */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  // -- exact dedup ---------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+      .select("doc_id", "fp", "group_size", "canonical_id", "is_dup")
+      .orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """WITH f AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      |g AS (SELECT fp, COUNT(*) AS group_size, MIN(doc_id) AS canonical_id
+      |      FROM f GROUP BY fp)
+      |SELECT f.doc_id, f.fp, g.group_size, g.canonical_id,
+      |  f.doc_id <> g.canonical_id AS is_dup
+      |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin
+
+  // -- MinHash + LSH (rows-only: approximate by construction) --------------
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+    val candCounts = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    sigs
+      .join(candCounts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .select(col("doc_id"), col("n_shingles"),
+        col("signature")(0).as("sig_0"), col("signature")(1).as("sig_1"),
+        col("signature")(2).as("sig_2"), col("signature")(3).as("sig_3"),
+        col("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  // -- SimHash (rows-only) --------------------------------------------------
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
+      .select("doc_id", "n_tokens", "simhash", "bucket16")
+      .orderBy("doc_id")
+
+  // -- exact n-gram Jaccard on bounded candidate pairs (rows-only) ----------
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.select(col("doc_id").as("id_a"), col("source").as("src"))
+    val b = d.select(col("doc_id").as("id_b"), col("source").as("src"))
+    val pairs = a.join(b, "src")
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 20)
+      .select("id_a", "id_b")
+    Dedup.jaccard(d, "doc_id", "text", pairs)
+      .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // -- text quality ----------------------------------------------------------
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFeatures(docs(s, dir), "text")
+      .select("doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "mean_token_len", "quality_score")
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tokens_d,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(n_tokens_d AS BIGINT) AS n_tokens,
+      |  n_punct / n_chars_d AS punct_ratio,
+      |  n_digits / n_chars_d AS digit_ratio,
+      |  n_stop / n_tokens_d AS stopword_ratio,
+      |  (n_chars_d - n_tokens_d + 1.0) / n_tokens_d AS mean_token_len,
+      |  1.0 - least(1.0, (n_punct / n_chars_d) * 4) - least(1.0, (n_digits / n_chars_d) * 4) * 0.5
+      |    + least(0.5, n_stop / n_tokens_d) AS quality_score
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  // -- language id -----------------------------------------------------------
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextOps.langConfusion(docs(s, dir), "text", "lang")
+      .orderBy("lang_true", "lang_guess")
+
+  val textLangidSql: String =
+    """SELECT lang AS lang_true,
+      |  CASE WHEN ' ' || lower(trim(text)) || ' ' LIKE '% el %'
+      |         OR ' ' || lower(trim(text)) || ' ' LIKE '% la %' THEN 'es'
+      |       WHEN ' ' || lower(trim(text)) || ' ' LIKE '% le %'
+      |         OR ' ' || lower(trim(text)) || ' ' LIKE '% un %' THEN 'fr'
+      |       WHEN ' ' || lower(trim(text)) || ' ' LIKE '% der %'
+      |         OR ' ' || lower(trim(text)) || ' ' LIKE '% und %' THEN 'de'
+      |       ELSE 'en' END AS lang_guess,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2 ORDER BY lang_true, lang_guess""".stripMargin
+
+  // -- token counts ----------------------------------------------------------
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(docs(s, dir), "text")
+      .select("doc_id", "ws_tokens", "bpe_tokens")
+      .orderBy("doc_id")
+
+  val textTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- fingerprints ----------------------------------------------------------
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(docs(s, dir), "text")
+      .select("doc_id", "fp", "fp_head", "fp_tail")
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(trim(text))) AS fp,
+      |  md5(substr(lower(trim(text)), 1, 32)) AS fp_head,
+      |  md5(substr(reverse(lower(trim(text))), 1, 32)) AS fp_tail
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- brute-force cosine top-k ----------------------------------------------
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteforceSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT q.query_id, c.neighbor_id,
+      |    list_dot_product(q.qv, c.cv) /
+      |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos_sim
+      |  FROM q CROSS JOIN c)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -- LSH-bucketed ANN (rows-only: approximate) ------------------------------
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nPlanes = 4, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  // -- k-NN join within labels (rows-only) ------------------------------------
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinWithinGroups(embs(s, dir), "vec_id", "embedding", "label", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("id_a", "rank")
+
+  // -- multimodal pipeline (rows-only: stubbed decode) ------------------------
+  def multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pipeline(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "text_quality_score" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_token_count" -> (textTokenCount _),
+    "text_fingerprint" -> (textFingerprint _),
+    "ann_bruteforce_cosine" -> (annBruteforce _),
+    "ann_lsh_cosine" -> (annLsh _),
+    "embedding_knn_join" -> (knnJoin _),
+    "multimodal_pipeline" -> (multimodal _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "text_quality_score" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_token_count" -> textTokenCountSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "ann_bruteforce_cosine" -> annBruteforceSql)
+}

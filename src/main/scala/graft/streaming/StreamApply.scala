@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming latest-by-key apply with explicit state.
+  *
+  * Reference: `internal/sequencer/core` applies staged mutations in
+  * (key, hlc) order with per-key state; `internal/sequencer/besteffort`
+  * relaxes cross-key ordering. Both reduce, per key, to "remember the
+  * winning mutation so far and emit changes".
+  *
+  * Spark-first design: Structured Streaming `groupByKey` over the key +
+  * `flatMapGroupsWithState` holding one row of state per key (the current
+  * winner). Watermarking bounds state for late data; the state store
+  * shards by the grouping key exactly like the reference shards its
+  * lockset by key hash. The same typed reduce also runs in batch mode via
+  * `reduceGroups`, so one code path serves both.
+  */
+object StreamApply {
+
+  /** A keyed mutation with a totally-ordered version (HLC nanos packed
+    * with a logical tiebreak).
+    */
+  case class KeyedMut(key: Long, versionNanos: Long, tiebreak: Long,
+      op: String, value: Double, payload: String)
+
+  private def wins(a: KeyedMut, b: KeyedMut): KeyedMut =
+    if (a.versionNanos > b.versionNanos ||
+      (a.versionNanos == b.versionNanos && a.tiebreak >= b.tiebreak)) a else b
+
+  /** Batch path: same last-one-wins reduce, via the typed Dataset API. */
+  def applyBatch(muts: Dataset[KeyedMut]): Dataset[KeyedMut] = {
+    implicit val enc = Encoders.product[KeyedMut]
+    implicit val lenc = Encoders.scalaLong
+    implicit val tenc = Encoders.tuple(lenc, enc)
+    muts.groupByKey(_.key).reduceGroups(wins _).map(_._2)
+  }
+
+  /** Streaming path: per-key state = current winner; each trigger emits
+    * the keys whose winner changed (an incremental changelog of the
+    * materialized table).
+    */
+  def applyStream(muts: Dataset[KeyedMut]): Dataset[KeyedMut] = {
+    implicit val enc = Encoders.product[KeyedMut]
+    implicit val lenc = Encoders.scalaLong
+    muts.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[KeyedMut], state: GroupState[KeyedMut]) =>
+          val incoming = rows.reduceOption(wins _)
+          incoming match {
+            case None => Iterator.empty
+            case Some(best) =>
+              val merged = state.getOption.map(wins(_, best)).getOrElse(best)
+              if (state.getOption.contains(merged)) Iterator.empty
+              else { state.update(merged); Iterator.single(merged) }
+          }
+      }
+  }
+
+  /** Adapt the events table to the KeyedMut shape. */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").as("key"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000L).as("versionNanos"),
+      col("event_id").as("tiebreak"),
+      col("event_type").as("op"),
+      col("value"),
+      col("props").as("payload"))
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.cdc._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Specs for the CDC core operators on small hand-built inputs. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def muts = Seq(
+    // (key, ts, tiebreak, op, value)
+    (1L, 100L, 1L, "upsert", 10.0),
+    (1L, 200L, 2L, "upsert", 20.0),
+    (1L, 200L, 3L, "upsert", 25.0), // same time, later tiebreak wins
+    (2L, 100L, 4L, "upsert", 30.0),
+    (2L, 300L, 5L, "delete", 0.0),
+    (3L, 50L, 6L, "upsert", 5.0)
+  ).toDF("key", "ts", "tiebreak", "op", "value")
+
+  test("Msort.latestByKey keeps the last mutation per key (hlc order, tiebreak)") {
+    val out = Msort.latestByKey(muts, Seq("key"), struct(col("ts"), col("tiebreak")))
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (2L, 5L), (3L, 6L)))
+  }
+
+  test("Msort.uniqueByTimeKey dedups exact (time,key) pairs") {
+    val out = Msort.uniqueByTimeKey(muts, Seq("key"), "ts", col("tiebreak"))
+    assert(out.count() == 5) // the (1, 200) pair collapses
+    assert(out.filter(col("key") === 1 && col("ts") === 200)
+      .select("tiebreak").as[Long].head() == 3L)
+  }
+
+  test("Apply.upsertDelete drops keys whose final op is a delete") {
+    val out = Apply.upsertDelete(muts, Seq("key"),
+      struct(col("ts"), col("tiebreak")), col("op") === "delete")
+    assert(out.select("key").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("Apply.casApply keeps the max CAS tuple per key") {
+    val out = Apply.casApply(muts, Seq("key"), struct(col("value")))
+    val vals = out.select("key", "value").as[(Long, Double)].collect().toMap
+    assert(vals == Map(1L -> 25.0, 2L -> 30.0, 3L -> 5.0))
+  }
+
+  test("Staging.filterApplied anti-joins the applied set") {
+    val applied = Seq(1L, 4L, 6L).toDF("tiebreak")
+    val out = Staging.filterApplied(muts, applied, Seq("tiebreak"))
+    assert(out.select("tiebreak").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 5L))
+  }
+
+  test("Staging.retire keeps only mutations after the retirement point") {
+    val out = Staging.retire(muts, "ts", lit(100L))
+    assert(out.count() == 3)
+  }
+
+  test("Dlq.route splits by first matching reason") {
+    val (okRows, dlq) = Dlq.route(muts, Seq(
+      "deleted" -> (col("op") === "delete"),
+      "low_value" -> (col("value") < 10.0)))
+    assert(okRows.count() == 4)
+    val reasons = dlq.select("tiebreak", "dlq_reason").as[(Long, String)].collect().toMap
+    assert(reasons == Map(5L -> "deleted", 6L -> "low_value"))
+  }
+
+  test("MergeOps.threeWayMerge classifies clean/idempotent/conflict") {
+    // key 9: t=1 v=1, t=2 claims before=1 (clean), t=3 claims before=7
+    // while target is 2 (conflict), t=4 proposes the current value
+    // (idempotent).
+    val log = Seq(
+      (9L, 1L, Option.empty[Double], 1.0),
+      (9L, 2L, Some(1.0), 2.0),
+      (9L, 3L, Some(7.0), 3.0),
+      (9L, 4L, Some(8.0), 3.0) // diverged before, but proposed == target
+    ).toDF("key", "ts", "before", "proposed")
+    val out = MergeOps.threeWayMerge(log, "key", Seq(col("ts")),
+        col("before"), col("proposed"),
+        (t, _, p) => greatest(t, p))
+      .select("ts", "merge_status", "resolved_value")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq("clean", "clean", "conflict", "idempotent"))
+    assert(out(2)._3 == 3.0) // greatest(target=2, proposed=3)
+  }
+
+  test("Hlc renders and orders like the reference format") {
+    val df = Seq((1000L, 5), (1000L, 12), (2000L, 0)).toDF("nanos", "logical")
+      .select(Hlc.hlc(col("nanos"), col("logical")).as("h"))
+    val rendered = df.select(Hlc.render(col("h"))).as[String].collect().toSet
+    assert(rendered.contains("1000.0000000005"))
+    val maxH = df.agg(max(col("h"))).collect()(0).getStruct(0)
+    assert(maxH.getLong(0) == 2000L)
+  }
+
+  test("Changefeed.read parses envelope files (hlc, deletes)") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_cf"
+    Seq(
+      """{"after": {"id": 1, "v": "a"}, "key": [1], "updated": "1000.0000000001"}""",
+      """{"after": null, "key": [2], "updated": "2000.0000000000"}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val out = Changefeed.read(spark, dir).orderBy("hlc")
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(!rows(0).getBoolean(rows(0).fieldIndex("is_delete")))
+    assert(rows(1).getBoolean(rows(1).fieldIndex("is_delete")))
+    assert(rows(0).getStruct(rows(0).fieldIndex("hlc")).getInt(1) == 1)
+  }
+
+  test("Workload generates FK-consistent parent/child tables") {
+    val rep = Workload.consistencyReport(spark, 100L, 1000L).collect()(0)
+    assert(rep.getLong(0) == 100L)
+    assert(rep.getLong(1) == 1000L)
+    assert(rep.getLong(2) == 0L)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Specs for the LLM-pipeline operators. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different content about spark engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("Dedup.exact groups identical normalized text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val dups = out.filter(col("is_dup")).select("doc_id").as[Long].collect()
+    assert(dups.toSeq == Seq(2L))
+    assert(out.filter(col("doc_id") === 2).select("canonical_id").as[Long].head() == 1L)
+  }
+
+  test("MinHash LSH surfaces near-duplicate candidates, not unrelated docs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(sigs.count() == 4)
+    val cands = Dedup.lshCandidates(sigs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L))) // identical docs always collide
+    assert(!cands.exists { case (a, b) => b == 4L || a == 4L }) // unrelated never
+  }
+
+  test("exact jaccard verifies candidates: dup=1.0 > near-dup > unrelated") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccard(docs, "doc_id", "text", pairs)
+      .select("id_b", "jaccard").as[(Long, Double)].collect().toMap
+    assert(j(2L) == 1.0)
+    assert(j(3L) > 0.3 && j(3L) < 1.0)
+    assert(j(4L) == 0.0)
+  }
+
+  test("SimHash: identical docs share hash; near-dups are hamming-close") {
+    val out = Dedup.simhash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(3L)) < ham(out(1L), out(4L)))
+  }
+
+  test("TextOps quality/tokens/fingerprints are computed per doc") {
+    val q = TextOps.qualityFeatures(docs, "text")
+      .filter(col("doc_id") === 1).head()
+    assert(q.getAs[Long]("n_tokens") == 9L)
+    assert(q.getAs[Double]("stopword_ratio") > 0.2) // 'the' x2, 'over'→no, 'the' stopwords
+    val t = TextOps.tokenCounts(docs, "text").filter(col("doc_id") === 1).head()
+    assert(t.getAs[Long]("ws_tokens") == 9L)
+    assert(t.getAs[Long]("bpe_tokens") == 9L)
+    val f = TextOps.fingerprints(docs, "text")
+    assert(f.filter(col("doc_id") === 1).select("fp").as[String].head() ==
+      f.filter(col("doc_id") === 2).select("fp").as[String].head())
+  }
+
+  test("langGuess picks marker languages deterministically") {
+    val d = Seq((1L, "hola el mundo bueno"), (2L, "bonjour le monde"),
+      (3L, "hello world again")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextOps.langGuess(col("text")).as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "es", 2L -> "fr", 3L -> "en"))
+  }
+
+  test("brute-force cosine: self-similarity ranks first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.01f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2).collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 1L) // itself, cos=1
+    assert(out(1).getAs[Long]("neighbor_id") == 4L) // closest other
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(-1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val b = vecs.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L))
+  }
+
+  test("knn join within groups excludes self and respects k") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 0), (4L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnJoinWithinGroups(vecs, "vec_id", "embedding", "label", 2)
+    assert(out.filter(col("id_a") === col("id_b")).count() == 0)
+    assert(out.filter(col("id_a") === 1).count() == 2)
+    assert(out.filter(col("id_a") === 4).count() == 0) // alone in its group
+  }
+
+  test("multimodal pipeline decodes deterministic features per row") {
+    val d = docs.withColumnRenamed("text", "t")
+    val out1 = Multimodal.pipeline(d, "doc_id", "t").collect().sortBy(_.getLong(0))
+    val out2 = Multimodal.pipeline(d, "doc_id", "t").collect().sortBy(_.getLong(0))
+    assert(out1.length == 4)
+    assert(out1.map(_.getLong(3)).toSeq == out2.map(_.getLong(3)).toSeq) // stable checksums
+    assert(out1.forall(r => r.getInt(2) > 0))
+  }
+}

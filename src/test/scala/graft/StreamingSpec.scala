@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamApply
+import graft.streaming.StreamApply.KeyedMut
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming specs: the stateful latest-by-key apply must
+  * match the batch reduce, and emit incrementally across triggers.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyStream emits last-one-wins state updates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedMut]
+    // AvailableNow processes what exists at start — enqueue first
+    input.addData(
+      KeyedMut(1L, 100L, 1L, "upsert", 10.0, "a"),
+      KeyedMut(1L, 200L, 2L, "upsert", 20.0, "b"),
+      KeyedMut(2L, 100L, 3L, "upsert", 30.0, "c"))
+    val q = StreamApply.applyStream(input.toDS())
+      .writeStream.format("memory").queryName("apply_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val batch1 = spark.table("apply_out").as[KeyedMut].collect()
+    assert(batch1.map(m => m.key -> m.value).toMap == Map(1L -> 20.0, 2L -> 30.0))
+
+    // second trigger: a stale mutation for key 1 (ignored) and a newer
+    // one for key 2 (emitted)
+    input.addData(
+      KeyedMut(1L, 50L, 4L, "upsert", 5.0, "stale"),
+      KeyedMut(2L, 300L, 5L, "upsert", 40.0, "fresh"))
+    val q2 = StreamApply.applyStream(input.toDS())
+      .writeStream.format("memory").queryName("apply_out2")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val all = spark.table("apply_out2").as[KeyedMut].collect()
+    // key 1's stale row must not downgrade the state
+    assert(!all.exists(m => m.key == 1L && m.value == 5.0))
+    assert(all.exists(m => m.key == 2L && m.value == 40.0))
+  }
+
+  test("streaming result equals batch reduce on the events table") {
+    val events = Tables.events(spark, sfDir)
+    val muts = StreamApply.fromEvents(events).as[KeyedMut]
+    val batch = StreamApply.applyBatch(muts).collect()
+      .map(m => m.key -> (m.versionNanos, m.tiebreak)).toMap
+
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_src"
+    StreamApply.fromEvents(events).write.mode("overwrite").parquet(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val streamed = spark.readStream.schema(muts.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[KeyedMut]
+    val q = StreamApply.applyStream(streamed)
+      .writeStream.format("memory").queryName("stream_events")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last emitted row per key == batch winner
+    val emitted = spark.table("stream_events").as[KeyedMut].collect()
+      .groupBy(_.key).map { case (k, ms) =>
+        k -> ms.map(m => (m.versionNanos, m.tiebreak)).max }
+    assert(emitted == batch)
+  }
+}
