@@ -27,6 +27,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Unit-normalize once per vector. Higher-order array expressions are
+    * interpreted (not codegen'd), so for an N×M candidate join it is
+    * much cheaper to normalize N+M vectors up front and take one dot
+    * per pair than to evaluate dot+2 norms (3 array folds) per pair.
+    */
+  def normalize(vec: Column): Column = {
+    val n = l2norm(vec)
+    transform(vec, x => x.cast("double") / n)
+  }
+
+  /** Dot product of two pre-normalized double vectors. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
   /** Brute-force top-k: every (query, corpus) cosine, then a per-query
     * window top-k. The query side must be small — it is broadcast, so
     * the corpus is scanned exactly once with no shuffle of the vectors.
@@ -70,15 +84,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
     val cb = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
     val qb = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"),
       lshBucket(col(vecCol), nPlanes).as("bucket")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cb.join(qb, "bucket")
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cos_sim", dotD(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "bucket", "rank", "neighbor_id", "cos_sim")
@@ -90,12 +104,14 @@ object Similarity {
     */
   def knnJoinWithinGroups(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, k: Int): DataFrame = {
-    val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
+      normalize(col(vecCol)).as("va"))
+    val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
+      normalize(col(vecCol)).as("vb"))
     val w = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b"))
     a.join(b, "g")
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", dotD(col("va"), col("vb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("g").as("label"), col("id_a"), col("rank"), col("id_b"), col("cos_sim"))
