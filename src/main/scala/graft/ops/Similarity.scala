@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,9 +38,6 @@ object Similarity {
     transform(vec, x => x.cast("double") / n)
   }
 
-  /** Dot product of two pre-normalized double vectors. */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Brute-force top-k: every (query, corpus) cosine, then a per-query
     * window top-k. The query side must be small — it is broadcast, so
@@ -47,10 +45,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(q)
-      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cos_sim", call_function("graft_cosine", col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored
@@ -83,16 +82,17 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val cb = corpus.select(
-      col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nPlanes).as("bucket"))
     val qb = broadcast(queries.select(
-      col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"),
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), nPlanes).as("bucket")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cb.join(qb, "bucket")
-      .withColumn("cos_sim", dotD(col("qv"), col("cv")))
+      .withColumn("cos_sim", call_function("graft_cosine", col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "bucket", "rank", "neighbor_id", "cos_sim")
@@ -104,14 +104,15 @@ object Similarity {
     */
   def knnJoinWithinGroups(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
-      normalize(col(vecCol)).as("va"))
+      col(vecCol).as("va"))
     val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
-      normalize(col(vecCol)).as("vb"))
+      col(vecCol).as("vb"))
     val w = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b"))
     a.join(b, "g")
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos_sim", dotD(col("va"), col("vb")))
+      .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("g").as("label"), col("id_a"), col("rank"), col("id_b"), col("cos_sim"))
