@@ -29,12 +29,26 @@ object Changefeed {
     StructField("updated", StringType)))
 
   /** Parse an `updated`-style HLC string `NNNN.LLLLLLLLLL` into the
-    * engine's HLC struct (reference: `hlc.go:Parse`).
+    * engine's HLC struct (reference: `hlc.go:Parse`). Malformed strings
+    * yield a NULL struct instead of failing the job under ANSI mode —
+    * one bad mutation must never kill a 100 TB ingest; consumers route
+    * NULL-HLC rows to the DLQ (reference returns a parse error per
+    * mutation, not a feed-wide abort).
     */
-  def parseHlc(colName: String) =
-    struct(
-      split(col(colName), "\\.").getItem(0).cast("long").as("nanos"),
-      split(col(colName), "\\.").getItem(1).cast("int").as("logical"))
+  def parseHlc(colName: String) = {
+    val parts = split(col(colName), "\\.")
+    // digit-count bounds keep the casts overflow-safe under ANSI mode;
+    // 19-digit nanos (epoch ns is 19 digits) are bounded lexicographically
+    // against Long.MaxValue, valid for equal-length digit strings
+    val nanosStr = parts.getItem(0)
+    val wellFormed = col(colName).rlike("^[0-9]{1,19}\\.[0-9]{1,10}$") &&
+      (length(nanosStr) < 19 || nanosStr <= lit(Long.MaxValue.toString)) &&
+      parts.getItem(1).cast("long") <= Int.MaxValue.toLong
+    when(wellFormed, struct(
+      parts.getItem(0).cast("long").as("nanos"),
+      parts.getItem(1).cast("long").cast("int").as("logical")))
+      .otherwise(lit(null))
+  }
 
   /** Batch read of a changefeed directory → mutation DataFrame with
     * columns (key, data, hlc, is_delete).
@@ -46,6 +60,28 @@ object Changefeed {
         col("after").as("data"),
         parseHlc("updated").as("hlc"),
         (col("after").isNull || col("after") === "null").as("is_delete"))
+
+  /** Query-format changefeed payloads (reference:
+    * `internal/util/cdcjson/query_payload.go` — CREATE CHANGEFEED ... AS
+    * SELECT emits flat rows whose metadata rides in a `__crdb__` object
+    * with the `updated` HLC; `before` is optional diff data).
+    *
+    * `dataSchema` declares the row's flat columns — explicit, never
+    * inferred. Returns (data columns..., hlc, is_delete).
+    */
+  def readQueryFormat(spark: SparkSession, dir: String,
+      dataSchema: StructType): DataFrame = {
+    val full = StructType(
+      dataSchema.fields.toSeq :+
+        StructField("__crdb__", StructType(Seq(StructField("updated", StringType)))) :+
+        StructField("__deleted", BooleanType))
+    val raw = spark.read.schema(full).json(dir)
+      .withColumn("__updated", col("__crdb__.updated"))
+    raw.select(
+      dataSchema.fieldNames.map(col).toIndexedSeq ++ Seq(
+        parseHlc("__updated").as("hlc"),
+        coalesce(col("__deleted"), lit(false)).as("is_delete")): _*)
+  }
 
   /** Streaming read of the same layout; `maxFilesPerTrigger` keeps
     * micro-batches bounded on a large backlog.

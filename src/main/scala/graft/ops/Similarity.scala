@@ -98,6 +98,31 @@ object Similarity {
       .select("query_id", "bucket", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Embedding-cosine near-duplicate detection: LSH-bucket the vectors,
+    * compare only within buckets (never O(n²)), flag pairs above the
+    * cosine threshold. Returns a per-vector summary (bucket, mates,
+    * near-dup count, best similarity) — the per-document dedup verdict a
+    * training pipeline consumes.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val b = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val pairs = b.select(col("bucket"), col("vid").as("id_a"), col("v").as("va"))
+      .join(b.select(col("bucket"), col("vid").as("id_b"), col("v").as("vb")), "bucket")
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
+    val stats = pairs.groupBy(col("id_a").as("vid"))
+      .agg(
+        count(lit(1)).as("n_bucket_mates"),
+        sum(when(col("cos_sim") >= threshold, 1L).otherwise(0L)).as("n_near_dups"),
+        max(col("cos_sim")).as("max_sim"))
+    b.select(col("vid"), col("bucket"))
+      .join(stats, Seq("vid"), "left")
+      .na.fill(0L, Seq("n_bucket_mates", "n_near_dups"))
+  }
+
   /** k-NN join within groups (e.g. per label): for every vector, its k
     * nearest same-group neighbors. The group key bounds the join — at
     * scale each group co-locates via one shuffle on the key.

@@ -278,6 +278,70 @@ object CdcQueries {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // -- 18: cdcjson query-format payloads (webhook_query.go) ----------------
+  def queryPayload(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_queryfmt_$sfTag"
+    // emit flat rows with a __crdb__ metadata object, the query-format
+    // wire shape, then parse them back through the schema'd reader
+    events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      struct(concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"),
+        lit(".0000000000")).as("updated")).as("__crdb__"))
+      .write.mode("overwrite").json(outDir)
+    val dataSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    Changefeed.readQueryFormat(s, outDir, dataSchema)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).as("cents"),
+        max(col("hlc.nanos")).as("max_nanos"))
+      .orderBy("event_type")
+  }
+
+  val queryPayloadSql: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |  MAX(epoch_us(ts) * 1000) AS max_nanos
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- 19: sequencer/core resolved rounds over a parent/child pair ---------
+  /** Transactionally-consistent apply rounds (reference:
+    * `internal/sequencer/core` advances per-table bounds in lockstep so
+    * children never precede parents): bucket the orders→lineitem
+    * workload into monthly resolved rounds and track cumulative applied
+    * progress per table.
+    */
+  def coreRounds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val l = graft.Tables.lineitem(s, dir).select("l_orderkey")
+    val rounds = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("round_start"))
+      .agg(count_distinct(col("o_orderkey")).as("n_parents"),
+        count(lit(1)).as("n_children"))
+    val w = Window.orderBy("round_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rounds
+      .withColumn("applied_parents", sum(col("n_parents")).over(w))
+      .withColumn("applied_children", sum(col("n_children")).over(w))
+      .orderBy("round_start")
+  }
+
+  val coreRoundsSql: String =
+    """WITH r AS (
+      |  SELECT date_trunc('month', o.o_orderdate) AS round_start,
+      |    COUNT(DISTINCT o.o_orderkey) AS n_parents,
+      |    COUNT(*) AS n_children
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1)
+      |SELECT round_start, n_parents, n_children,
+      |  CAST(SUM(n_parents) OVER (ORDER BY round_start ROWS UNBOUNDED PRECEDING) AS BIGINT) AS applied_parents,
+      |  CAST(SUM(n_children) OVER (ORDER BY round_start ROWS UNBOUNDED PRECEDING) AS BIGINT) AS applied_children
+      |FROM r ORDER BY round_start""".stripMargin
+
   // -- 17: util/workload generator + FK check (rows-only) ------------------
   def workloadCheck(s: SparkSession, dir: String): DataFrame =
     Workload.consistencyReport(s, 1000L, 10000L)
@@ -299,7 +363,9 @@ object CdcQueries {
     "cdc_best_effort_order" -> (bestEffortOrder _),
     "cdc_changefeed_files" -> (changefeedFiles _),
     "cdc_stream_apply" -> (streamApply _),
-    "cdc_workload_check" -> (workloadCheck _))
+    "cdc_workload_check" -> (workloadCheck _),
+    "cdc_query_payload" -> (queryPayload _),
+    "cdc_core_rounds" -> (coreRounds _))
 
   val oracles: Map[String, String] = Map(
     "cdc_latest_by_key" -> latestByKeySql,
@@ -316,5 +382,7 @@ object CdcQueries {
     "cdc_schema_map" -> schemaMapSql,
     "cdc_fan_out" -> fanOutSql,
     "cdc_best_effort_order" -> bestEffortOrderSql,
-    "cdc_stream_apply" -> streamApplySql)
+    "cdc_stream_apply" -> streamApplySql,
+    "cdc_query_payload" -> queryPayloadSql,
+    "cdc_core_rounds" -> coreRoundsSql)
 }

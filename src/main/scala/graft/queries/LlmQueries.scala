@@ -173,6 +173,12 @@ object LlmQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("id_a", "rank")
 
+  // -- embedding-cosine near-dup dedup (rows-only: LSH-approximate) -----------
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(embs(s, dir), "vec_id", "embedding",
+        nPlanes = 8, threshold = 0.8)
+      .orderBy("vid")
+
   // -- multimodal pipeline (rows-only: stubbed decode) ------------------------
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -189,6 +195,7 @@ object LlmQueries {
     "ann_bruteforce_cosine" -> (annBruteforce _),
     "ann_lsh_cosine" -> (annLsh _),
     "embedding_knn_join" -> (knnJoin _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "multimodal_pipeline" -> (multimodal _))
 
   val oracles: Map[String, String] = Map(

@@ -42,6 +42,34 @@ class StreamingSpec extends SparkSpec {
     assert(all.exists(m => m.key == 2L && m.value == 40.0))
   }
 
+  test("watermarked windowed ledger: closed windows match the batch counts") {
+    import graft.streaming.StreamWindows
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp").as("ts"), col("value"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_win"
+    events.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamWindows.windowedLedger(streamed, "ts")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n_muts"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val emitted = spark.table("win_out")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1))
+    // append mode emits a window exactly once, when the watermark
+    // (the resolved timestamp) passes its end — each must equal batch
+    assert(emitted.nonEmpty)
+    assert(emitted.map(_._1).distinct.length == emitted.length)
+    emitted.foreach { case (w, n) => assert(batch(w) == n, s"window $w") }
+  }
+
   test("streaming result equals batch reduce on the events table") {
     val events = Tables.events(spark, sfDir)
     val muts = StreamApply.fromEvents(events).as[KeyedMut]
