@@ -211,7 +211,24 @@ object Analytics {
       |FROM s JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Salted two-phase aggregation (skew mitigation): identical result
+    * to the direct aggregation — which is exactly what the oracle
+    * asserts — while spreading any hot key over 16 sub-keys.
+    */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedAgg(
+        Tables.events(s, dir), Seq("event_type"), saltBuckets = 16,
+        partials = Seq(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pc")),
+        finals = Seq(sum(col("pn")).as("n"), sum(col("pc")).as("cents")))
+      .orderBy("event_type")
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (saltedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -220,6 +237,7 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg" -> saltedAggSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

@@ -342,6 +342,49 @@ object CdcQueries {
       |  CAST(SUM(n_children) OVER (ORDER BY round_start ROWS UNBOUNDED PRECEDING) AS BIGINT) AS applied_children
       |FROM r ORDER BY round_start""".stripMargin
 
+  // -- 20: mylogical/pglogical transaction batches -------------------------
+  /** Transaction-grouped apply (reference: `internal/source/mylogical` /
+    * `pglogical` replay whole transactions in commit order). Events are
+    * bucketed into per-user 10-minute transactions; each txn applies
+    * atomically, ordered by its commit (last) timestamp.
+    */
+  def txnBatches(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("txn_id", expr("unix_micros(cast(ts as timestamp)) div 600000000"))
+      .groupBy(col("user_id"), col("txn_id"))
+      .agg(
+        count(lit(1)).as("n_ops"),
+        min(col("ts")).as("txn_start"),
+        max(col("ts")).as("commit_ts"),
+        sum(cents(col("value"))).as("net_cents"))
+      .orderBy("user_id", "txn_id")
+
+  val txnBatchesSql: String =
+    """SELECT user_id, epoch_us(ts) // 600000000 AS txn_id,
+      |  COUNT(*) AS n_ops, MIN(ts) AS txn_start, MAX(ts) AS commit_ts,
+      |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS net_cents
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, txn_id""".stripMargin
+
+  // -- 21: script userscript pipeline (filter/map/drop) --------------------
+  def userscript(s: SparkSession, dir: String): DataFrame = {
+    import graft.script.Transforms._
+    val pipeline = Pipeline(
+      Filter(col("value") >= 1.0),
+      MapCols(
+        "cents" -> cents(col("value")),
+        "route" -> when(col("event_type") === "purchase", "billing")
+          .otherwise("telemetry")),
+      DropCols("props", "value", "ts"))
+    pipeline(events(s, dir)).orderBy("event_id")
+  }
+
+  val userscriptSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |  CASE WHEN event_type = 'purchase' THEN 'billing'
+      |       ELSE 'telemetry' END AS route
+      |FROM events WHERE value >= 1.0 ORDER BY event_id""".stripMargin
+
   // -- 17: util/workload generator + FK check (rows-only) ------------------
   def workloadCheck(s: SparkSession, dir: String): DataFrame =
     Workload.consistencyReport(s, 1000L, 10000L)
@@ -365,7 +408,9 @@ object CdcQueries {
     "cdc_stream_apply" -> (streamApply _),
     "cdc_workload_check" -> (workloadCheck _),
     "cdc_query_payload" -> (queryPayload _),
-    "cdc_core_rounds" -> (coreRounds _))
+    "cdc_core_rounds" -> (coreRounds _),
+    "cdc_txn_batches" -> (txnBatches _),
+    "cdc_userscript" -> (userscript _))
 
   val oracles: Map[String, String] = Map(
     "cdc_latest_by_key" -> latestByKeySql,
@@ -384,5 +429,7 @@ object CdcQueries {
     "cdc_best_effort_order" -> bestEffortOrderSql,
     "cdc_stream_apply" -> streamApplySql,
     "cdc_query_payload" -> queryPayloadSql,
-    "cdc_core_rounds" -> coreRoundsSql)
+    "cdc_core_rounds" -> coreRoundsSql,
+    "cdc_txn_batches" -> txnBatchesSql,
+    "cdc_userscript" -> userscriptSql)
 }

@@ -1,0 +1,56 @@
+package graft.script
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative equivalent of the reference's userscript layer.
+  *
+  * Reference: `internal/script` runs user-supplied JavaScript against
+  * each mutation to filter it, rewrite its columns, or dispatch it to
+  * one or more target tables. On Spark, an imperative per-row hook would
+  * forfeit codegen and pushdown, so the same three verbs are exposed as
+  * a composable pipeline of column expressions — the engine "compiles
+  * the userscript" into the plan instead of interpreting it per row.
+  */
+object Transforms {
+
+  sealed trait Step { def apply(df: DataFrame): DataFrame }
+
+  /** `filter(doc)` — drop mutations the predicate rejects. */
+  final case class Filter(pred: Column) extends Step {
+    def apply(df: DataFrame): DataFrame = df.filter(pred)
+  }
+
+  /** `map(doc)` — rewrite/add columns (reference: mutation rewriting). */
+  final case class MapCols(cols: (String, Column)*) extends Step {
+    def apply(df: DataFrame): DataFrame =
+      cols.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+  }
+
+  /** Drop columns (reference: deleting properties in the script). */
+  final case class DropCols(names: String*) extends Step {
+    def apply(df: DataFrame): DataFrame = df.drop(names: _*)
+  }
+
+  /** A pipeline of steps applied in order. */
+  final case class Pipeline(steps: Step*) {
+    def apply(df: DataFrame): DataFrame = steps.foldLeft(df)((d, s) => s(d))
+  }
+
+  /** `dispatch(doc)` — route each mutation to the target tables whose
+    * predicate matches (a mutation may land in several, as the
+    * reference's dispatch may return multiple tables). Returns the
+    * routed frames; unrouted rows land under `defaultRoute` when given.
+    */
+  def dispatch(df: DataFrame, routes: Seq[(String, Column)],
+      defaultRoute: Option[String] = None): Map[String, DataFrame] = {
+    val routed = routes.map { case (name, pred) => name -> df.filter(pred) }.toMap
+    defaultRoute match {
+      case None => routed
+      case Some(name) =>
+        val noneMatched = routes.map(_._2).map(!coalesce(_, lit(false)))
+          .reduce(_ && _)
+        routed + (name -> df.filter(noneMatched))
+    }
+  }
+}

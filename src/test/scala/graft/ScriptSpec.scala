@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Skew
+import graft.script.Transforms._
+import org.apache.spark.sql.functions._
+
+class ScriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def muts = Seq(
+    (1L, "purchase", 10.0), (2L, "click", 0.5), (3L, "purchase", 3.0),
+    (4L, "error", 7.0), (5L, "view", 2.0)
+  ).toDF("id", "op", "value")
+
+  test("userscript pipeline: filter, map, drop compose in order") {
+    val out = Pipeline(
+      Filter(col("value") >= 1.0),
+      MapCols("cents" -> (col("value") * 100).cast("long")),
+      DropCols("value"))(muts)
+    assert(out.columns.toSeq == Seq("id", "op", "cents"))
+    assert(out.count() == 4)
+    assert(out.filter(col("id") === 1).select("cents").as[Long].head() == 1000L)
+  }
+
+  test("dispatch routes to all matching tables plus default") {
+    val routes = dispatch(muts, Seq(
+      "billing" -> (col("op") === "purchase"),
+      "big" -> (col("value") >= 7.0)),
+      defaultRoute = Some("telemetry"))
+    assert(routes("billing").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(routes("big").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // 1 matches two routes (multi-dispatch); default catches only unrouted
+    assert(routes("telemetry").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+  }
+
+  test("salted aggregation equals the direct aggregation") {
+    val direct = muts.groupBy("op")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Skew.saltedAgg(muts, Seq("op"), saltBuckets = 8,
+        partials = Seq(count(lit(1)).as("pn"), sum(col("value")).as("pv")),
+        finals = Seq(sum(col("pn")).as("n"), sum(col("pv")).as("v")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == direct)
+  }
+}
