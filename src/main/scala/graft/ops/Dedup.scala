@@ -132,6 +132,38 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
   }
 
+  /** Duplicate clusters: connected components over the near-dup pair
+    * graph via iterative min-label propagation — each doc adopts the
+    * smallest doc id reachable through candidate edges, so every dup
+    * cluster collapses onto one canonical id.
+    *
+    * Distributed shape: one hash join + groupBy per iteration, labels
+    * cached between rounds. `maxIters` bounds work; components with
+    * diameter ≤ 2^maxIters converge (label jumps double per round when
+    * propagated through both edge directions) — dup clusters are
+    * near-cliques, so a handful of rounds suffices at any scale.
+    */
+  def dupClusters(docs: DataFrame, id: String, pairs: DataFrame,
+      maxIters: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = docs.select(col(id), col(id).as("cluster_id"))
+    for (_ <- 1 to maxIters) {
+      // each node pulls the smallest label among itself and neighbors
+      val viaEdges = edges
+        .join(labels.select(col(id).as("src"), col("cluster_id")), "src")
+        .select(col("dst").as(id), col("cluster_id"))
+      labels = labels.union(viaEdges)
+        .groupBy(col(id)).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+    }
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col(id), col("cluster_id"), col("cluster_size"),
+        (col(id) =!= col("cluster_id")).as("is_dup"))
+  }
+
   /** 64-bit SimHash: per token hash, +1/−1 vote per bit, sign of the
     * summed votes becomes the bit. Folded with zip_with like minhash —
     * one groupBy, no UDFs.

@@ -385,6 +385,27 @@ object CdcQueries {
       |       ELSE 'telemetry' END AS route
       |FROM events WHERE value >= 1.0 ORDER BY event_id""".stripMargin
 
+  // -- 22: state as-of a resolved cursor -----------------------------------
+  /** Time-travel materialization (reference: changefeeds resume from a
+    * resolved cursor; the state as of cursor T is the apply of every
+    * mutation with time ≤ T). A pure predicate + the same latest-by-key
+    * reduce — at scale the predicate prunes time-partitioned files.
+    */
+  def stateAt(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cursor = ev.agg((min(col("ts")) + expr("INTERVAL 10 DAY")).as("__cursor"))
+    val upTo = ev.crossJoin(broadcast(cursor))
+      .filter(col("ts") <= col("__cursor")).drop("__cursor")
+    Msort.latestByKey(upTo, Seq("user_id"), ord).orderBy("user_id")
+  }
+
+  val stateAtSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events e
+      |  WHERE ts <= (SELECT MIN(ts) + INTERVAL 10 DAY FROM events)) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // -- 17: util/workload generator + FK check (rows-only) ------------------
   def workloadCheck(s: SparkSession, dir: String): DataFrame =
     Workload.consistencyReport(s, 1000L, 10000L)
@@ -410,7 +431,8 @@ object CdcQueries {
     "cdc_query_payload" -> (queryPayload _),
     "cdc_core_rounds" -> (coreRounds _),
     "cdc_txn_batches" -> (txnBatches _),
-    "cdc_userscript" -> (userscript _))
+    "cdc_userscript" -> (userscript _),
+    "cdc_state_at" -> (stateAt _))
 
   val oracles: Map[String, String] = Map(
     "cdc_latest_by_key" -> latestByKeySql,
@@ -431,5 +453,6 @@ object CdcQueries {
     "cdc_query_payload" -> queryPayloadSql,
     "cdc_core_rounds" -> coreRoundsSql,
     "cdc_txn_batches" -> txnBatchesSql,
-    "cdc_userscript" -> userscriptSql)
+    "cdc_userscript" -> userscriptSql,
+    "cdc_state_at" -> stateAtSql)
 }

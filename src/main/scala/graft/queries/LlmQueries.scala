@@ -173,6 +173,19 @@ object LlmQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("id_a", "rank")
 
+  // -- dup clustering: connected components over candidate pairs --------------
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // edges = LSH candidates ∪ exact-dup pairs (same md5 → pair with canonical)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+    val lshPairs = Dedup.lshCandidates(sigs, "doc_id")
+    val exact = Dedup.exact(d, "doc_id", "text")
+      .filter(col("is_dup"))
+      .select(col("canonical_id").as("id_a"), col("doc_id").as("id_b"))
+    Dedup.dupClusters(d, "doc_id", lshPairs.union(exact).distinct())
+      .orderBy("doc_id")
+  }
+
   // -- embedding-cosine near-dup dedup (rows-only: LSH-approximate) -----------
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(embs(s, dir), "vec_id", "embedding",
@@ -196,6 +209,7 @@ object LlmQueries {
     "ann_lsh_cosine" -> (annLsh _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_clusters" -> (dedupClusters _),
     "multimodal_pipeline" -> (multimodal _))
 
   val oracles: Map[String, String] = Map(

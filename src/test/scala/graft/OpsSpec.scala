@@ -47,6 +47,19 @@ class OpsSpec extends SparkSpec {
     assert(ham(out(1L), out(3L)) < ham(out(1L), out(4L)))
   }
 
+  test("dupClusters: transitive near-dups collapse to one canonical id") {
+    import org.apache.spark.sql.functions.lit
+    // chain 1-2, 2-3 (transitive), island 4-5, singleton 6
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(d, "doc_id", pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) && out(3L) == (1L, 3L))
+    assert(out(4L) == (4L, 2L) && out(5L) == (4L, 2L))
+    assert(out(6L) == (6L, 1L))
+  }
+
   test("TextOps quality/tokens/fingerprints are computed per doc") {
     val q = TextOps.qualityFeatures(docs, "text")
       .filter(col("doc_id") === 1).head()
