@@ -57,6 +57,50 @@ object Multimodal {
     }
   }
 
+  case class ResizedRow(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, payload: Array[Byte])
+
+  /** Resize stage: aspect-preserving target box computation is real;
+    * the pixel resample itself is stubbed (no codec in this image) with
+    * a deterministic byte fold. Batch shape matches a real resampler:
+    * one iterator per partition, init amortized per partition.
+    */
+  def resize(media: DataFrame, maxSide: Int): Dataset[ResizedRow] = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[ResizedRow]
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val scale = math.min(1.0, maxSide.toDouble / math.max(r.width, r.height))
+        val (ow, oh) = (math.max(1, (r.width * scale).toInt),
+          math.max(1, (r.height * scale).toInt))
+        // ??? real resample goes here — deterministic fake keeps bytes
+        val out = if (r.payload.length <= 16) r.payload
+          else r.payload.take(16)
+        ResizedRow(r.doc_id, r.width, r.height, ow, oh, out)
+      }
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** Frame-sampling stage for video payloads: emits every `everyMs`
+    * "frame" as its own row (one row in → many out, the real fan-out
+    * shape); frame bytes are a deterministic stub slice.
+    */
+  def sampleFrames(media: DataFrame, durationMs: Long, everyMs: Long): Dataset[FrameRow] = {
+    implicit val inEnc = Encoders.product[MediaRow]
+    implicit val outEnc = Encoders.product[FrameRow]
+    media.as[MediaRow].filter(_.media_type == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        (0L until durationMs by everyMs).zipWithIndex.map { case (ts, i) =>
+          // ??? real frame decode goes here — stub slices the payload
+          val off = (i * 4) % math.max(1, r.payload.length)
+          FrameRow(r.doc_id, i, ts, r.payload.drop(off).take(8))
+        }.iterator
+      }
+    }
+  }
+
   /** End-to-end pipeline: attach → repartition by media type (a real
     * cluster routes video to beefier executors) → batched decode →
     * per-type feature stats.

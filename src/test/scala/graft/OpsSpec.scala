@@ -116,6 +116,22 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("id_a") === 4).count() == 0) // alone in its group
   }
 
+  test("multimodal resize preserves aspect ratio; frame sampling fans out") {
+    val d = docs.withColumnRenamed("text", "t")
+    val media = Multimodal.attachPayloads(d, "doc_id", "t")
+    val resized = Multimodal.resize(media, maxSide = 128).collect()
+    assert(resized.length == 4)
+    resized.foreach { r =>
+      assert(math.max(r.out_w, r.out_h) <= 128)
+      val inRatio = r.width.toDouble / r.height
+      val outRatio = r.out_w.toDouble / r.out_h
+      assert(math.abs(inRatio - outRatio) < 0.1, s"${r.doc_id}")
+    }
+    val frames = Multimodal.sampleFrames(media, durationMs = 1000, everyMs = 250)
+    val nVideos = media.filter(col("media_type") === "video").count()
+    assert(frames.count() == nVideos * 4) // 0,250,500,750ms per video
+  }
+
   test("multimodal pipeline decodes deterministic features per row") {
     val d = docs.withColumnRenamed("text", "t")
     val out1 = Multimodal.pipeline(d, "doc_id", "t").collect().sortBy(_.getLong(0))
