@@ -1,0 +1,73 @@
+package graft
+
+import graft.cdc.{Apply, Dlq, Msort, Staging}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fluent assembly of a CDC apply pipeline — the library-level
+  * equivalent of the reference's conveyor (`internal/conveyor`), which
+  * wires source → (dedup, script, sequencer) → target apply → DLQ.
+  *
+  * Each verb is lazy plan construction; nothing executes until the
+  * caller writes or collects. A user of the reference writes:
+  *
+  * {{{
+  * Pipeline(mutations, keys = Seq("id"), order = struct($"ts", $"seq"))
+  *   .uniqueByTimeKey("ts", $"seq")         // msort dedup
+  *   .deadline("ts", "1 DAY")               // applycfg.Deadlines
+  *   .dlq("bad_payload" -> $"payload".isNull)
+  *   .transform(graft.script.Transforms.Pipeline(...))  // userscript
+  *   .latestByKey()                         // sequencer + apply
+  *   .dropDeletesWhere($"op" === "delete")  // tombstones
+  *   .state                                 // the materialized table
+  * }}}
+  */
+final case class Pipeline(
+    mutations: DataFrame,
+    keys: Seq[String],
+    order: Column,
+    dlqFrames: Seq[DataFrame] = Nil) {
+
+  /** Drop exact (time,key) duplicate deliveries. */
+  def uniqueByTimeKey(time: String, tiebreak: Column): Pipeline =
+    copy(mutations = Msort.uniqueByTimeKey(mutations, keys, time, tiebreak))
+
+  /** Discard mutations staler than `deadline` behind the batch max. */
+  def deadline(ts: String, deadline: String): Pipeline =
+    copy(mutations = Apply.deadlineFilter(mutations, ts, deadline))
+
+  /** Route condemned mutations to the dead-letter queue. */
+  def dlq(reasons: (String, Column)*): Pipeline = {
+    val (ok, dead) = Dlq.route(mutations, reasons)
+    copy(mutations = ok, dlqFrames = dlqFrames :+ dead)
+  }
+
+  /** Apply a userscript transform pipeline. */
+  def transform(script: graft.script.Transforms.Pipeline): Pipeline =
+    copy(mutations = script(mutations))
+
+  /** Anti-join away mutations already applied (Stager.FilterApplied). */
+  def filterApplied(applied: DataFrame, idCols: Seq[String]): Pipeline =
+    copy(mutations = Staging.filterApplied(mutations, applied, idCols))
+
+  /** Reduce to last-one-wins state per key. */
+  def latestByKey(): Pipeline =
+    copy(mutations = Msort.latestByKey(mutations, keys, order))
+
+  /** Drop rows whose final operation is a tombstone. */
+  def dropDeletesWhere(isDelete: Column): Pipeline =
+    copy(mutations = mutations.filter(!isDelete))
+
+  /** The materialized state (lazy — a plan, not a result). */
+  def state: DataFrame = mutations
+
+  /** All DLQ'd mutations with their reasons. */
+  def deadLetters: Option[DataFrame] = dlqFrames.reduceOption(_ unionByName _)
+
+  /** Write the state as a partitioned target table. */
+  def sink(path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = mutations.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+}

@@ -211,6 +211,31 @@ object Analytics {
       |FROM s JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** TPC-H Q6-shaped revenue forecast: a pure filter+agg whose entire
+    * predicate set pushes to the parquet scan — the canonical test that
+    * scan pruning works (at 100 TB this reads a fraction of the table).
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** Salted two-phase aggregation (skew mitigation): identical result
     * to the direct aggregation — which is exactly what the oracle
     * asserts — while spreading any hot key over 16 sub-keys.
@@ -228,6 +253,7 @@ object Analytics {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_revenue_forecast" -> (q6Forecast _),
     "q_salted_agg" -> (saltedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -237,6 +263,7 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q6_revenue_forecast" -> q6Sql,
     "q_salted_agg" -> saltedAggSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

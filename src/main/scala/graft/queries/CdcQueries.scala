@@ -112,10 +112,13 @@ object CdcQueries {
 
   // -- 9: target/dlq -------------------------------------------------------
   def dlq(s: SparkSession, dir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
-    val (_, dead) = Dlq.route(events(s, dir), Seq(
-      "missing_payload_key" -> k.isNull,
-      "out_of_range" -> (k >= 90)))
+    // parse the payload once into a column; the route predicates then
+    // reference the parsed value instead of re-running the JSON path
+    val withK = events(s, dir)
+      .withColumn("__k", get_json_object(col("props"), "$.k").cast("long"))
+    val (_, dead) = Dlq.route(withK, Seq(
+      "missing_payload_key" -> col("__k").isNull,
+      "out_of_range" -> (col("__k") >= 90)))
     dead.select("event_id", "user_id", "event_type", "dlq_reason").orderBy("event_id")
   }
 
