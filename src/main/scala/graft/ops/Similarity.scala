@@ -98,6 +98,39 @@ object Similarity {
       .select("query_id", "bucket", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
+    * vector serves as a centroid — no RNG, stable across partitioning)
+    * assigns each corpus vector to its nearest cell; a query probes its
+    * `nProbe` nearest cells only. The inverted-file structure is the
+    * scale path: the corpus shuffles once on cell id, queries touch
+    * nProbe/nCells of the data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, stride: Int, nProbe: Int, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = broadcast(corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid")))
+    def nearestCells(df: DataFrame, n: Int, outPrefix: String): DataFrame = {
+      val w = Window.partitionBy(outPrefix + "_id")
+        .orderBy(col("cent_sim").desc, col("cell"))
+      df.select(col(idCol).as(outPrefix + "_id"), col(vecCol).as(outPrefix + "_v"))
+        .crossJoin(cents)
+        .withColumn("cent_sim", call_function("graft_cosine", col(outPrefix + "_v"), col("centroid")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("centroid", "cent_sim", "crank")
+    }
+    val assigned = nearestCells(corpus, 1, "c")   // inverted file: 1 cell per vector
+    val probes = nearestCells(queries, nProbe, "q")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    probes.join(assigned, "cell")
+      .withColumn("cos_sim", call_function("graft_cosine", col("q_v"), col("c_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("rank"),
+        col("c_id").as("neighbor_id"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate detection: LSH-bucket the vectors,
     * compare only within buckets (never O(n²)), flag pairs above the
     * cosine threshold. Returns a per-vector summary (bucket, mates,

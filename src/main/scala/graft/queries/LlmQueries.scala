@@ -167,6 +167,15 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // -- IVF-bucketed ANN (rows-only: approximate) ------------------------------
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", stride = 50, nProbe = 4, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // -- k-NN join within labels (rows-only) ------------------------------------
   def knnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinWithinGroups(embs(s, dir), "vec_id", "embedding", "label", k = 3)
@@ -207,6 +216,7 @@ object LlmQueries {
     "text_fingerprint" -> (textFingerprint _),
     "ann_bruteforce_cosine" -> (annBruteforce _),
     "ann_lsh_cosine" -> (annLsh _),
+    "ann_ivf_cosine" -> (annIvf _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),

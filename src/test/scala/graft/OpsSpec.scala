@@ -105,6 +105,19 @@ class OpsSpec extends SparkSpec {
     assert(b(1L) != b(3L))
   }
 
+  test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
+    val corpus = (0L until 12L).map { i =>
+      (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Seq((105L, Array(math.cos(2.5).toFloat, math.sin(2.5).toFloat)))
+      .toDF("vec_id", "embedding") // identical to corpus vector 5
+    val out = Similarity.ivfTopK(corpus, query, "vec_id", "embedding",
+      stride = 4, nProbe = 3, k = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") == 5L)
+    assert(out.head.getAs[Double]("cos_sim") > 0.9999)
+  }
+
   test("knn join within groups excludes self and respects k") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
