@@ -236,6 +236,58 @@ object Analytics {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q4-shaped order-priority check: EXISTS over lineitem as a
+    * left-semi join (no row multiplication, the build side streams).
+    */
+  def q4PriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"))
+    val lateLines = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    o.join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Rolling 7-bucket purchase metrics: daily aggregate then a ROWS
+    * window — the aggregate is tiny, so the global sort is free; the
+    * heavy lifting stays in the first (distributed) aggregation.
+    */
+  def rolling7d(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .withColumn("cents_7d", sum(col("cents")).over(w))
+      .orderBy("day")
+  }
+
+  val rolling7dSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT day, n, cents,
+      |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+      |  CAST(SUM(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
+      |FROM daily ORDER BY day""".stripMargin
+
   /** Salted two-phase aggregation (skew mitigation): identical result
     * to the direct aggregation — which is exactly what the oracle
     * asserts — while spreading any hot key over 16 sub-keys.
@@ -253,7 +305,9 @@ object Analytics {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_check" -> (q4PriorityCheck _),
     "q6_revenue_forecast" -> (q6Forecast _),
+    "q_rolling_7d" -> (rolling7d _),
     "q_salted_agg" -> (saltedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -263,7 +317,9 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q4_priority_check" -> q4Sql,
     "q6_revenue_forecast" -> q6Sql,
+    "q_rolling_7d" -> rolling7dSql,
     "q_salted_agg" -> saltedAggSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

@@ -119,6 +119,39 @@ object LlmQueries {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- corpus bigram statistics ----------------------------------------------
+  /** Top bigrams by document frequency — classic corpus analysis. One
+    * explode + two aggregations; document frequency (distinct docs per
+    * bigram) rather than raw count so boilerplate-heavy docs don't
+    * dominate.
+    */
+  def textNgramStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(bigrams)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val textNgramStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |bi AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i + 1] AS bigram
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i))
+      |SELECT bigram, COUNT(*) AS doc_freq
+      |FROM bi GROUP BY bigram
+      |ORDER BY doc_freq DESC, bigram
+      |LIMIT 50""".stripMargin
+
   // -- fingerprints ----------------------------------------------------------
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(docs(s, dir), "text")
@@ -185,9 +218,11 @@ object LlmQueries {
   // -- dup clustering: connected components over candidate pairs --------------
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    // edges = LSH candidates ∪ exact-dup pairs (same md5 → pair with canonical)
-    val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
-    val lshPairs = Dedup.lshCandidates(sigs, "doc_id")
+    // edges = LSH candidates ∪ exact-dup pairs (same md5 → pair with
+    // canonical); 32 hashes / 8 bands is plenty for candidate
+    // generation here since exact pairs are unioned in anyway
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", numHashes = 32)
+    val lshPairs = Dedup.lshCandidates(sigs, "doc_id", bands = 8)
     val exact = Dedup.exact(d, "doc_id", "text")
       .filter(col("is_dup"))
       .select(col("canonical_id").as("id_a"), col("doc_id").as("id_b"))
@@ -213,6 +248,7 @@ object LlmQueries {
     "text_quality_score" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
+    "text_ngram_stats" -> (textNgramStats _),
     "text_fingerprint" -> (textFingerprint _),
     "ann_bruteforce_cosine" -> (annBruteforce _),
     "ann_lsh_cosine" -> (annLsh _),
@@ -227,6 +263,7 @@ object LlmQueries {
     "text_quality_score" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
+    "text_ngram_stats" -> textNgramStatsSql,
     "text_fingerprint" -> textFingerprintSql,
     "ann_bruteforce_cosine" -> annBruteforceSql)
 }
