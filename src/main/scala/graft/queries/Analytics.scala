@@ -288,6 +288,36 @@ object Analytics {
       |  CAST(SUM(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Pivot: orders per market segment × order year. `groupBy.pivot`
+    * with explicit pivot values (never let Spark scan for distinct
+    * pivot keys at 100 TB — declare them).
+    */
+  def pivotSegmentYear(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").between(1996, 1998))
+      .groupBy(col("c_mktsegment"))
+      .pivot("yr", Seq(1996, 1997, 1998))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("1996", "y1996")
+      .withColumnRenamed("1997", "y1997")
+      .withColumnRenamed("1998", "y1998")
+      .orderBy("c_mktsegment")
+  }
+
+  val pivotSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) AS BIGINT) AS y1996,
+      |  CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = 1997) AS BIGINT) AS y1997,
+      |  CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = 1998) AS BIGINT) AS y1998
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Salted two-phase aggregation (skew mitigation): identical result
     * to the direct aggregation — which is exactly what the oracle
     * asserts — while spreading any hot key over 16 sub-keys.
@@ -308,6 +338,7 @@ object Analytics {
     "q4_priority_check" -> (q4PriorityCheck _),
     "q6_revenue_forecast" -> (q6Forecast _),
     "q_rolling_7d" -> (rolling7d _),
+    "q_pivot_segment_year" -> (pivotSegmentYear _),
     "q_salted_agg" -> (saltedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -320,6 +351,7 @@ object Analytics {
     "q4_priority_check" -> q4Sql,
     "q6_revenue_forecast" -> q6Sql,
     "q_rolling_7d" -> rolling7dSql,
+    "q_pivot_segment_year" -> pivotSql,
     "q_salted_agg" -> saltedAggSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
