@@ -437,6 +437,27 @@ object CdcQueries {
       |  FROM events e) t
       |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- 24: time-partitioned staging store (partition pruning) --------------
+  /** The staging table at scale: mutations land in day-partitioned
+    * files, so Retire / state-as-of / resolved-window reads touch only
+    * the partitions inside the cursor range — the plan's
+    * PartitionFilters prune everything else before any I/O. This query
+    * builds the partitioned store once, then answers a 5-day window
+    * from it.
+    */
+  def stagingPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_staging_$sfTag"
+    if (!new java.io.File(s"$outDir/_SUCCESS").exists())
+      events(s, dir).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(outDir)
+    s.read.parquet(outDir)
+      .filter(col("day") >= lit("2024-01-05") && col("day") < lit("2024-01-10"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_muts"), count_distinct(col("user_id")).as("n_keys"))
+      .orderBy("day")
+  }
+
   // -- 17: util/workload generator + FK check (rows-only) ------------------
   def workloadCheck(s: SparkSession, dir: String): DataFrame =
     Workload.consistencyReport(s, 1000L, 10000L)
@@ -464,7 +485,8 @@ object CdcQueries {
     "cdc_txn_batches" -> (txnBatches _),
     "cdc_userscript" -> (userscript _),
     "cdc_state_at" -> (stateAt _),
-    "cdc_apply_sink" -> (applySink _))
+    "cdc_apply_sink" -> (applySink _),
+    "cdc_staging_partitioned" -> (stagingPartitioned _))
 
   val oracles: Map[String, String] = Map(
     "cdc_latest_by_key" -> latestByKeySql,
