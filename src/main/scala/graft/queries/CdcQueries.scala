@@ -265,6 +265,17 @@ object CdcQueries {
         max(col("hlc.nanos")).as("max_nanos"))
   }
 
+  /** Oracle for the ndjson round trip: the aggregate over parsed
+    * changefeed files must equal the same aggregate computed directly
+    * on events (deletes = the tombstone op; nanos = epoch µs × 1000).
+    */
+  val changefeedFilesSql: String =
+    """SELECT COUNT(*) AS n_muts,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |  MIN(epoch_us(ts) * 1000) AS min_nanos,
+      |  MAX(epoch_us(ts) * 1000) AS max_nanos
+      |FROM events""".stripMargin
+
   // -- 16: streaming latest-by-key (batch-equivalent path) -----------------
   def streamApply(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -504,6 +515,7 @@ object CdcQueries {
     "cdc_fan_out" -> fanOutSql,
     "cdc_best_effort_order" -> bestEffortOrderSql,
     "cdc_stream_apply" -> streamApplySql,
+    "cdc_changefeed_files" -> changefeedFilesSql,
     "cdc_query_payload" -> queryPayloadSql,
     "cdc_core_rounds" -> coreRoundsSql,
     "cdc_txn_batches" -> txnBatchesSql,

@@ -63,6 +63,28 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact oracle for the hashed-shingle Jaccard: DuckDB rebuilds the
+    * 3-gram STRING sets while the engine compares FNV64 hashes — equal
+    * counts prove the hash-set representation is collision-free here
+    * and the join machinery exact.
+    */
+  val dedupNgramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a JOIN documents b
+      |          ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20),
+      |inter AS (SELECT p.id_a AS ia, p.id_b AS ib, COUNT(*) AS n_inter
+      |          FROM pairs p JOIN sh sa ON sa.doc_id = p.id_a
+      |          JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s GROUP BY 1, 2)
+      |SELECT p.id_a, p.id_b, za.n AS n_a, zb.n AS n_b,
+      |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+      |FROM pairs p JOIN sizes za ON za.doc_id = p.id_a JOIN sizes zb ON zb.doc_id = p.id_b
+      |LEFT JOIN inter i ON i.ia = p.id_a AND i.ib = p.id_b
+      |ORDER BY p.id_a, p.id_b""".stripMargin
+
   // -- text quality ----------------------------------------------------------
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityFeatures(docs(s, dir), "text")
@@ -260,6 +282,7 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "text_quality_score" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
