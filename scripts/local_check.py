@@ -33,15 +33,24 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows want={len(want)} got={len(got)}"); fail += 1; continue
     mismatch = None
     for c in want.columns:
-        wv, gv = want[c], got[c]
-        if str(wv.dtype).startswith("datetime") or str(gv.dtype).startswith("datetime"):
-            wv = pd.to_datetime(wv).dt.tz_localize(None) if getattr(wv.dt, 'tz', None) is None else pd.to_datetime(wv).dt.tz_convert(None)
-            gv = pd.to_datetime(gv).dt.tz_localize(None) if getattr(gv.dt, 'tz', None) is None else pd.to_datetime(gv).dt.tz_convert(None)
-        eq = (wv.astype(object).where(pd.notna(wv), None) ==
-              gv.astype(object).where(pd.notna(gv), None)) | (pd.isna(wv) & pd.isna(gv))
-        if not eq.all():
-            idx = eq.idxmin()
-            mismatch = f"col {c} row {idx}: want={wv.iloc[idx]!r} got={gv.iloc[idx]!r}"
+        try:
+            wv, gv = want[c], got[c]
+            w_dt = str(wv.dtype).startswith("datetime")
+            g_dt = str(gv.dtype).startswith("datetime")
+            if w_dt != g_dt:
+                mismatch = f"col {c}: dtype mismatch want={wv.dtype} got={gv.dtype}"
+                break
+            if w_dt:
+                wv = pd.to_datetime(wv).dt.tz_localize(None) if getattr(wv.dt, 'tz', None) is None else pd.to_datetime(wv).dt.tz_convert(None)
+                gv = pd.to_datetime(gv).dt.tz_localize(None) if getattr(gv.dt, 'tz', None) is None else pd.to_datetime(gv).dt.tz_convert(None)
+            eq = (wv.astype(object).where(pd.notna(wv), None) ==
+                  gv.astype(object).where(pd.notna(gv), None)) | (pd.isna(wv) & pd.isna(gv))
+            if not eq.all():
+                idx = eq.idxmin()
+                mismatch = f"col {c} row {idx}: want={wv.iloc[idx]!r} got={gv.iloc[idx]!r}"
+                break
+        except Exception as e:  # never abort the whole gate on one column
+            mismatch = f"col {c}: compare error {e}"
             break
     if mismatch:
         print(f"FAIL {name}: {mismatch}"); fail += 1

@@ -61,8 +61,12 @@ final case class Pipeline(
   /** The materialized state (lazy — a plan, not a result). */
   def state: DataFrame = mutations
 
-  /** All DLQ'd mutations with their reasons. */
-  def deadLetters: Option[DataFrame] = dlqFrames.reduceOption(_ unionByName _)
+  /** All DLQ'd mutations with their reasons. DLQ stages may fire at
+    * different points in the pipeline (before/after transforms), so the
+    * frames can have different schemas — missing columns null-fill.
+    */
+  def deadLetters: Option[DataFrame] =
+    dlqFrames.reduceOption(_.unionByName(_, allowMissingColumns = true))
 
   /** Write the state as a partitioned target table. */
   def sink(path: String, partitionCols: Seq[String] = Nil): Unit = {

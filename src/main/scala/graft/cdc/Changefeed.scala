@@ -50,16 +50,21 @@ object Changefeed {
       .otherwise(lit(null))
   }
 
+  /** Envelope → mutation projection, shared by the batch and streaming
+    * readers so delete/HLC semantics can never diverge between them.
+    */
+  private def project(raw: DataFrame): DataFrame =
+    raw.select(
+      col("key"),
+      col("after").as("data"),
+      parseHlc("updated").as("hlc"),
+      (col("after").isNull || col("after") === "null").as("is_delete"))
+
   /** Batch read of a changefeed directory → mutation DataFrame with
     * columns (key, data, hlc, is_delete).
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(envelopeSchema).json(dir)
-      .select(
-        col("key"),
-        col("after").as("data"),
-        parseHlc("updated").as("hlc"),
-        (col("after").isNull || col("after") === "null").as("is_delete"))
+    project(spark.read.schema(envelopeSchema).json(dir))
 
   /** Query-format changefeed payloads (reference:
     * `internal/util/cdcjson/query_payload.go` — CREATE CHANGEFEED ... AS
@@ -87,13 +92,8 @@ object Changefeed {
     * micro-batches bounded on a large backlog.
     */
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
+    project(spark.readStream
       .schema(envelopeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dir)
-      .select(
-        col("key"),
-        col("after").as("data"),
-        parseHlc("updated").as("hlc"),
-        (col("after").isNull || col("after") === "null").as("is_delete"))
+      .json(dir))
 }

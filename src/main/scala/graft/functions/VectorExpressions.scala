@@ -18,8 +18,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * pass computing dot and both norms.
   *
   * Numerics match the declarative path exactly (sequential double
-  * accumulation from index 0, `dot / (sqrt(na) * sqrt(nb))`), so
-  * swapping it in cannot change oracle-checked results.
+  * accumulation from index 0, `dot / (sqrt(na) * sqrt(nb))`) for
+  * arrays without null elements. Caveat: a null ELEMENT inside an
+  * array reads as 0.0 here (ArrayData.getFloat on a null slot), while
+  * the declarative zip_with path would propagate NULL — embedding
+  * columns are dense by contract, so this trade keeps the inner loop
+  * branch-free.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

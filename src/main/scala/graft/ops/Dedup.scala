@@ -118,7 +118,9 @@ object Dedup {
       pairs: DataFrame, k: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, id, text, k) // already a distinct set
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val inter = broadcast(pairs)
+    // no broadcast hint: candidate-pair cardinality is bounded only by
+    // LSH bucket occupancy, so let AQE broadcast when actually small
+    val inter = pairs
       .join(sh.select(col(id).as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
@@ -174,6 +176,7 @@ object Dedup {
       prevSum = Some(sum)
       iter += 1
     }
+    edges.unpersist()
     val all = docs.select(col(id))
       .join(labels, Seq(id), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
@@ -188,29 +191,21 @@ object Dedup {
     * one groupBy, no UDFs.
     */
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
-    val toks = docs.select(col(id), explode(split(norm(col(text)), "\\s+")).as("tok"))
-    val votes = toks.select(
-      col(id),
-      transform(
-        sequence(lit(0), lit(63)),
-        // shiftright's Scala binding takes a literal Int; inside a
-        // higher-order lambda the shift amount is a Column, so call the
-        // SQL function directly.
-        i => when(call_function("shiftright", xxhash64(col("tok")), i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as("v"))
-    val zeros = array_repeat(lit(0), 64)
-    votes.groupBy(col(id))
-      .agg(
-        aggregate(
-          collect_list(col("v")),
-          zeros,
-          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("votes"),
-        count(lit(1)).as("n_tokens"))
-      .withColumn("simhash",
-        aggregate(
-          zip_with(col("votes"), sequence(lit(0), lit(63)),
-            (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc.bitwiseOR(x)))
-      .drop("votes")
+    val tokHash = xxhash64(col("tok"))
+    val exploded = docs.select(col(id), explode(split(norm(col(text)), "\\s+")).as("tok"))
+    // one conditional-sum aggregate per bit (codegen'd, map-side
+    // partially aggregated): the shuffle carries 64 longs per doc. The
+    // earlier collect_list + zip_with fold materialized every token's
+    // 64-element vote array in the aggregation buffer — an OOM on large
+    // documents at scale.
+    val bitVotes = (0 until 64).map(i =>
+      sum(when(shiftright(tokHash, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col(id))
+      .agg(bitVotes.head, bitVotes.tail :+ count(lit(1)).as("n_tokens"): _*)
+      .withColumn("simhash", packed)
+      .select(col(id), col("n_tokens"), col("simhash"))
   }
 }

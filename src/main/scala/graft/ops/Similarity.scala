@@ -28,16 +28,6 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Unit-normalize once per vector. Higher-order array expressions are
-    * interpreted (not codegen'd), so for an N×M candidate join it is
-    * much cheaper to normalize N+M vectors up front and take one dot
-    * per pair than to evaluate dot+2 norms (3 array folds) per pair.
-    */
-  def normalize(vec: Column): Column = {
-    val n = l2norm(vec)
-    transform(vec, x => x.cast("double") / n)
-  }
-
 
   /** Brute-force top-k: every (query, corpus) cosine, then a per-query
     * window top-k. The query side must be small — it is broadcast, so

@@ -70,8 +70,12 @@ object LlmQueries {
     */
   val dedupNgramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |-- engine emits one whole-text shingle when a doc has <= 3 tokens
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+      |       WHERE len(t) > 3
+      |       UNION
+      |       SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) <= 3),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a JOIN documents b
       |          ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20),
