@@ -20,6 +20,44 @@ import org.apache.spark.sql.functions._
   */
 object MergeOps {
 
+  /** Property-level three-way merge over column bags, the faithful
+    * re-expression of `merge/standard.go:merge()`: each property of the
+    * union of (before, proposed, target) maps is classified
+    * independently — unchanged (before = proposed → keep target),
+    * idempotent (target = proposed), safe (target absent or = before →
+    * apply proposed), else conflicting (kept at target value, property
+    * name reported in `unmerged`, as the reference hands conflicts to a
+    * fallback merger / DLQ).
+    *
+    * Bags are `map<string,string>` of property → canonical JSON text;
+    * a missing key is the reference's `undefined` sentinel (SQL NULL
+    * here) while the JSON text `"null"` is set-to-null — preserving the
+    * tri-state the reference builds with its `undefined{}` marker.
+    * Pure map expressions (`map_zip_with`/`map_filter`): no UDFs, runs
+    * per row wherever the mutation lands.
+    */
+  def mergeBags(before: Column, proposed: Column, target: Column): Column = {
+    val bp = map_zip_with(before, proposed, (_, b, p) => struct(b.as("b"), p.as("p")))
+    val all = map_zip_with(bp, target, (_, x, t) =>
+      struct(x.getField("b").as("b"), x.getField("p").as("p"), t.as("t")))
+    def unchanged(v: Column) = v.getField("b") <=> v.getField("p")
+    def idempotent(v: Column) = v.getField("t") <=> v.getField("p")
+    def safe(v: Column) = v.getField("t").isNull || (v.getField("t") <=> v.getField("b"))
+    val merged = transform_values(all, (_, v) =>
+      when(unchanged(v), v.getField("t"))
+        .when(idempotent(v), v.getField("p"))
+        .when(safe(v), v.getField("p"))
+        .otherwise(v.getField("t")))
+    val unmerged = map_keys(map_filter(all, (_, v) =>
+      !unchanged(v) && !idempotent(v) && !safe(v)))
+    // trivial case (standard.go: empty target → apply proposed as-is)
+    when(target.isNull || size(map_keys(target)) === 0,
+      struct(proposed.as("merged"), array().cast("array<string>").as("unmerged")))
+      .otherwise(struct(
+        map_filter(merged, (_, v) => v.isNotNull).as("merged"),
+        array_sort(unmerged).as("unmerged")))
+  }
+
   /** Detect per-row merge conflicts in a keyed, timestamped mutation log.
     *
     * For each mutation we reconstruct `target` (the previous value on the

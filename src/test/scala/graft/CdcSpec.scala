@@ -83,6 +83,67 @@ class CdcSpec extends SparkSpec {
     assert(out(2)._3 == 3.0) // greatest(target=2, proposed=3)
   }
 
+  test("mergeBags mirrors the reference's standard-merge cases") {
+    // cases modeled on merge/standard_test.go: trivial apply, clean
+    // update, idempotent replay, unmergeable conflict
+    import org.apache.spark.sql.functions.{col, map, lit, typedLit}
+    def bag(kv: (String, String)*) = typedLit(kv.toMap)
+    val empty = typedLit(Map.empty[String, String])
+
+    val df = Seq(1).toDF("i").select(
+      // trivial: no blocking row -> apply proposed
+      MergeOps.mergeBags(bag(), bag("pk0" -> "0", "col1" -> "42"), empty).as("trivial"),
+      // clean: target matches before, proposed changes col1
+      MergeOps.mergeBags(
+        bag("pk0" -> "0", "col1" -> "1"),
+        bag("pk0" -> "0", "col1" -> "2"),
+        bag("pk0" -> "0", "col1" -> "1")).as("clean"),
+      // idempotent: proposed already applied
+      MergeOps.mergeBags(
+        bag("pk0" -> "0", "col1" -> "1"),
+        bag("pk0" -> "0", "col1" -> "2"),
+        bag("pk0" -> "0", "col1" -> "2")).as("idem"),
+      // conflict: target diverged from both before and proposed
+      MergeOps.mergeBags(
+        bag("pk0" -> "0", "col1" -> "1"),
+        bag("pk0" -> "0", "col1" -> "2"),
+        bag("pk0" -> "0", "col1" -> "99")).as("conflict"))
+    val r = df.head()
+
+    def mergedOf(name: String) =
+      r.getStruct(r.fieldIndex(name)).getMap[String, String](0)
+    def unmergedOf(name: String) =
+      r.getStruct(r.fieldIndex(name)).getSeq[String](1)
+
+    assert(mergedOf("trivial") == Map("pk0" -> "0", "col1" -> "42"))
+    assert(unmergedOf("trivial").isEmpty)
+    assert(mergedOf("clean")("col1") == "2")
+    assert(unmergedOf("clean").isEmpty)
+    assert(mergedOf("idem")("col1") == "2")
+    assert(unmergedOf("idem").isEmpty)
+    assert(mergedOf("conflict")("col1") == "99") // target kept
+    assert(unmergedOf("conflict") == Seq("col1")) // reported unmerged
+  }
+
+  test("uniqueByKey mirrors msort_test.go cases (dups, out-of-order hlc)") {
+    // msort_test.go TestUniqueByKey: repeated keys keep the latest hlc;
+    // an out-of-order earlier mutation must not displace a later one
+    val data = Seq(
+      // (key, nanos, logical, value)  — mut(k,v) uses hlc(k, k)
+      (2L, 2L, 2, "expected"),
+      (1L, 1L, 1, "deleted"),
+      (1L, 1L, 1, "deleted"),
+      (4L, 4L, 4, "expected"),
+      (1L, 1L, 1, "deleted2"),
+      (1L, 100L, 100, "expected"), // mut(1, expected, hlc(100,100))
+      (3L, 3L, 3, "expected")
+    ).toDF("key", "nanos", "logical", "value")
+    val out = Msort.latestByKey(data, Seq("key"),
+        struct(col("nanos"), col("logical"), col("value")))
+      .select("key", "value").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "expected", 2L -> "expected", 3L -> "expected", 4L -> "expected"))
+  }
+
   test("Hlc renders and orders like the reference format") {
     val df = Seq((1000L, 5), (1000L, 12), (2000L, 0)).toDF("nanos", "logical")
       .select(Hlc.hlc(col("nanos"), col("logical")).as("h"))
