@@ -145,6 +145,67 @@ object LlmQueries {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- deterministic stratified train/val/test split ---------------------------
+  /** Split assignment must be a pure function of the row key — never
+    * `sample()` — so reruns, retries, and different partitionings give
+    * the same split. Knuth multiplicative hash (engine-portable, exact
+    * in 64-bit integer arithmetic on both Spark and DuckDB) buckets
+    * doc_id into 100 cells: 0-79 train, 80-89 val, 90-99 test. Output:
+    * per (split, lang) counts — the stratification report.
+    */
+  def dataSplitStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    docs(s, dir)
+      .groupBy(split.as("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val dataSplitSql: String =
+    """SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+      |            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // -- train/test decontamination ----------------------------------------------
+  /** Decontamination: test docs whose content fingerprint appears in
+    * train leak evaluation data. Exact check via md5 over normalized
+    * text; the anti-join shape scales (broadcast the test fingerprints
+    * against a 100 TB train side).
+    */
+  def dataDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    val withSplit = docs(s, dir)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val trainFps = withSplit.filter(col("split") === "train").select("fp").distinct()
+    val test = withSplit.filter(col("split") =!= "train")
+    val contaminated = test.join(trainFps, Seq("fp"), "left_semi")
+    test.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(contaminated.groupBy("split").agg(count(lit(1)).as("n_contaminated")),
+        Seq("split"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .orderBy("split")
+  }
+
+  val dataDecontaminationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp,
+      |    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+      |         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |train_fp AS (SELECT DISTINCT fp FROM d WHERE split = 'train')
+      |SELECT d.split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.fp IN (SELECT fp FROM train_fp) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated
+      |FROM d WHERE d.split <> 'train'
+      |GROUP BY d.split ORDER BY d.split""".stripMargin
+
   // -- corpus bigram statistics ----------------------------------------------
   /** Top bigrams by document frequency — classic corpus analysis. One
     * explode + two aggregations; document frequency (distinct docs per
@@ -275,6 +336,8 @@ object LlmQueries {
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_ngram_stats" -> (textNgramStats _),
+    "data_split_stratified" -> (dataSplitStratified _),
+    "data_decontamination" -> (dataDecontamination _),
     "text_fingerprint" -> (textFingerprint _),
     "ann_bruteforce_cosine" -> (annBruteforce _),
     "ann_lsh_cosine" -> (annLsh _),
@@ -291,6 +354,8 @@ object LlmQueries {
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_ngram_stats" -> textNgramStatsSql,
+    "data_split_stratified" -> dataSplitSql,
+    "data_decontamination" -> dataDecontaminationSql,
     "text_fingerprint" -> textFingerprintSql,
     "ann_bruteforce_cosine" -> annBruteforceSql)
 }
