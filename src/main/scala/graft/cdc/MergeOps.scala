@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * if the target diverged (target ≠ before and target ≠ proposed) the
   * property conflicts and goes to a fallback merger or the DLQ.
   *
-  * Spark-first design: when replaying an ordered mutation log, "the
-  * target's current value" for mutation N is the value applied by
-  * mutation N-1 on that key — `lag(...) over (partition by key order by
-  * time)`. The window is per-key (narrow partitions after one shuffle on
-  * the key); conflicts, resolutions, and clean applies fall out as
-  * column expressions.
+  * Spark-first design: when replaying an ordered mutation log, the
+  * target's prior value for mutation N is approximated as mutation
+  * N-1's PROPOSED value — `lag(proposed) over (partition by key order
+  * by time)`. This is the "last writer's proposal was applied" model:
+  * it deliberately does not thread resolver outputs forward (a true
+  * sequential fold of resolutions isn't window-expressible; the
+  * property-level [[mergeBags]] covers single-conflict resolution
+  * faithfully). Conflict classification is therefore relative to the
+  * proposed-apply history, which is the common CDC replay situation.
   */
 object MergeOps {
 
@@ -37,8 +40,15 @@ object MergeOps {
     * per row wherever the mutation lands.
     */
   def mergeBags(before: Column, proposed: Column, target: Column): Column = {
-    val bp = map_zip_with(before, proposed, (_, b, p) => struct(b.as("b"), p.as("p")))
-    val all = map_zip_with(bp, target, (_, x, t) =>
+    // map_zip_with is null-intolerant: a NULL bag (e.g. no before-image
+    // on a changefeed without diff) would null the whole result. A NULL
+    // bag means "no properties", which is exactly the empty map.
+    val emptyBag = map().cast("map<string,string>")
+    val b0 = coalesce(before, emptyBag)
+    val p0 = coalesce(proposed, emptyBag)
+    val t0 = coalesce(target, emptyBag)
+    val bp = map_zip_with(b0, p0, (_, b, p) => struct(b.as("b"), p.as("p")))
+    val all = map_zip_with(bp, t0, (_, x, t) =>
       struct(x.getField("b").as("b"), x.getField("p").as("p"), t.as("t")))
     def unchanged(v: Column) = v.getField("b") <=> v.getField("p")
     def idempotent(v: Column) = v.getField("t") <=> v.getField("p")
@@ -51,8 +61,8 @@ object MergeOps {
     val unmerged = map_keys(map_filter(all, (_, v) =>
       !unchanged(v) && !idempotent(v) && !safe(v)))
     // trivial case (standard.go: empty target → apply proposed as-is)
-    when(target.isNull || size(map_keys(target)) === 0,
-      struct(proposed.as("merged"), array().cast("array<string>").as("unmerged")))
+    when(size(map_keys(t0)) === 0,
+      struct(p0.as("merged"), array().cast("array<string>").as("unmerged")))
       .otherwise(struct(
         map_filter(merged, (_, v) => v.isNotNull).as("merged"),
         array_sort(unmerged).as("unmerged")))

@@ -58,7 +58,10 @@ object Dedup {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    docs.select(col(id).cast("long"), lower(trim(col(text))))
+    // null text/id rows carry no shingles — drop them instead of
+    // letting the lambda NPE (one bad row must never kill the job)
+    docs.filter(col(id).isNotNull && col(text).isNotNull)
+      .select(col(id).cast("long"), lower(trim(col(text))))
       .as[(Long, String)]
       .flatMap { case (docId, t) =>
         val toks = t.split("\\s+")
@@ -169,10 +172,13 @@ object Dedup {
         .groupBy(col(id)).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
       // labels are monotonically non-increasing, so an unchanged sum is
-      // an exact convergence proof at the cost of one tiny agg job
-      val sum = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
-        .collect()(0).getLong(0)
-      converged = prevSum.contains(sum)
+      // an exact convergence proof at the cost of one tiny agg job.
+      // sum() over an empty frame is NULL — an empty pair graph (no
+      // near-dups at all) is converged by definition, not an NPE.
+      val sumRow = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
+        .collect()(0)
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      converged = sumRow.isNullAt(0) || prevSum.contains(sum)
       prevSum = Some(sum)
       iter += 1
     }

@@ -27,10 +27,13 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
-    // deterministic salt: hash of the whole row spreads uniformly and
-    // keeps the operator reproducible (no rand(), stable under retries)
-    val salt = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
-      lit(saltBuckets.toLong)).as("__salt")
+    // salt from a per-row physical id, NOT a row-content hash: the
+    // canonical hot-key workload is billions of byte-identical rows,
+    // which a content hash would send to ONE salt bucket, defeating the
+    // operator. The salt only shapes the partial aggregation — the
+    // final result is salt-invariant, so the physical id's partition
+    // dependence does not affect output determinism.
+    val salt = pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).as("__salt")
     df.withColumn("__salt", salt)
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
 object CdcQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Fixture-dir tag: sf dir + source file length, so a regenerated
+    * events table invalidates cached ndjson/parquet fixtures instead of
+    * serving stale data.
+    */
+  private def fixtureTag(dir: String): String = {
+    val size = new java.io.File(s"$dir/events.parquet").length()
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + size
+  }
   private def ord: Column = struct(col("ts"), col("event_id"))
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
@@ -112,10 +121,11 @@ object CdcQueries {
 
   // -- 9: target/dlq -------------------------------------------------------
   def dlq(s: SparkSession, dir: String): DataFrame = {
-    // parse the payload once into a column; the route predicates then
-    // reference the parsed value instead of re-running the JSON path
+    // parse the payload once into a column; try_cast so a non-numeric
+    // payload routes to the DLQ (NULL) instead of aborting the job
+    // under ANSI mode — the exact row the DLQ exists to absorb
     val withK = events(s, dir)
-      .withColumn("__k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("__k", expr("try_cast(get_json_object(props, '$.k') AS LONG)"))
     val (_, dead) = Dlq.route(withK, Seq(
       "missing_payload_key" -> col("__k").isNull,
       "out_of_range" -> (col("__k") >= 90)))
@@ -124,12 +134,12 @@ object CdcQueries {
 
   val dlqSql: String =
     """SELECT event_id, user_id, event_type,
-      |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 'missing_payload_key'
-      |       WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90 THEN 'out_of_range'
+      |  CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 'missing_payload_key'
+      |       WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90 THEN 'out_of_range'
       |  END AS dlq_reason
       |FROM events
-      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
-      |   OR CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      |WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+      |   OR TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
       |ORDER BY event_id""".stripMargin
 
   // -- 10: merge/standard.go three-way merge -------------------------------
@@ -246,8 +256,7 @@ object CdcQueries {
 
   // -- 15: source/objstore changefeed files (rows-only) --------------------
   def changefeedFiles(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_changefeed_$sfTag"
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_changefeed_${fixtureTag(dir)}"
     // fixture is deterministic per sf dir — writing once is enough
     val done = new java.io.File(s"$outDir/_SUCCESS").exists()
     val envelope = events(s, dir).select(
@@ -297,8 +306,7 @@ object CdcQueries {
   // -- 18: cdcjson query-format payloads (webhook_query.go) ----------------
   def queryPayload(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_queryfmt_$sfTag"
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_queryfmt_${fixtureTag(dir)}"
     // emit flat rows with a __crdb__ metadata object, the query-format
     // wire shape, then parse them back through the schema'd reader
     if (!new java.io.File(s"$outDir/_SUCCESS").exists())
@@ -431,8 +439,7 @@ object CdcQueries {
     * counts, so the oracle checks the whole write→read path.
     */
   def applySink(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_sink_$sfTag"
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_sink_${fixtureTag(dir)}"
     val state = Msort.latestByKey(events(s, dir), Seq("user_id"), ord)
     state.write.mode("overwrite").partitionBy("event_type").parquet(outDir)
     s.read.parquet(outDir)
@@ -457,8 +464,7 @@ object CdcQueries {
     * from it.
     */
   def stagingPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_staging_$sfTag"
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_staging_${fixtureTag(dir)}"
     if (!new java.io.File(s"$outDir/_SUCCESS").exists())
       events(s, dir).withColumn("day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("day").parquet(outDir)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`. */
@@ -148,13 +148,20 @@ object LlmQueries {
   // -- deterministic stratified train/val/test split ---------------------------
   /** Split assignment must be a pure function of the row key — never
     * `sample()` — so reruns, retries, and different partitionings give
-    * the same split. Knuth multiplicative hash (engine-portable, exact
-    * in 64-bit integer arithmetic on both Spark and DuckDB) buckets
-    * doc_id into 100 cells: 0-79 train, 80-89 val, 90-99 test. Output:
-    * per (split, lang) counts — the stratification report.
+    * the same split. Lehmer/MINSTD step: reduce the key mod 2^31-1
+    * first, so the multiply stays < 2^47 — genuinely exact in signed
+    * 64-bit arithmetic on BOTH engines for any Long key (a raw
+    * Knuth-multiply would overflow under Spark's ANSI mode for ids
+    * beyond ~3.5e9). Buckets 0-79 train, 80-89 val, 90-99 test.
     */
+  private def splitBucket(id: Column): Column =
+    pmod(pmod(id, lit(2147483647L)) * lit(48271L), lit(2147483647L)) % 100
+
+  private val splitBucketSql =
+    "((doc_id % 2147483647) * 48271) % 2147483647 % 100"
+
   def dataSplitStratified(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    val bucket = splitBucket(col("doc_id"))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     docs(s, dir)
       .groupBy(split.as("split"), col("lang"))
@@ -163,8 +170,8 @@ object LlmQueries {
   }
 
   val dataSplitSql: String =
-    """SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-      |            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+    s"""SELECT CASE WHEN $splitBucketSql < 80 THEN 'train'
+      |            WHEN $splitBucketSql < 90 THEN 'val'
       |            ELSE 'test' END AS split,
       |  lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
@@ -177,7 +184,7 @@ object LlmQueries {
     * against a 100 TB train side).
     */
   def dataDecontamination(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    val bucket = splitBucket(col("doc_id"))
     val withSplit = docs(s, dir)
       .withColumn("fp", md5(lower(trim(col("text")))))
       .withColumn("split",
@@ -193,10 +200,10 @@ object LlmQueries {
   }
 
   val dataDecontaminationSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, md5(lower(trim(text))) AS fp,
-      |    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-      |         WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+      |    CASE WHEN $splitBucketSql < 80 THEN 'train'
+      |         WHEN $splitBucketSql < 90 THEN 'val'
       |         ELSE 'test' END AS split
       |  FROM documents),
       |train_fp AS (SELECT DISTINCT fp FROM d WHERE split = 'train')

@@ -13,9 +13,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Spark-first design: Structured Streaming `groupByKey` over the key +
   * `flatMapGroupsWithState` holding one row of state per key (the current
-  * winner). Watermarking bounds state for late data; the state store
-  * shards by the grouping key exactly like the reference shards its
-  * lockset by key hash. The same typed reduce also runs in batch mode via
+  * winner). State is one row per LIVE key — it IS the materialized
+  * table, so it is bounded by table cardinality, not stream length; it
+  * is deliberately never evicted (evicting would let a late stale
+  * mutation resurrect an overwritten value). The state store shards by
+  * the grouping key exactly like the reference shards its lockset by
+  * key hash. The same typed reduce also runs in batch mode via
   * `reduceGroups`, so one code path serves both.
   */
 object StreamApply {

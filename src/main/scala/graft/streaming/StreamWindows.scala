@@ -17,15 +17,15 @@ import org.apache.spark.sql.functions._
 object StreamWindows {
 
   /** Per-window mutation ledger over a (possibly streaming) mutation
-    * frame: count + metric sum per tumbling window of `windowLen`.
+    * frame: count + a caller-supplied metric per tumbling window of
+    * `windowLen` (the metric is a parameter so the ledger works on any
+    * mutation shape, mirroring `Staging.resolvedWindows`).
     */
-  def windowedLedger(muts: DataFrame, tsCol: String,
+  def windowedLedger(muts: DataFrame, tsCol: String, metric: Column,
       watermarkDelay: String = "2 hours", windowLen: String = "1 hour"): DataFrame =
     muts
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen).as("w"))
-      .agg(
-        count(lit(1)).as("n_muts"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
-      .select(col("w.start").as("window_start"), col("n_muts"), col("cents"))
+      .agg(count(lit(1)).as("n_muts"), metric.as("metric"))
+      .select(col("w.start").as("window_start"), col("n_muts"), col("metric"))
 }

@@ -52,7 +52,8 @@ class StreamingSpec extends SparkSpec {
 
     val streamed = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val q = StreamWindows.windowedLedger(streamed, "ts")
+    val q = StreamWindows.windowedLedger(streamed, "ts",
+        sum(round(col("value") * 100).cast("long")))
       .writeStream.format("memory").queryName("win_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
