@@ -40,8 +40,10 @@ object Changefeed {
     // digit-count bounds keep the casts overflow-safe under ANSI mode;
     // 19-digit nanos (epoch ns is 19 digits) are bounded lexicographically
     // against Long.MaxValue, valid for equal-length digit strings
+    // the reference's hlc.Parse accepts a logical part that is either
+    // exactly 10 digits or all-zero; anything else is a parse error
     val nanosStr = parts.getItem(0)
-    val wellFormed = col(colName).rlike("^[0-9]{1,19}\\.[0-9]{1,10}$") &&
+    val wellFormed = col(colName).rlike("^[0-9]{1,19}\\.([0-9]{10}|0+)$") &&
       (length(nanosStr) < 19 || nanosStr <= lit(Long.MaxValue.toString)) &&
       parts.getItem(1).cast("long") <= Int.MaxValue.toLong
     when(wellFormed, struct(

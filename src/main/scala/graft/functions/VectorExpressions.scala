@@ -93,9 +93,13 @@ object GraftFunctions {
     CosineSimilarity(exprs(0), exprs(1))
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", cosineBuilder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    // idempotent: re-registering per query spams "replaced a previously
+    // registered function" warnings into the bench/verify output
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_cosine")))
+      reg.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -88,18 +88,24 @@ object Similarity {
       .select("query_id", "bucket", "rank", "neighbor_id", "cos_sim")
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
-    * vector serves as a centroid — no RNG, stable across partitioning)
-    * assigns each corpus vector to its nearest cell; a query probes its
-    * `nProbe` nearest cells only. The inverted-file structure is the
-    * scale path: the corpus shuffles once on cell id, queries touch
-    * nProbe/nCells of the data.
+  /** IVF-style ANN with a BOUNDED coarse quantizer: the `nCells`
+    * hash-smallest corpus vectors are the centroids — a deterministic
+    * sample (no RNG, stable across partitioning) whose size is fixed
+    * regardless of corpus size. An unbounded centroid set (e.g. every
+    * stride-th vector) makes assignment O(n²/stride) work and an
+    * ever-growing broadcast at 100×; here assignment is a linear
+    * n × nCells scan against a constant-size broadcast. Each corpus
+    * vector lands in its nearest cell (the inverted file, one shuffle
+    * on cell id); a query probes only its `nProbe` nearest cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, stride: Int, nProbe: Int, k: Int): DataFrame = {
+      vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val cents = broadcast(corpus.filter(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).as("cell"), col(vecCol).as("centroid")))
+    // TakeOrdered: each partition contributes its local hash-smallest
+    // nCells rows, the driver merges — never a global sort.
+    val cents = broadcast(
+      corpus.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+        .orderBy(xxhash64(col("cell")), col("cell")).limit(nCells))
     def nearestCells(df: DataFrame, n: Int, outPrefix: String): DataFrame = {
       val w = Window.partitionBy(outPrefix + "_id")
         .orderBy(col("cent_sim").desc, col("cell"))

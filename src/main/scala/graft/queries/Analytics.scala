@@ -54,9 +54,12 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3-shaped shipping priority: the filtered customer dim is
-    * broadcast, so the only shuffle is the final aggregation on
-    * l_orderkey; top-k via global sort of the (small) aggregate.
+  /** TPC-H Q3-shaped shipping priority. Broadcast ONLY the filtered
+    * customer dim (bounded); orders⋈lineitem is a shuffle join on
+    * orderkey — the date-filtered orders side is still fact-sized at
+    * 100×, so broadcasting it would OOM the driver. AQE may still
+    * convert to broadcast at runtime when the filtered side turns out
+    * small; top-k via TakeOrdered on the (small) aggregate.
     */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-03-15").cast("timestamp_ntz")
@@ -66,7 +69,7 @@ object Analytics {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
@@ -128,17 +131,22 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
-  /** Top users by purchase volume: pre-aggregate per user (shuffle once),
-    * then rank the small aggregate.
+  /** Top users by purchase volume: pre-aggregate per user (shuffle
+    * once), take the top 25 via orderBy+limit — a distributed
+    * TakeOrdered, every partition contributes its local top 25 — then
+    * rank only those ≤25 rows. A global rank() window over the raw
+    * per-user aggregate would sort hundreds of millions of rows in a
+    * single task at 100×. The ordering key includes the unique user_id,
+    * so rank() has no ties and limit(25) is exactly the rnk<=25 set.
     */
   def topUsersWindow(s: SparkSession, dir: String): DataFrame = {
     val per = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"), sum(cents(col("value"))).as("purchase_cents"))
+    val top = per.orderBy(col("purchase_cents").desc, col("user_id")).limit(25)
     val w = Window.orderBy(col("purchase_cents").desc, col("user_id"))
-    per.withColumn("rnk", rank().over(w).cast("long"))
-      .filter(col("rnk") <= 25)
+    top.withColumn("rnk", rank().over(w).cast("long"))
       .orderBy("rnk", "user_id")
   }
 

@@ -16,13 +16,16 @@ object CdcQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
-  /** Fixture-dir tag: sf dir + source file length, so a regenerated
-    * events table invalidates cached ndjson/parquet fixtures instead of
-    * serving stale data.
+  /** Fixture-dir tag: sf dir + source length + mtime (a regenerated
+    * events table of identical size must still invalidate the cache) +
+    * the JVM pid (concurrent Verify/Bench processes must never share a
+    * tmp dir — an overwrite-vs-read race on _SUCCESS). Within one JVM
+    * the fixture is written once and reused across queries/reruns.
     */
   private def fixtureTag(dir: String): String = {
-    val size = new java.io.File(s"$dir/events.parquet").length()
-    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + size
+    val f = new java.io.File(s"$dir/events.parquet")
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + f.length() + "_" +
+      f.lastModified() + "_p" + ProcessHandle.current().pid()
   }
   private def ord: Column = struct(col("ts"), col("event_id"))
   private def cents(c: Column): Column = round(c * 100).cast("long")

@@ -299,7 +299,7 @@ object LlmQueries {
     val e = embs(s, dir)
     Similarity.ivfTopK(
         e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", stride = 50, nProbe = 4, k = 5)
+        "vec_id", "embedding", nCells = 16, nProbe = 4, k = 5)
       .orderBy("query_id", "rank")
   }
 

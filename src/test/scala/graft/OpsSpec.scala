@@ -112,7 +112,7 @@ class OpsSpec extends SparkSpec {
     val query = Seq((105L, Array(math.cos(2.5).toFloat, math.sin(2.5).toFloat)))
       .toDF("vec_id", "embedding") // identical to corpus vector 5
     val out = Similarity.ivfTopK(corpus, query, "vec_id", "embedding",
-      stride = 4, nProbe = 3, k = 3).collect()
+      nCells = 3, nProbe = 3, k = 3).collect()
     assert(out.nonEmpty)
     assert(out.head.getAs[Long]("neighbor_id") == 5L)
     assert(out.head.getAs[Double]("cos_sim") > 0.9999)
