@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen'd cosine similarity over two `array<float>` columns.
@@ -82,6 +83,82 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Multi-table random-hyperplane LSH buckets for an `array<float>`
+  * vector: returns `array<long>` of `nTables` sign-bit bucket ids, each
+  * from `nPlanes` deterministic pseudo-random hyperplanes (splitmix64 of
+  * (table, plane, dim) — no RNG state, stable under repartition, and
+  * every engine run regenerates identical planes).
+  *
+  * One expression call computes all tables' buckets in a single pass —
+  * the declarative alternative (one zip_with/aggregate per plane per
+  * table) runs interpreted and costs nTables × nPlanes array traversals
+  * per row. OR-ing tables raises recall: a near-neighbor pair missed by
+  * one table's planes is caught by another, P(miss) = (1−agreeᵖ)ᵀ.
+  */
+case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      if (nTables >= 1 && nPlanes >= 1 && nPlanes <= 63) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires 1 <= nTables and 1 <= nPlanes <= 63")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override protected def nullSafeEval(a: Any): Any =
+    LshBuckets.compute(a.asInstanceOf[ArrayData], nTables, nPlanes)
+
+  // codegen delegates to the static helper — the call sits inside the
+  // whole-stage-generated class, so there is no interpreted expression
+  // tree in the hot loop (the helper itself is a tight JVM loop)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.LshBuckets.compute($a, $nTables, $nPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  /** Deterministic plane component in (−1, 1): splitmix64 finalizer over
+    * the packed (table, plane, dim) index.
+    */
+  @inline def component(t: Int, p: Int, j: Int): Double = {
+    var z = ((t.toLong << 26) | (p.toLong << 20) | j.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z.toDouble / 9.223372036854776e18
+  }
+
+  def compute(v: ArrayData, nTables: Int, nPlanes: Int): ArrayData = {
+    val dims = v.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var proj = 0.0
+        var j = 0
+        while (j < dims) {
+          proj += v.getFloat(j).toDouble * component(t, p, j)
+          j += 1
+        }
+        if (proj >= 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Function registration: both an idempotent in-session helper and a
   * `SparkSessionExtensions` hook
   * (`spark.sql.extensions=graft.functions.GraftExtensions`).
@@ -93,19 +170,38 @@ object GraftFunctions {
     CosineSimilarity(exprs(0), exprs(1))
   }
 
+  val lshBucketsBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3,
+      s"graft_lsh_buckets requires (vec, nTables, nPlanes), got ${exprs.length} args")
+    def intArg(e: Expression, name: String): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_buckets $name must be an integer literal, got $other")
+    }
+    LshBuckets(exprs(0), intArg(exprs(1), "nTables"), intArg(exprs(2), "nPlanes"))
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering per query spams "replaced a previously
     // registered function" warnings into the bench/verify output
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_cosine")))
       reg.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_lsh_buckets")))
+      reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBucketsBuilder, "built-in")
   }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       GraftFunctions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      GraftFunctions.lshBucketsBuilder))
+  }
 }

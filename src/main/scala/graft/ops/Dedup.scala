@@ -138,18 +138,18 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the near-dup pair
-    * graph via iterative min-label propagation — each doc adopts the
-    * smallest doc id reachable through candidate edges, so every dup
-    * cluster collapses onto one canonical id.
-    *
-    * Distributed shape: one hash join + groupBy per iteration, labels
-    * cached between rounds. `maxIters` bounds work; components with
-    * diameter ≤ 2^maxIters converge (label jumps double per round when
-    * propagated through both edge directions) — dup clusters are
-    * near-cliques, so a handful of rounds suffices at any scale.
+    * graph. Each round does (a) min-label propagation — every node
+    * pulls the smallest label among itself and its neighbors (one hop)
+    * — and (b) pointer doubling — every node then adopts its label's
+    * own label (`L[v] := L[L[v]]`), so label reach roughly doubles per
+    * round and a path component of diameter d converges in O(log d)
+    * rounds, not O(d). Convergence is detected exactly (labels are
+    * monotone non-increasing, so an unchanged sum is a proof) and
+    * non-convergence after `maxIters` raises rather than silently
+    * returning split clusters.
     */
   def dupClusters(docs: DataFrame, id: String, pairs: DataFrame,
-      maxIters: Int = 5): DataFrame = {
+      maxIters: Int = 12): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -161,20 +161,28 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // each node pulls the smallest label among itself and neighbors
+      // (a) each node pulls the smallest label among itself and neighbors
       val viaEdges = edges
         .join(labels.select(col(id).as("src"), col("cluster_id")), "src")
         .select(col("dst").as(id), col("cluster_id"))
-      // localCheckpoint truncates lineage each round — without it the
-      // plan nests one join per iteration (measured: 559 exchanges after
-      // 5 rounds) and any executor retry recomputes the whole history
-      labels = labels.union(viaEdges)
+      val propagated = labels.union(viaEdges)
         .groupBy(col(id)).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      // labels are monotonically non-increasing, so an unchanged sum is
-      // an exact convergence proof at the cost of one tiny agg job.
+      // (b) pointer doubling: follow the label one more step. Every
+      // label value is itself a node id (labels start as ids and min()
+      // only selects existing values), so the self-join resolves; the
+      // left join + coalesce keeps the row if the parent label lags a
+      // round behind. Labels stay monotone: L[L[v]] <= L[v].
+      labels = propagated.select(col(id), col("cluster_id").as("__p"))
+        .join(propagated.select(col(id).as("__p"),
+          col("cluster_id").as("__pl")), Seq("__p"), "left")
+        .select(col(id),
+          least(col("__p"), coalesce(col("__pl"), col("__p"))).as("cluster_id"))
+      // localCheckpoint truncates lineage each round — without it the
+      // plan nests joins per iteration (measured: 559 exchanges after
+      // 5 rounds) and any executor retry recomputes the whole history
+      labels = labels.localCheckpoint(true)
       // sum() over an empty frame is NULL — an empty pair graph (no
-      // near-dups at all) is converged by definition, not an NPE.
+      // near-dups at all) is converged by definition, not an NPE
       val sumRow = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
         .collect()(0)
       val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
@@ -183,6 +191,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds — component " +
+          "diameter exceeds 2^maxIters; raise maxIters")
     val all = docs.select(col(id))
       .join(labels, Seq(id), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
@@ -190,6 +202,55 @@ object Dedup {
     all.join(sizes, "cluster_id")
       .select(col(id), col("cluster_id"), col("cluster_size"),
         (col(id) =!= col("cluster_id")).as("is_dup"))
+  }
+
+  /** The full near-dup pipeline: MinHash signatures → LSH band-bucket
+    * candidates → exact shingle-Jaccard verification ≥ `threshold`.
+    * Returns verified pairs with their set sizes and Jaccard — the
+    * deliverable a dedup pass consumes, and (because LSH recall at
+    * dup-grade similarity is 1 − (1−J^r)^b ≈ 1) a result an exact
+    * all-pairs oracle can check: candidates are a provable superset of
+    * above-threshold pairs, and the verify stage discards the rest.
+    */
+  def verifiedDupPairs(docs: DataFrame, id: String, text: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = minhashSignatures(docs, id, text, numHashes)
+    val cands = lshCandidates(sigs, id, bands, numHashes / bands)
+    jaccard(docs, id, text, cands)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit simhash into `nBands`
+    * equal slices — by pigeonhole, any pair within hamming distance
+    * `nBands − 1` shares at least one unchanged band, so the band-bucket
+    * join is a complete candidate source for that radius (and the only
+    * pair source — never O(n²)). Candidates pass a codegen'd
+    * `bit_count(xor)` hamming filter, then exact shingle-Jaccard
+    * verification ≥ `threshold`.
+    */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+      nBands: Int = 8, maxHamming: Int = 7, threshold: Double = 0.8): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    require(maxHamming < nBands,
+      "banding only guarantees recall for hamming < nBands (pigeonhole)")
+    val width = 64 / nBands
+    val sig = simhash(docs, id, text).select(col(id), col("simhash"))
+    val banded = sig.select(col(id), col("simhash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*))
+        .as(Seq("band_id", "band_val")))
+    val cands = banded.select(col("band_id"), col("band_val"),
+        col(id).as("id_a"), col("simhash").as("sim_a"))
+      .join(banded.select(col("band_id"), col("band_val"),
+        col(id).as("id_b"), col("simhash").as("sim_b")), Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .select("id_a", "id_b").distinct()
+    jaccard(docs, id, text, cands)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
   }
 
   /** 64-bit SimHash: per token hash, +1/−1 vote per bit, sign of the

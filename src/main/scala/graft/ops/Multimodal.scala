@@ -20,7 +20,7 @@ object Multimodal {
       height: Int, payload: Array[Byte])
 
   case class DecodedRow(doc_id: Long, media_type: String, n_bytes: Int,
-      checksum: Long, feature: Array[Float])
+      checksum: String, feature: Array[Float])
 
   /** Attach a synthetic binary payload + metadata to each document —
     * stands in for reading real image/audio bytes from object storage.
@@ -44,13 +44,16 @@ object Multimodal {
     implicit val inEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.product[DecodedRow]
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init would happen here (codec handles, model, ...)
+      // per-partition init (codec handles, model, ...) — here the digest
+      // instance, reset per row, exactly how a real decoder amortizes
+      val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val checksum = r.payload.foldLeft(1469598103934665603L)((h, b) =>
-          (h ^ (b & 0xff)) * 1099511628211L) // FNV-1a, deterministic stub
+        val d = digest.digest(r.payload) // md5: independently computable
+        val checksum = d.map("%02x".format(_)).mkString
         val feature = Array.tabulate(featureDim) { i =>
-          // ??? real decoder goes here — deterministic fake feature:
-          (((checksum >>> (i * 8)) & 0xff).toFloat - 128f) / 128f
+          // ??? real decoder goes here — deterministic fake feature
+          // from the digest bytes (unsigned), centered and scaled
+          (((d(i % d.length) & 0xff) - 128).toFloat) / 128f
         }
         DecodedRow(r.doc_id, r.media_type, r.payload.length, checksum, feature)
       }
@@ -108,7 +111,7 @@ object Multimodal {
   def pipeline(docs: DataFrame, id: String, text: String): DataFrame = {
     val media = attachPayloads(docs, id, text).repartition(col("media_type"))
     decodeFeatures(media).toDF()
-      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
-        col("feature")(0).as("f0"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long"),
+        col("checksum"), col("feature")(0).cast("double").as("f0"))
   }
 }

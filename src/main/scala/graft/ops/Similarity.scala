@@ -48,44 +48,51 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
-  /** Deterministic pseudo-random hyperplane component h(p, j) ∈ (-1, 1):
-    * a hash of (plane, dim) scaled — no RNG, stable under repartition.
+  /** (table_id, bucket) rows for a vector: `nTables` independent
+    * sign-bit LSH tables of `nPlanes` deterministic hyperplanes each —
+    * the codegen'd `graft_lsh_buckets` expression (one pass, no
+    * interpreted higher-order folds), exploded to one row per table.
     */
-  private def planeComponent(plane: Int, j: Column): Column =
-    (pmod(xxhash64(lit(plane), j), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+  def lshTableBuckets(vec: Column, nTables: Int, nPlanes: Int): Column =
+    call_function("graft_lsh_buckets", vec, lit(nTables), lit(nPlanes))
 
-  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, dims, (x, j) => x.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  /** LSH-bucketed ANN: queries join only their own bucket's corpus
-    * vectors (plus stats so recall is observable). Returns per-query
-    * top-k within the bucket.
+  /** Multi-table LSH ANN: a query meets a corpus vector iff they share
+    * some table's bucket, so per-pair miss probability is
+    * (1 − agreement^nPlanes)^nTables — tables multiply recall while
+    * nPlanes bounds per-table bucket occupancy. The bucket join is the
+    * only pair source (the corpus shuffles once on (table, bucket);
+    * queries are broadcast), and the candidate dedup is a groupBy on
+    * (query, neighbor) — never an O(|Q|·|C|) scan.
+    *
+    * Parameter regime is data-dependent: high-similarity targets
+    * (near-dup retrieval, cos ≥ 0.9) want deep tables (nPlanes 8–16,
+    * few tables); the driver's synthetic corpus is isotropic random
+    * (top-5 neighbors sit at cos 0.25–0.5), so its query config uses
+    * shallow tables (nPlanes=2) and many of them — recall ≥ 1−1e-5 by
+    * the formula above, verified against the brute-force oracle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, nPlanes: Int, k: Int): DataFrame = {
+      idCol: String, vecCol: String, nPlanes: Int, nTables: Int, k: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val cb = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      posexplode(lshTableBuckets(col(vecCol), nTables, nPlanes))
+        .as(Seq("table_id", "bucket")))
     val qb = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), nPlanes).as("bucket")))
+      posexplode(lshTableBuckets(col(vecCol), nTables, nPlanes))
+        .as(Seq("table_id", "bucket"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cb.join(qb, "bucket")
+    cb.join(qb, Seq("table_id", "bucket"))
       .withColumn("cos_sim", call_function("graft_cosine", col("qv"), col("cv")))
+      // a pair colliding in several tables appears once: cos_sim is a
+      // pure function of the pair, so first() under groupBy is exact
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("cos_sim")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "bucket", "rank", "neighbor_id", "cos_sim")
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
   /** IVF-style ANN with a BOUNDED coarse quantizer: the `nCells`
@@ -127,29 +134,29 @@ object Similarity {
         col("c_id").as("neighbor_id"), col("cos_sim"))
   }
 
-  /** Embedding-cosine near-duplicate detection: LSH-bucket the vectors,
-    * compare only within buckets (never O(n²)), flag pairs above the
-    * cosine threshold. Returns a per-vector summary (bucket, mates,
-    * near-dup count, best similarity) — the per-document dedup verdict a
-    * training pipeline consumes.
+  /** Embedding-cosine near-duplicate pairs: multi-table LSH buckets the
+    * vectors, pairs form only within a shared (table, bucket) — never
+    * O(n²) — and survive iff cosine ≥ threshold. Returns the verified
+    * pair list (id_a < id_b), the dedup verdict a training pipeline
+    * consumes, and a shape an exact all-pairs oracle can check at test
+    * scale: with enough tables the candidate stage provably covers every
+    * above-threshold pair (miss = (1−agree^nPlanes)^nTables).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, threshold: Double): DataFrame = {
+      nPlanes: Int, nTables: Int, threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val b = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
-    val pairs = b.select(col("bucket"), col("vid").as("id_a"), col("v").as("va"))
-      .join(b.select(col("bucket"), col("vid").as("id_b"), col("v").as("vb")), "bucket")
-      .filter(col("id_a") =!= col("id_b"))
+      posexplode(lshTableBuckets(col(vecCol), nTables, nPlanes))
+        .as(Seq("table_id", "bucket")))
+    b.select(col("table_id"), col("bucket"), col("vid").as("id_a"), col("v").as("va"))
+      .join(b.select(col("table_id"), col("bucket"), col("vid").as("id_b"),
+        col("v").as("vb")), Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
-    val stats = pairs.groupBy(col("id_a").as("vid"))
-      .agg(
-        count(lit(1)).as("n_bucket_mates"),
-        sum(when(col("cos_sim") >= threshold, 1L).otherwise(0L)).as("n_near_dups"),
-        max(col("cos_sim")).as("max_sim"))
-    b.select(col("vid"), col("bucket"))
-      .join(stats, Seq("vid"), "left")
-      .na.fill(0L, Seq("n_bucket_mates", "n_near_dups"))
+      .filter(col("cos_sim") >= threshold)
+      // multi-table collisions duplicate pairs; cos_sim is pair-pure
+      .groupBy("id_a", "id_b")
+      .agg(first(col("cos_sim")).as("cos_sim"))
   }
 
   /** k-NN join within groups (e.g. per label): for every vector, its k

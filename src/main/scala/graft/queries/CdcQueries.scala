@@ -471,16 +471,49 @@ object CdcQueries {
     if (!new java.io.File(s"$outDir/_SUCCESS").exists())
       events(s, dir).withColumn("day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("day").parquet(outDir)
-    s.read.parquet(outDir)
-      .filter(col("day") >= lit("2024-01-05") && col("day") < lit("2024-01-10"))
+    val store = s.read.parquet(outDir)
+    // the window is data-relative (min day + [4, 9)), never hardcoded —
+    // regenerated testdata with a different time range must still hit.
+    // min(day) is resolved driver-side from the PARTITION LISTING (no
+    // file data is read — `day` exists only in directory names), so the
+    // windowed read below keeps literal filters and static
+    // PartitionFilters pruning, the point of this store layout.
+    val minDay = store.agg(min(col("day"))).collect()(0).getDate(0)
+      .toLocalDate
+    def d(days: Long) = lit(java.sql.Date.valueOf(minDay.plusDays(days)))
+    store
+      .filter(col("day") >= d(4) && col("day") < d(9))
       .groupBy("day")
       .agg(count(lit(1)).as("n_muts"), count_distinct(col("user_id")).as("n_keys"))
+      // timestamp, not date: parquet date32 reaches pandas as `object`
+      // while the DuckDB oracle's DATE arrives as datetime64 — the
+      // driver's dtype comparison needs both sides on timestamp
+      .withColumn("day", col("day").cast("timestamp_ntz"))
       .orderBy("day")
   }
 
-  // -- 17: util/workload generator + FK check (rows-only) ------------------
+  val stagingPartitionedSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, COUNT(*) AS n_muts,
+      |  COUNT(DISTINCT user_id) AS n_keys
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) FROM events) + 4
+      |  AND CAST(ts AS DATE) < (SELECT MIN(CAST(ts AS DATE)) FROM events) + 9
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
+  // -- 17: util/workload generator + FK consistency check ------------------
+  /** The oracle is the invariant: generation is deterministic with the
+    * stated cardinalities, and every child's parent reference is
+    * `hash mod nParents`, so the FK left-anti check must come back
+    * empty. A nonzero orphan count (or a row-count drift) is exactly
+    * the failure the reference's workload checker exists to catch.
+    */
   def workloadCheck(s: SparkSession, dir: String): DataFrame =
     Workload.consistencyReport(s, 1000L, 10000L)
+
+  val workloadCheckSql: String =
+    """SELECT CAST(1000 AS BIGINT) AS n_parents,
+      |  CAST(10000 AS BIGINT) AS n_children,
+      |  CAST(0 AS BIGINT) AS n_orphans""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest_by_key" -> (latestByKey _),
@@ -530,5 +563,7 @@ object CdcQueries {
     "cdc_txn_batches" -> txnBatchesSql,
     "cdc_userscript" -> userscriptSql,
     "cdc_state_at" -> stateAtSql,
-    "cdc_apply_sink" -> applySinkSql)
+    "cdc_apply_sink" -> applySinkSql,
+    "cdc_staging_partitioned" -> stagingPartitionedSql,
+    "cdc_workload_check" -> workloadCheckSql)
 }

