@@ -1,6 +1,6 @@
 package graft
 
-import graft.cdc.{Apply, Dlq, Msort, Staging}
+import graft.cdc.{Apply, Dlq, MergeOps, Msort, Staging}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,19 @@ final case class Pipeline(
   /** Route condemned mutations to the dead-letter queue. */
   def dlq(reasons: (String, Column)*): Pipeline = {
     val (ok, dead) = Dlq.route(mutations, reasons)
+    copy(mutations = ok, dlqFrames = dlqFrames :+ dead)
+  }
+
+  /** Three-way merge against the prior value per key; conflicted rows
+    * route to the DLQ — the reference's fallback-less path
+    * (`merge/standard.go`: unmerged properties with no fallback merger
+    * become a ConflictError handed to the DLQ) composed as one stage.
+    */
+  def mergeOrDlq(before: Column, proposed: Column): Pipeline = {
+    val merged = MergeOps.threeWayMerge(mutations, keys.head, Seq(order),
+      before, proposed, (target, _, _) => target) // no fallback: keep target
+    val (ok, dead) = Dlq.route(merged,
+      Seq("merge_conflict" -> (col("merge_status") === "conflict")))
     copy(mutations = ok, dlqFrames = dlqFrames :+ dead)
   }
 

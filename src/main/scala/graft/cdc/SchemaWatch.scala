@@ -1,0 +1,43 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Dynamic target-schema discovery and drift handling.
+  *
+  * Reference: `internal/target/schemawatch/watcher.go:104` (`Refresh`)
+  * — the target's column set is re-discovered at runtime and apply
+  * re-maps source columns onto the CURRENT target shape, so a column
+  * added or dropped between two batches is handled without restart.
+  *
+  * Spark-first: "the current target shape" is a `StructType`; aligning
+  * a batch onto it is a projection — source columns missing from the
+  * target are dropped, target columns missing from the batch null-pad
+  * (the reference applies NULL for unknown columns the same way). No
+  * per-row work: drift is resolved once per batch at plan time.
+  */
+object SchemaWatch {
+
+  /** Project `batch` onto `target`: name-matched columns pass through
+    * (cast to the target type), target-only columns become NULL,
+    * batch-only columns drop.
+    */
+  def align(batch: DataFrame, target: StructType): DataFrame = {
+    val have = batch.columns.toSet
+    batch.select(target.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Union a sequence of schema-drifting batches under the NEWEST
+    * batch's schema (the watcher's latest Refresh result) — the apply
+    * path for a feed whose upstream evolved mid-stream.
+    */
+  def evolve(batches: Seq[DataFrame], target: Option[StructType] = None): DataFrame = {
+    require(batches.nonEmpty, "evolve needs at least one batch")
+    val tgt = target.getOrElse(batches.last.schema)
+    batches.map(align(_, tgt)).reduce(_.unionByName(_))
+  }
+}

@@ -515,6 +515,245 @@ object CdcQueries {
       |  CAST(10000 AS BIGINT) AS n_children,
       |  CAST(0 AS BIGINT) AS n_orphans""".stripMargin
 
+  // -- 25: source/kafka envelope + per-partition resolved frontier ----------
+  /** Kafka-wire round trip (reference `internal/source/kafka/payload.go`
+    * `asPayload` + `consumer.go`): events serialize into consumer-shaped
+    * (topic, partition, offset, key, value) messages — mutations with
+    * after/updated envelopes (deletes = null after), plus one resolved
+    * message per (partition, day) at that day's start — then parse back
+    * through [[Kafka]], advance each partition's frontier, and report
+    * how much of the feed is applied below it.
+    */
+  def kafkaPayload(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_kafka_${fixtureTag(dir)}"
+    if (!new java.io.File(s"$outDir/_SUCCESS").exists()) {
+      val ev = events(s, dir)
+      val nanosStr = (unix_micros(col("ts").cast("timestamp")) * 1000).cast("string")
+      val muts = ev.select(
+        lit("events").as("topic"),
+        pmod(col("user_id"), lit(4L)).as("partition"),
+        (unix_micros(col("ts").cast("timestamp")) * 1000).as("__ord"),
+        col("event_id").as("__tie"),
+        to_json(array(col("user_id"))).as("key"),
+        to_json(struct(
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(to_json(struct(col("event_id"), col("user_id"), col("value"))))
+            .as("after"),
+          concat(nanosStr, lit(".0000000000")).as("updated"))).as("value"))
+      val res = ev
+        .select(pmod(col("user_id"), lit(4L)).as("partition"),
+          (unix_micros(to_date(col("ts")).cast("timestamp")) * 1000).as("__day_nanos"))
+        .distinct()
+        .select(lit("events").as("topic"), col("partition"),
+          col("__day_nanos").as("__ord"), lit(-1L).as("__tie"),
+          lit(null).cast("string").as("key"),
+          to_json(struct(concat(col("__day_nanos").cast("string"),
+            lit(".0000000000")).as("resolved"))).as("value"))
+      val w = Window.partitionBy("partition").orderBy("__ord", "__tie")
+      muts.union(res)
+        .withColumn("offset", row_number().over(w).cast("long"))
+        .drop("__ord", "__tie")
+        .write.mode("overwrite").json(outDir)
+    }
+    val raw = Kafka.read(s, outDir)
+    val muts = Kafka.mutations(raw)
+    val frontier = Kafka.resolved(raw)
+      .groupBy("partition")
+      .agg(max(col("hlc.nanos")).as("frontier_nanos"),
+        count(lit(1)).as("n_resolved"))
+    val mstats = muts.groupBy("partition")
+      .agg(count(lit(1)).as("n_muts"),
+        sum(when(col("is_delete"), 1L).otherwise(0L)).as("n_deletes"))
+    val applied = muts.join(frontier, "partition")
+      .filter(col("hlc.nanos") <= col("frontier_nanos"))
+      .groupBy("partition").agg(count(lit(1)).as("n_applied"))
+    mstats.join(frontier, "partition").join(applied, Seq("partition"), "left")
+      .na.fill(0L, Seq("n_applied"))
+      .orderBy("partition")
+  }
+
+  /** The oracle recomputes every envelope quantity straight from events:
+    * partition = user_id mod 4, deletes = error ops, one resolved per
+    * active day at day start, frontier = the partition's newest day.
+    */
+  val kafkaPayloadSql: String =
+    """WITH m AS (
+      |  SELECT user_id % 4 AS partition, event_type,
+      |    epoch_us(ts) * 1000 AS nanos, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |f AS (
+      |  SELECT partition,
+      |    epoch_us(CAST(MAX(day) AS TIMESTAMP)) * 1000 AS frontier_nanos,
+      |    COUNT(DISTINCT day) AS n_resolved
+      |  FROM m GROUP BY 1)
+      |SELECT m.partition, COUNT(*) AS n_muts,
+      |  CAST(SUM(CASE WHEN m.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |  f.frontier_nanos, f.n_resolved,
+      |  CAST(SUM(CASE WHEN m.nanos <= f.frontier_nanos THEN 1 ELSE 0 END) AS BIGINT) AS n_applied
+      |FROM m JOIN f USING (partition)
+      |GROUP BY m.partition, f.frontier_nanos, f.n_resolved
+      |ORDER BY partition""".stripMargin
+
+  // -- 26: mylogical/pglogical BEGIN/COMMIT wire-format parsing -------------
+  /** Binlog-shaped transaction log (reference
+    * `internal/source/mylogical/conn.go:135`): events frame into
+    * BEGIN / ROW / COMMIT-or-ROLLBACK records with a global LSN order
+    * (interleaved across transactions, as a real log is), then parse
+    * back through [[TxnLog]]: only committed transactions produce
+    * batches — xid % 17 == 0 transactions roll back and must vanish.
+    */
+  def txnLog(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_txnlog_${fixtureTag(dir)}"
+    if (!new java.io.File(s"$outDir/_SUCCESS").exists()) {
+      val ev = events(s, dir)
+        .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("xid",
+          col("user_id") * 100000000L + expr("unix_micros(cast(ts as timestamp)) div 600000000"))
+      val rows = ev.select(lit("ROW").as("op"), col("xid"),
+        col("user_id").as("key"),
+        to_json(struct(col("event_id").as("e"), cents(col("value")).as("c"))).as("data"),
+        col("__us").as("ts_us"), lit(1).as("__rk"), col("event_id").as("__tie"))
+      val bounds = ev.groupBy("xid")
+        .agg(min(col("__us")).as("__min_us"), max(col("__us")).as("__max_us"))
+      val begins = bounds.select(lit("BEGIN").as("op"), col("xid"),
+        lit(null).cast("long").as("key"), lit(null).cast("string").as("data"),
+        col("__min_us").as("ts_us"), lit(0).as("__rk"), lit(-1L).as("__tie"))
+      val ends = bounds.select(
+        when(pmod(col("xid"), lit(17L)) === 0, "ROLLBACK").otherwise("COMMIT").as("op"),
+        col("xid"), lit(null).cast("long").as("key"),
+        lit(null).cast("string").as("data"),
+        col("__max_us").as("ts_us"), lit(2).as("__rk"), lit(Long.MaxValue).as("__tie"))
+      // the global LSN order is fixture construction, not the operator:
+      // a real log arrives already ordered
+      val w = Window.orderBy("ts_us", "__rk", "xid", "__tie")
+      rows.union(begins).union(ends)
+        .withColumn("lsn", row_number().over(w).cast("long"))
+        .drop("__rk", "__tie")
+        .write.mode("overwrite").json(outDir)
+    }
+    TxnLog.committedRows(TxnLog.read(s, outDir))
+      .groupBy(
+        expr("xid div 100000000").as("user_id"),
+        pmod(col("xid"), lit(100000000L)).as("txn_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        timestamp_micros(min(col("begin_us"))).as("txn_start"),
+        timestamp_micros(max(col("commit_us"))).as("commit_ts"),
+        sum(get_json_object(col("data"), "$.c").cast("long")).as("net_cents"))
+      .orderBy("user_id", "txn_id")
+  }
+
+  val txnLogSql: String =
+    """WITH t AS (
+      |  SELECT user_id, epoch_us(ts) // 600000000 AS txn_id, ts,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      |  FROM events)
+      |SELECT user_id, txn_id, COUNT(*) AS n_ops,
+      |  MIN(ts) AS txn_start, MAX(ts) AS commit_ts,
+      |  CAST(SUM(c) AS BIGINT) AS net_cents
+      |FROM t
+      |GROUP BY user_id, txn_id
+      |HAVING (user_id * 100000000 + txn_id) % 17 <> 0
+      |ORDER BY user_id, txn_id""".stripMargin
+
+  // -- 27: schemawatch drift between batches --------------------------------
+  /** Schema drift (reference `internal/target/schemawatch/watcher.go:104`
+    * `Refresh`): the first half of the feed arrives with the OLD schema
+    * (event_id, user_id, value); the upstream then drops `value` and
+    * adds (total_cents, route). [[SchemaWatch.evolve]] aligns both
+    * batches onto the newest shape: old rows null-pad the new columns,
+    * the dropped column vanishes.
+    */
+  def schemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAY")).as("__cut"))
+    val withCut = ev.crossJoin(broadcast(cut))
+    val oldBatch = withCut.filter(col("ts") <= col("__cut"))
+      .select("event_id", "user_id", "value")
+    val newBatch = withCut.filter(col("ts") > col("__cut"))
+      .select(col("event_id"), col("user_id"),
+        cents(col("value")).as("total_cents"),
+        when(col("event_type") === "purchase", "billing")
+          .otherwise("telemetry").as("route"))
+    SchemaWatch.evolve(Seq(oldBatch, newBatch)).orderBy("event_id")
+  }
+
+  val schemaDriftSql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN ts > (SELECT MIN(ts) + INTERVAL 15 DAY FROM events)
+      |       THEN CAST(ROUND(value * 100, 0) AS BIGINT) END AS total_cents,
+      |  CASE WHEN ts > (SELECT MIN(ts) + INTERVAL 15 DAY FROM events)
+      |       THEN (CASE WHEN event_type = 'purchase' THEN 'billing'
+      |             ELSE 'telemetry' END) END AS route
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -- 28: merge conflicts routed to the DLQ --------------------------------
+  /** The composition the reference wires in `merge/standard.go`: a
+    * three-way merge with no fallback merger hands conflicted rows to
+    * the DLQ. One Pipeline stage produces both branches; this query
+    * returns the dead letters.
+    */
+  def mergeDlq(s: SparkSession, dir: String): DataFrame = {
+    val wBefore = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val muts = events(s, dir).withColumn("before_value", lag(col("value"), 1).over(wBefore))
+    graft.Pipeline(muts, keys = Seq("user_id"), order = ord)
+      .mergeOrDlq(col("before_value"), col("value"))
+      .deadLetters.get
+      .select("event_id", "user_id", "event_type", "dlq_reason")
+      .orderBy("event_id")
+  }
+
+  val mergeDlqSql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS before_value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS target_value
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, 'merge_conflict' AS dlq_reason
+      |FROM t
+      |-- the CASE chain mirrors the engine's when().when().otherwise()
+      |-- three-valued NULL fallthrough (a NULL condition falls to the
+      |-- next branch, not out of the filter)
+      |WHERE (CASE WHEN target_value IS NULL OR target_value = before_value THEN 'clean'
+      |            WHEN target_value = value THEN 'idempotent'
+      |            ELSE 'conflict' END) = 'conflict'
+      |ORDER BY event_id""".stripMargin
+
+  // -- 29: checkpoint frontier with Advance semantics -----------------------
+  /** Reference `internal/staging/checkpoint/group.go:121`: per-partition
+    * monotone frontier (regressions rejected), group resolved = the
+    * minimum frontier across partitions.
+    */
+  def checkpointFrontier(s: SparkSession, dir: String): DataFrame = {
+    val proposals = events(s, dir).select(
+      pmod(col("user_id"), lit(4L)).as("p"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
+      col("event_id").as("arrival"))
+    val frontiers = Checkpoint.advance(proposals, col("p"), col("nanos"), col("arrival"))
+    frontiers
+      .crossJoin(broadcast(Checkpoint.groupResolved(frontiers)))
+      .orderBy("partition")
+  }
+
+  val checkpointFrontierSql: String =
+    """WITH p AS (
+      |  SELECT user_id % 4 AS partition, epoch_us(ts) * 1000 AS nanos,
+      |    event_id AS arrival
+      |  FROM events),
+      |t AS (
+      |  SELECT partition, nanos,
+      |    CASE WHEN nanos <= MAX(nanos) OVER (PARTITION BY partition ORDER BY arrival
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS rej
+      |  FROM p),
+      |f AS (
+      |  SELECT partition, MAX(nanos) AS frontier_nanos, COUNT(*) AS n_proposals,
+      |    CAST(SUM(rej) AS BIGINT) AS n_rejected
+      |  FROM t GROUP BY 1)
+      |SELECT partition, frontier_nanos, n_proposals, n_rejected,
+      |  (SELECT MIN(frontier_nanos) FROM f) AS resolved_nanos
+      |FROM f ORDER BY partition""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest_by_key" -> (latestByKey _),
     "cdc_unique_by_time_key" -> (uniqueByTimeKey _),
@@ -539,7 +778,12 @@ object CdcQueries {
     "cdc_userscript" -> (userscript _),
     "cdc_state_at" -> (stateAt _),
     "cdc_apply_sink" -> (applySink _),
-    "cdc_staging_partitioned" -> (stagingPartitioned _))
+    "cdc_staging_partitioned" -> (stagingPartitioned _),
+    "cdc_kafka_payload" -> (kafkaPayload _),
+    "cdc_txn_log" -> (txnLog _),
+    "cdc_schema_drift" -> (schemaDrift _),
+    "cdc_merge_dlq" -> (mergeDlq _),
+    "cdc_checkpoint_frontier" -> (checkpointFrontier _))
 
   val oracles: Map[String, String] = Map(
     "cdc_latest_by_key" -> latestByKeySql,
@@ -565,5 +809,10 @@ object CdcQueries {
     "cdc_state_at" -> stateAtSql,
     "cdc_apply_sink" -> applySinkSql,
     "cdc_staging_partitioned" -> stagingPartitionedSql,
-    "cdc_workload_check" -> workloadCheckSql)
+    "cdc_workload_check" -> workloadCheckSql,
+    "cdc_kafka_payload" -> kafkaPayloadSql,
+    "cdc_txn_log" -> txnLogSql,
+    "cdc_schema_drift" -> schemaDriftSql,
+    "cdc_merge_dlq" -> mergeDlqSql,
+    "cdc_checkpoint_frontier" -> checkpointFrontierSql)
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.cdc.{Checkpoint, Kafka, SchemaWatch, TxnLog}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Specs for the wire-format sources (Kafka envelope, binlog-shaped
+  * transaction log), schema drift, and checkpoint frontier semantics —
+  * each mirrored from the reference's own test fixtures
+  * (`internal/source/kafka/payload_test.go`, `mylogical/conn_test.go`,
+  * `staging/checkpoint/group_test.go`).
+  */
+class WireFormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Kafka: mutation vs resolved classification, deletes, HLC parse") {
+    val wire = Seq(
+      ("t", 0L, 1L, """[1]""", """{"after":{"id":1,"v":"a"},"updated":"1000.0000000000"}"""),
+      ("t", 0L, 2L, """[1]""", """{"updated":"2000.0000000000"}"""), // delete: no after
+      ("t", 0L, 3L, null.asInstanceOf[String], """{"resolved":"3000.0000000000"}"""),
+      ("t", 1L, 1L, """[2]""", """{"after":{"id":2,"v":"b"},"updated":"not-an-hlc"}"""))
+      .toDF("topic", "partition", "offset", "key", "value")
+    val muts = Kafka.mutations(wire).collect().sortBy(r => (r.getLong(1), r.getLong(2)))
+    assert(muts.length == 3) // resolved message is not a mutation
+    assert(!muts(0).getBoolean(muts(0).fieldIndex("is_delete")))
+    assert(muts(1).getBoolean(muts(1).fieldIndex("is_delete")))
+    assert(muts(0).getStruct(muts(0).fieldIndex("hlc")).getLong(0) == 1000L)
+    // malformed HLC yields a NULL struct (DLQ route), not a job abort
+    assert(muts(2).isNullAt(muts(2).fieldIndex("hlc")))
+    val res = Kafka.resolved(wire).collect()
+    assert(res.length == 1)
+    assert(res(0).getStruct(res(0).fieldIndex("hlc")).getLong(0) == 3000L)
+  }
+
+  test("TxnLog: commit applies atomically, rollback and open txns vanish") {
+    val frames = Seq(
+      (1L, "BEGIN", 10L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 100L),
+      (2L, "ROW", 10L, java.lang.Long.valueOf(1L), """{"c":5}""", 101L),
+      (3L, "BEGIN", 11L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 102L),
+      (4L, "ROW", 11L, java.lang.Long.valueOf(2L), """{"c":7}""", 103L),
+      (5L, "ROW", 10L, java.lang.Long.valueOf(1L), """{"c":9}""", 104L),
+      (6L, "COMMIT", 10L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 105L),
+      (7L, "ROLLBACK", 11L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 106L),
+      (8L, "BEGIN", 12L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 107L),
+      (9L, "ROW", 12L, java.lang.Long.valueOf(3L), """{"c":1}""", 108L)) // open: never commits
+      .toDF("lsn", "op", "xid", "key", "data", "ts_us")
+    val out = TxnLog.committedRows(frames).collect()
+    assert(out.map(_.getAs[Long]("xid")).toSet == Set(10L)) // only the committed txn
+    assert(out.length == 2) // both its rows, interleaved or not
+    assert(out.forall(_.getAs[Long]("commit_lsn") == 6L))
+    val cp = TxnLog.consistentPoint(frames).collect()(0)
+    assert(cp.getLong(0) == 6L)
+  }
+
+  test("SchemaWatch: align pads added columns, drops removed ones") {
+    val oldBatch = Seq((1L, 10L, 1.5)).toDF("id", "uid", "value")
+    val newBatch = Seq((2L, 20L, 150L, "billing")).toDF("id", "uid", "cents", "route")
+    val out = SchemaWatch.evolve(Seq(oldBatch, newBatch))
+      .orderBy("id").collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head == Seq("id", "uid", "cents", "route"))
+    assert(out(0).isNullAt(2) && out(0).isNullAt(3)) // old row: null-padded
+    assert(out(1).getLong(2) == 150L && out(1).getString(3) == "billing")
+  }
+
+  test("Checkpoint: regressions rejected, frontier monotone, group min") {
+    // partition 0 proposes 100, 300, 200 (regression), 300 (equal: also
+    // rejected — the reference's Advance requires strictly forward);
+    // partition 1 proposes 150 only
+    val props = Seq(
+      (0L, 100L, 1L), (0L, 300L, 2L), (0L, 200L, 3L), (0L, 300L, 4L),
+      (1L, 150L, 1L)).toDF("p", "nanos", "arrival")
+    val f = Checkpoint.advance(props, col("p"), col("nanos"), col("arrival"))
+      .orderBy("partition").collect()
+    assert(f(0).getAs[Long]("frontier_nanos") == 300L)
+    assert(f(0).getAs[Long]("n_rejected") == 2L)
+    assert(f(1).getAs[Long]("frontier_nanos") == 150L)
+    assert(f(1).getAs[Long]("n_rejected") == 0L)
+    val g = Checkpoint.groupResolved(
+      Checkpoint.advance(props, col("p"), col("nanos"), col("arrival"))).collect()(0)
+    assert(g.getLong(0) == 150L) // multi-source minimum
+  }
+
+  test("Pipeline.mergeOrDlq routes conflicted rows to dead letters") {
+    // key 1: second write's before-image (10) matches the prior proposed
+    // value (10) -> clean; third write claims before=99 but target is 20
+    // -> conflict
+    val muts = Seq(
+      (1L, 1L, 10.0, null.asInstanceOf[java.lang.Double]),
+      (1L, 2L, 20.0, java.lang.Double.valueOf(10.0)),
+      (1L, 3L, 30.0, java.lang.Double.valueOf(99.0)))
+      .toDF("k", "seq", "value", "before_value")
+    val p = Pipeline(muts, keys = Seq("k"), order = struct(col("seq")))
+      .mergeOrDlq(col("before_value"), col("value"))
+    assert(p.state.count() == 2)
+    val dead = p.deadLetters.get.collect()
+    assert(dead.length == 1)
+    assert(dead(0).getAs[Long]("seq") == 3L)
+    assert(dead(0).getAs[String]("dlq_reason") == "merge_conflict")
+  }
+}
