@@ -719,6 +719,47 @@ object CdcQueries {
       |            ELSE 'conflict' END) = 'conflict'
       |ORDER BY event_id""".stripMargin
 
+  // -- 30: user-SUPPLIED script (JSON DSL of SQL expressions) ---------------
+  /** The reference's extensibility story (`internal/script`: a goja VM
+    * running user JS per mutation) re-expressed as runtime-compiled
+    * user input: the script below is a plain STRING — filter, rewrite,
+    * and dispatch logic all arrive as user-authored SQL expressions
+    * parsed by Catalyst at plan time, so user logic still runs inside
+    * whole-stage codegen.
+    */
+  def userscriptDsl(s: SparkSession, dir: String): DataFrame = {
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |   {"op": "filter", "where": "event_type <> 'error'"},
+        |   {"op": "map", "cols": {
+        |      "cents": "cast(round(value * 100, 0) as bigint)",
+        |      "big": "cents >= 5000"}},
+        |   {"op": "drop", "cols": ["props", "value", "ts"]}],
+        | "dispatch": {
+        |   "routes": [{"name": "billing", "when": "event_type = 'purchase'"},
+        |              {"name": "crm", "when": "event_type = 'signup'"}],
+        |   "default": "telemetry"}}""".stripMargin)
+    val routed = script.dispatch(events(s, dir))
+    routed.toSeq.map { case (route, df) =>
+      df.groupBy(lit(route).as("route"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(when(col("big"), 1L).otherwise(0L)).as("n_big"))
+    }.reduce(_ unionByName _).orderBy("route")
+  }
+
+  val userscriptDslSql: String =
+    """WITH t AS (
+      |  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type <> 'error'),
+      |r AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 'billing'
+      |              WHEN event_type = 'signup' THEN 'crm'
+      |              ELSE 'telemetry' END AS route, cents
+      |  FROM t)
+      |SELECT route, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(SUM(CASE WHEN cents >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      |FROM r GROUP BY route ORDER BY route""".stripMargin
+
   // -- 29: checkpoint frontier with Advance semantics -----------------------
   /** Reference `internal/staging/checkpoint/group.go:121`: per-partition
     * monotone frontier (regressions rejected), group resolved = the
@@ -783,7 +824,8 @@ object CdcQueries {
     "cdc_txn_log" -> (txnLog _),
     "cdc_schema_drift" -> (schemaDrift _),
     "cdc_merge_dlq" -> (mergeDlq _),
-    "cdc_checkpoint_frontier" -> (checkpointFrontier _))
+    "cdc_checkpoint_frontier" -> (checkpointFrontier _),
+    "cdc_userscript_dsl" -> (userscriptDsl _))
 
   val oracles: Map[String, String] = Map(
     "cdc_latest_by_key" -> latestByKeySql,
@@ -814,5 +856,6 @@ object CdcQueries {
     "cdc_txn_log" -> txnLogSql,
     "cdc_schema_drift" -> schemaDriftSql,
     "cdc_merge_dlq" -> mergeDlqSql,
-    "cdc_checkpoint_frontier" -> checkpointFrontierSql)
+    "cdc_checkpoint_frontier" -> checkpointFrontierSql,
+    "cdc_userscript_dsl" -> userscriptDslSql)
 }

@@ -80,6 +80,29 @@ class WireFormatsSpec extends SparkSpec {
     assert(g.getLong(0) == 150L) // multi-source minimum
   }
 
+  test("UserScript: user-supplied JSON DSL compiles into the plan") {
+    val df = Seq((1L, "purchase", 60.0), (2L, "signup", 1.0), (3L, "error", 9.0))
+      .toDF("id", "event_type", "value")
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |   {"op": "filter", "where": "event_type <> 'error'"},
+        |   {"op": "map", "cols": {"cents": "cast(round(value*100,0) as bigint)",
+        |                          "big": "cents >= 5000"}},
+        |   {"op": "drop", "cols": ["value"]}],
+        | "dispatch": {"routes": [{"name": "billing", "when": "event_type = 'purchase'"}],
+        |              "default": "other"}}""".stripMargin)
+    val routed = script.dispatch(df)
+    assert(routed.keySet == Set("billing", "other"))
+    val billing = routed("billing").collect()
+    assert(billing.length == 1 && billing(0).getAs[Long]("cents") == 6000L)
+    assert(billing(0).getAs[Boolean]("big"))
+    assert(routed("other").collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    // a malformed user expression fails at compile/plan time, per row never
+    val bad = graft.script.UserScript.compile(
+      """{"stages": [{"op": "filter", "where": "no_such_col >>> 1"}]}""")
+    intercept[Exception] { bad(df).collect() }
+  }
+
   test("Pipeline.mergeOrDlq routes conflicted rows to dead letters") {
     // key 1: second write's before-image (10) matches the prior proposed
     // value (10) -> clean; third write claims before=99 but target is 20
