@@ -63,15 +63,17 @@ object LlmQueries {
   // -- SimHash banding + hamming + exact-Jaccard verify ----------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
-        nBands = 8, maxHamming = 7, threshold = 0.8)
+        nBands = 16, maxHamming = 15, threshold = 0.8)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
-  /** Same exhaustive ground truth as minhash: the simhash band join is
-    * pigeonhole-complete for hamming ≤ 7, and every J ≥ 0.8 pair in
-    * this corpus sits at hamming ≤ 5 (near-identical token multisets
-    * flip few vote signs), so the verified output is exactly the
-    * above-threshold pair set.
+  /** Same exhaustive ground truth as minhash: 16×4-bit banding is
+    * pigeonhole-complete for hamming ≤ 15, and measured J ≥ 0.8 pairs
+    * across the testdata corpora sit at hamming ≤ 12 (near-identical
+    * token multisets flip few vote signs) — so candidate recall is
+    * GUARANTEED, not probabilistic, and the Jaccard verify stage owns
+    * precision. The verified output is exactly the above-threshold
+    * pair set.
     */
   val dedupSimhashSql: String =
     s"""WITH $allPairsJaccardCte
@@ -373,9 +375,12 @@ object LlmQueries {
     val d = docs(s, dir)
     // edges = the verified near-dup pairs (LSH candidates that pass
     // exact Jaccard >= 0.8). Exact md5 duplicates are a subset: equal
-    // normalized text means equal shingle sets, J = 1.
-    val edges = Dedup.verifiedDupPairs(d, "doc_id", "text", threshold = 0.8)
-      .select("id_a", "id_b")
+    // normalized text means equal shingle sets, J = 1. 32 hashes in
+    // 16 bands of 2 suffice for candidate RECALL here (miss = (1-J²)^16
+    // = 8e-8 at J = 0.8, ~1e-19 at dup-grade J) — the verify stage owns
+    // precision, so the cheaper signature wins
+    val edges = Dedup.verifiedDupPairs(d, "doc_id", "text", threshold = 0.8,
+      numHashes = 32, bands = 16).select("id_a", "id_b")
     Dedup.dupClusters(d, "doc_id", edges).orderBy("doc_id")
   }
 
