@@ -556,19 +556,24 @@ object CdcQueries {
         .write.mode("overwrite").json(outDir)
     }
     val raw = Kafka.read(s, outDir)
-    val muts = Kafka.mutations(raw)
+    // two passes over the wire log, no more: resolved messages are a
+    // tiny fraction, so the frontier aggregate is cheap and broadcasts
+    // into ONE conditional-aggregation pass over the mutations (counts,
+    // deletes, and applied-below-frontier together) — separate
+    // mstats/applied branches would scan a 100 TB topic archive thrice
     val frontier = Kafka.resolved(raw)
       .groupBy("partition")
       .agg(max(col("hlc.nanos")).as("frontier_nanos"),
         count(lit(1)).as("n_resolved"))
-    val mstats = muts.groupBy("partition")
+    Kafka.mutations(raw)
+      .join(broadcast(frontier), Seq("partition"))
+      .groupBy("partition")
       .agg(count(lit(1)).as("n_muts"),
-        sum(when(col("is_delete"), 1L).otherwise(0L)).as("n_deletes"))
-    val applied = muts.join(frontier, "partition")
-      .filter(col("hlc.nanos") <= col("frontier_nanos"))
-      .groupBy("partition").agg(count(lit(1)).as("n_applied"))
-    mstats.join(frontier, "partition").join(applied, Seq("partition"), "left")
-      .na.fill(0L, Seq("n_applied"))
+        sum(when(col("is_delete"), 1L).otherwise(0L)).as("n_deletes"),
+        first(col("frontier_nanos")).as("frontier_nanos"),
+        first(col("n_resolved")).as("n_resolved"),
+        sum(when(col("hlc.nanos") <= col("frontier_nanos"), 1L).otherwise(0L))
+          .as("n_applied"))
       .orderBy("partition")
   }
 
