@@ -48,7 +48,7 @@ final case class Pipeline(
     * become a ConflictError handed to the DLQ) composed as one stage.
     */
   def mergeOrDlq(before: Column, proposed: Column): Pipeline = {
-    val merged = MergeOps.threeWayMerge(mutations, keys.head, Seq(order),
+    val merged = MergeOps.threeWayMerge(mutations, keys, Seq(order),
       before, proposed, (target, _, _) => target) // no fallback: keep target
     val (ok, dead) = Dlq.route(merged,
       Seq("merge_conflict" -> (col("merge_status") === "conflict")))

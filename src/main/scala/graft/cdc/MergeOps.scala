@@ -78,12 +78,13 @@ object MergeOps {
     */
   def threeWayMerge(
       muts: DataFrame,
-      key: String,
+      keys: Seq[String],
       orderCols: Seq[Column],
       before: Column,
       proposed: Column,
       resolver: (Column, Column, Column) => Column): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    require(keys.nonEmpty, "threeWayMerge needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     val target = lag(proposed, 1).over(w)
     val status = when(target.isNull || target === before, lit("clean"))
       .when(target === proposed, lit("idempotent"))

@@ -78,11 +78,17 @@ object Dedup {
     * (doc × shingle) cardinality, one groupBy produces the signature.
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
-      numHashes: Int = 64, k: Int = 3): DataFrame = {
-    val sh = shingleHashes(docs, id, text, k)
-    // One min-aggregate per hash seed: every expression is codegen'd
-    // (no higher-order array folds) and partially aggregated map-side,
-    // so the shuffle carries numHashes longs per doc, not per shingle.
+      numHashes: Int = 64, k: Int = 3): DataFrame =
+    minhashFromShingles(shingleHashes(docs, id, text, k), id, numHashes)
+
+  /** Signature aggregation over a prebuilt (doc, shingle) frame — lets
+    * a pipeline that also needs the shingles for verification build
+    * them once. One min-aggregate per hash seed: every expression is
+    * codegen'd (no higher-order array folds) and partially aggregated
+    * map-side, so the shuffle carries numHashes longs per doc, not per
+    * shingle.
+    */
+  def minhashFromShingles(sh: DataFrame, id: String, numHashes: Int = 64): DataFrame = {
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     sh.groupBy(col(id))
@@ -118,8 +124,11 @@ object Dedup {
     * stage after LSH): |A∩B| via a shingle join, |A∪B| = |A|+|B|−|∩|.
     */
   def jaccard(docs: DataFrame, id: String, text: String,
-      pairs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingleHashes(docs, id, text, k) // already a distinct set
+      pairs: DataFrame, k: Int = 3): DataFrame =
+    jaccardFromShingles(shingleHashes(docs, id, text, k), id, pairs)
+
+  /** Jaccard over a prebuilt (doc, shingle) frame (a distinct set). */
+  def jaccardFromShingles(sh: DataFrame, id: String, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
     // no broadcast hint: candidate-pair cardinality is bounded only by
     // LSH bucket occupancy, so let AQE broadcast when actually small
@@ -213,10 +222,17 @@ object Dedup {
     * above-threshold pairs, and the verify stage discards the rest.
     */
   def verifiedDupPairs(docs: DataFrame, id: String, text: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sigs = minhashSignatures(docs, id, text, numHashes)
-    val cands = lshCandidates(sigs, id, bands, numHashes / bands)
-    jaccard(docs, id, text, cands)
+      threshold: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    // the banding default is rows-per-band = 2: candidate recall at the
+    // THRESHOLD (not just at dup-grade J) is what makes the verified
+    // output exhaustive — miss = (1−J²)^b = 0.36³² ≈ 6e-15 at J = 0.8,
+    // where r = 4 banding would miss ≈ 2e-4 of borderline pairs.
+    // The shingle frame is built once and shared by the signature and
+    // verification stages (identical subtrees let Spark reuse work).
+    val sh = shingleHashes(docs, id, text)
+    val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
+      bands, numHashes / bands)
+    jaccardFromShingles(sh, id, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
   }
@@ -239,9 +255,10 @@ object Dedup {
     * `threshold`; neither candidate source is ever O(n²).
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-      nBands: Int = 8, maxHamming: Int = 15, threshold: Double = 0.8): DataFrame = {
+      nBands: Int = 8, maxHamming: Int = 23, threshold: Double = 0.8): DataFrame = {
     require(64 % nBands == 0, "nBands must divide 64")
     val width = 64 / nBands
+    val sh = shingleHashes(docs, id, text) // shared: signatures + verify
     val sig = simhash(docs, id, text).select(col(id), col("simhash"))
     val banded = sig.select(col(id), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
@@ -266,14 +283,14 @@ object Dedup {
       .filter(ham(math.min(nBands - 1, maxHamming)))
       .select("id_a", "id_b")
     val lshTail = lshCandidates(
-        minhashSignatures(docs, id, text, numHashes = 32), id,
+        minhashFromShingles(sh, id, numHashes = 32), id,
         bands = 16, rowsPerBand = 2)
       .join(sig.select(col(id).as("id_a"), col("simhash").as("sim_a")), "id_a")
       .join(sig.select(col(id).as("id_b"), col("simhash").as("sim_b")), "id_b")
       .filter(ham(maxHamming))
       .select("id_a", "id_b")
     val cands = bandCands.union(lshTail).distinct()
-    jaccard(docs, id, text, cands)
+    jaccardFromShingles(sh, id, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
   }

@@ -16,16 +16,42 @@ object CdcQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
-  /** Fixture-dir tag: sf dir + source length + mtime (a regenerated
-    * events table of identical size must still invalidate the cache) +
-    * the JVM pid (concurrent Verify/Bench processes must never share a
-    * tmp dir — an overwrite-vs-read race on _SUCCESS). Within one JVM
-    * the fixture is written once and reused across queries/reruns.
+  /** Per-process scratch tag — only for sinks that REWRITE on every run
+    * (the write is the operator under test); build-once fixtures use
+    * [[fixture]] instead.
     */
   private def fixtureTag(dir: String): String = {
     val f = new java.io.File(s"$dir/events.parquet")
     dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + f.length() + "_" +
       f.lastModified() + "_p" + ProcessHandle.current().pid()
+  }
+
+  /** Build-once fixture directory, safe under concurrent processes.
+    *
+    * The name is content-keyed (sf dir + source length + mtime, so a
+    * regenerated events table invalidates the cache) and STABLE across
+    * processes — reruns reuse it instead of leaking one copy per pid.
+    * Writers stage into a pid-suffixed temp dir and ATOMICALLY rename
+    * into place: concurrent Verify/Bench runs race to one winner,
+    * losers discard their copy, and a reader can never observe a
+    * half-written dir (_SUCCESS only ever arrives via the rename).
+    */
+  private def fixture(dir: String, kind: String)(write: String => Unit): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + src.length() +
+      "_" + src.lastModified()
+    val stable = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_${kind}_$tag")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (!new java.io.File(stable, "_SUCCESS").exists()) {
+      if (stable.exists()) rm(stable) // crash leftover: never had _SUCCESS
+      val tmp = new java.io.File(stable.getPath + ".w" + ProcessHandle.current().pid())
+      write(tmp.getPath)
+      if (!tmp.renameTo(stable)) rm(tmp) // lost the race — winner's copy stands
+    }
+    stable.getPath
   }
   private def ord: Column = struct(col("ts"), col("event_id"))
   private def cents(c: Column): Column = round(c * 100).cast("long")
@@ -152,7 +178,7 @@ object CdcQueries {
     val before = lag(col("value"), 1).over(wBefore)
     MergeOps.threeWayMerge(
         events(s, dir).withColumn("before_value", before),
-        "user_id", Seq(col("ts"), col("event_id")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
         col("before_value"), col("value"),
         (target, _, proposed) => greatest(target, proposed))
       .select("event_id", "user_id", "event_type", "value", "before_value",
@@ -259,9 +285,6 @@ object CdcQueries {
 
   // -- 15: source/objstore changefeed files (rows-only) --------------------
   def changefeedFiles(s: SparkSession, dir: String): DataFrame = {
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_changefeed_${fixtureTag(dir)}"
-    // fixture is deterministic per sf dir — writing once is enough
-    val done = new java.io.File(s"$outDir/_SUCCESS").exists()
     val envelope = events(s, dir).select(
       when(col("event_type") === "error", lit(null).cast("string"))
         .otherwise(to_json(struct(col("event_id"), col("user_id"), col("value"))))
@@ -269,7 +292,8 @@ object CdcQueries {
       to_json(array(col("user_id"))).as("key"),
       concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"), lit(".0000000000"))
         .as("updated"))
-    if (!done) envelope.write.mode("overwrite").json(outDir)
+    val outDir = fixture(dir, "changefeed")(p =>
+      envelope.write.mode("overwrite").json(p))
     Changefeed.read(s, outDir)
       .agg(count(lit(1)).as("n_muts"),
         sum(when(col("is_delete"), 1L).otherwise(0L)).as("n_deletes"),
@@ -309,15 +333,14 @@ object CdcQueries {
   // -- 18: cdcjson query-format payloads (webhook_query.go) ----------------
   def queryPayload(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_queryfmt_${fixtureTag(dir)}"
     // emit flat rows with a __crdb__ metadata object, the query-format
     // wire shape, then parse them back through the schema'd reader
-    if (!new java.io.File(s"$outDir/_SUCCESS").exists())
+    val outDir = fixture(dir, "queryfmt")(p =>
       events(s, dir).select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         struct(concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"),
           lit(".0000000000")).as("updated")).as("__crdb__"))
-        .write.mode("overwrite").json(outDir)
+        .write.mode("overwrite").json(p))
     val dataSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType)))
@@ -467,10 +490,9 @@ object CdcQueries {
     * from it.
     */
   def stagingPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_staging_${fixtureTag(dir)}"
-    if (!new java.io.File(s"$outDir/_SUCCESS").exists())
+    val outDir = fixture(dir, "staging")(p =>
       events(s, dir).withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(outDir)
+        .write.mode("overwrite").partitionBy("day").parquet(p))
     val store = s.read.parquet(outDir)
     // the window is data-relative (min day + [4, 9)), never hardcoded —
     // regenerated testdata with a different time range must still hit.
@@ -525,8 +547,7 @@ object CdcQueries {
     * how much of the feed is applied below it.
     */
   def kafkaPayload(s: SparkSession, dir: String): DataFrame = {
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_kafka_${fixtureTag(dir)}"
-    if (!new java.io.File(s"$outDir/_SUCCESS").exists()) {
+    val outDir = fixture(dir, "kafka") { p =>
       val ev = events(s, dir)
       val nanosStr = (unix_micros(col("ts").cast("timestamp")) * 1000).cast("string")
       val muts = ev.select(
@@ -553,7 +574,7 @@ object CdcQueries {
       muts.union(res)
         .withColumn("offset", row_number().over(w).cast("long"))
         .drop("__ord", "__tie")
-        .write.mode("overwrite").json(outDir)
+        .write.mode("overwrite").json(p)
     }
     val raw = Kafka.read(s, outDir)
     // two passes over the wire log, no more: resolved messages are a
@@ -608,8 +629,7 @@ object CdcQueries {
     * batches — xid % 17 == 0 transactions roll back and must vanish.
     */
   def txnLog(s: SparkSession, dir: String): DataFrame = {
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_txnlog_${fixtureTag(dir)}"
-    if (!new java.io.File(s"$outDir/_SUCCESS").exists()) {
+    val outDir = fixture(dir, "txnlog") { p =>
       val ev = events(s, dir)
         .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("xid",
@@ -634,7 +654,7 @@ object CdcQueries {
       rows.union(begins).union(ends)
         .withColumn("lsn", row_number().over(w).cast("long"))
         .drop("__rk", "__tie")
-        .write.mode("overwrite").json(outDir)
+        .write.mode("overwrite").json(p)
     }
     TxnLog.committedRows(TxnLog.read(s, outDir))
       .groupBy(
@@ -775,7 +795,11 @@ object CdcQueries {
       pmod(col("user_id"), lit(4L)).as("p"),
       (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
       col("event_id").as("arrival"))
+    // cache: the frontier aggregate (one row per partition) feeds both
+    // the output and the group minimum — without it the events scan +
+    // running-max window would execute twice
     val frontiers = Checkpoint.advance(proposals, col("p"), col("nanos"), col("arrival"))
+      .cache()
     frontiers
       .crossJoin(broadcast(Checkpoint.groupResolved(frontiers)))
       .orderBy("partition")

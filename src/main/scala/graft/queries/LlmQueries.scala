@@ -63,17 +63,17 @@ object LlmQueries {
   // -- SimHash banding + hamming + exact-Jaccard verify ----------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
-        nBands = 8, maxHamming = 15, threshold = 0.8)
+        nBands = 8, maxHamming = 23, threshold = 0.8)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
   /** Same exhaustive ground truth as minhash: the ensemble candidate
     * set (8×8 simhash bands ∪ minhash-LSH) covers every J ≥ 0.8 pair,
     * and measured J ≥ 0.8 pairs across the testdata corpora sit at
-    * hamming ≤ 12 ≤ maxHamming 15 (near-identical token multisets flip
-    * few vote signs), so the hamming filter drops none of them and the
-    * Jaccard verify stage owns precision: the verified output is
-    * exactly the above-threshold pair set.
+    * hamming ≤ 12, far under maxHamming 23 (unrelated docs center near
+    * 32), so the hamming filter drops none of them and the Jaccard
+    * verify stage owns precision: the verified output is exactly the
+    * above-threshold pair set.
     */
   val dedupSimhashSql: String =
     s"""WITH $allPairsJaccardCte

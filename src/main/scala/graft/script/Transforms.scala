@@ -48,8 +48,10 @@ object Transforms {
     defaultRoute match {
       case None => routed
       case Some(name) =>
-        val noneMatched = routes.map(_._2).map(!coalesce(_, lit(false)))
-          .reduce(_ && _)
+        // no routes at all: everything is unrouted (foldLeft, not
+        // reduce — an empty route list must not throw)
+        val noneMatched = routes.map(_._2)
+          .foldLeft(lit(true))((acc, p) => acc && !coalesce(p, lit(false)))
         routed + (name -> df.filter(noneMatched))
     }
   }

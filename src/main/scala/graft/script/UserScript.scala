@@ -43,33 +43,48 @@ object UserScript {
       Transforms.dispatch(pipeline(df), routes, defaultRoute)
   }
 
+  /** Field access that names the offender — a malformed script must
+    * fail with "stage 2 (map) is missing 'cols'", never a bare NPE.
+    */
+  private def req(node: JsonNode, field: String, ctx: String): JsonNode = {
+    val v = node.get(field)
+    if (v == null || v.isNull)
+      throw new IllegalArgumentException(s"user script: $ctx is missing '$field'")
+    v
+  }
+
   def compile(json: String): Script = {
     val root = mapper.readTree(json)
     val stages = Option(root.get("stages")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
-    val steps: Seq[Transforms.Step] = stages.map { st =>
-      st.get("op").asText() match {
-        case "filter" => Transforms.Filter(expr(st.get("where").asText()))
+    val steps: Seq[Transforms.Step] = stages.zipWithIndex.map { case (st, i) =>
+      val ctx = s"stage $i"
+      req(st, "op", ctx).asText() match {
+        case "filter" =>
+          Transforms.Filter(expr(req(st, "where", s"$ctx (filter)").asText()))
         case "map" =>
           // Jackson preserves document field order, so rewrites apply in
           // the order the user wrote them (later cols may read earlier)
-          val cols = st.get("cols").fields().asScala.toSeq
+          val cols = req(st, "cols", s"$ctx (map)").fields().asScala.toSeq
             .map(e => e.getKey -> expr(e.getValue.asText()))
           Transforms.MapCols(cols: _*)
         case "drop" =>
           Transforms.DropCols(
-            st.get("cols").elements().asScala.map(_.asText()).toSeq: _*)
+            req(st, "cols", s"$ctx (drop)").elements().asScala.map(_.asText()).toSeq: _*)
         case other =>
-          throw new IllegalArgumentException(s"unknown script op: $other")
+          throw new IllegalArgumentException(s"user script: unknown op '$other' in $ctx")
       }
     }
     val (routes, default) = Option(root.get("dispatch")) match {
       case None => (Seq.empty[(String, Column)], None)
       case Some(d) =>
         val rs = Option(d.get("routes")).map(_.elements().asScala.toSeq)
-          .getOrElse(Seq.empty)
-          .map(r => r.get("name").asText() -> expr(r.get("when").asText()))
-        (rs, Option(d.get("default")).map(_.asText()))
+          .getOrElse(Seq.empty).zipWithIndex
+          .map { case (r, i) =>
+            req(r, "name", s"route $i").asText() ->
+              expr(req(r, "when", s"route $i").asText())
+          }
+        (rs, Option(d.get("default")).filterNot(_.isNull).map(_.asText()))
     }
     Script(Transforms.Pipeline(steps: _*), routes, default)
   }

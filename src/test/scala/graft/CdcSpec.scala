@@ -74,7 +74,7 @@ class CdcSpec extends SparkSpec {
       (9L, 3L, Some(7.0), 3.0),
       (9L, 4L, Some(8.0), 3.0) // diverged before, but proposed == target
     ).toDF("key", "ts", "before", "proposed")
-    val out = MergeOps.threeWayMerge(log, "key", Seq(col("ts")),
+    val out = MergeOps.threeWayMerge(log, Seq("key"), Seq(col("ts")),
         col("before"), col("proposed"),
         (t, _, p) => greatest(t, p))
       .select("ts", "merge_status", "resolved_value")
