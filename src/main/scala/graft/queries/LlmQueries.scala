@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`. */
@@ -243,6 +244,121 @@ object LlmQueries {
       |FROM d WHERE d.split <> 'train'
       |GROUP BY d.split ORDER BY d.split""".stripMargin
 
+  // -- corpus mixing: deterministic per-source sampling -----------------------
+  /** Training-mix construction: each source gets a sampling rate and
+    * docs are kept by a pure hash of their id (Lehmer step, distinct
+    * multiplier from the split function so the two decisions are
+    * independent) — rerun/retry/partition stable, no RNG state, and the
+    * keep decision is computable per row wherever it lands (no shuffle
+    * to sample 100 TB).
+    */
+  def dataSampleBySource(s: SparkSession, dir: String): DataFrame = {
+    val srcIdx = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+    val ratePct = (pmod(srcIdx, lit(4)) + 1) * 25 // 25/50/75/100 by source
+    val keep =
+      pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(16807L), lit(2147483647L)) % 100 < ratePct
+    docs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(keep, col("n_chars"))), lit(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  val dataSampleBySourceSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN ((doc_id % 2147483647) * 16807) % 2147483647 % 100
+      |        < (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) % 4 + 1) * 25
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(SUM(CASE WHEN ((doc_id % 2147483647) * 16807) % 2147483647 % 100
+      |        < (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) % 4 + 1) * 25
+      |      THEN n_chars END), 0) AS BIGINT) AS kept_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // -- sequence packing into token-budget chunks ------------------------------
+  /** Pack documents into ~`budget`-token training chunks per source, in
+    * deterministic doc order: chunk id = floor(exclusive-running-token-
+    * sum / budget). One window per source (each source's docs co-locate
+    * via the partition key — the window never sees more than one
+    * source) + one aggregation; the greedy packer a data loader runs,
+    * expressed as a plan.
+    */
+  def dataPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val nToks = size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .withColumn("__toks", nToks)
+      .withColumn("chunk_id",
+        floor(coalesce(sum(col("__toks")).over(w), lit(0L)) / budget))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "chunk_id")
+  }
+
+  val dataPackSequencesSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, toks,
+      |    COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS chunk_id
+      |  FROM t)
+      |SELECT source, chunk_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+
+  // -- n-gram-level train/test contamination ----------------------------------
+  /** Eval decontamination at the n-gram level (the standard 8-gram
+    * overlap check): a val/test doc is contaminated if ANY of its word
+    * 8-grams appears in the train split. Shingle hashes + a semi-join —
+    * the train shingle set shuffles once; at 100 TB the test side is
+    * tiny and the join is a broadcast.
+    */
+  def dataContaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val bucket = splitBucket(col("doc_id"))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val withSplit = docs(s, dir).select(col("doc_id"), split.as("split"))
+    val sh8 = Dedup.shingleHashes(docs(s, dir), "doc_id", "text", k = 8)
+      .join(withSplit, "doc_id")
+    val trainGrams = sh8.filter(col("split") === "train").select("shingle").distinct()
+    val eval_ = sh8.filter(col("split") =!= "train")
+    val contaminated = eval_.join(trainGrams, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    withSplit.filter(col("split") =!= "train")
+      .join(contaminated.withColumn("__hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .orderBy("split")
+  }
+
+  val dataContaminationNgramSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+      |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+      |      WHERE len(t) > 8
+      |      UNION
+      |      SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) <= 8),
+      |d AS (SELECT doc_id,
+      |        CASE WHEN $splitBucketSql < 80 THEN 'train'
+      |             WHEN $splitBucketSql < 90 THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM documents),
+      |tg AS (SELECT DISTINCT g.s FROM g JOIN d USING (doc_id) WHERE d.split = 'train'),
+      |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN d USING (doc_id)
+      |         JOIN tg ON tg.s = g.s WHERE d.split <> 'train')
+      |SELECT d.split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated
+      |FROM d WHERE d.split <> 'train'
+      |GROUP BY d.split ORDER BY d.split""".stripMargin
+
   // -- corpus bigram statistics ----------------------------------------------
   /** Top bigrams by document frequency — classic corpus analysis. One
     * explode + two aggregations; document frequency (distinct docs per
@@ -456,6 +572,9 @@ object LlmQueries {
     "text_ngram_stats" -> (textNgramStats _),
     "data_split_stratified" -> (dataSplitStratified _),
     "data_decontamination" -> (dataDecontamination _),
+    "data_sample_by_source" -> (dataSampleBySource _),
+    "data_pack_sequences" -> (dataPackSequences _),
+    "data_contamination_ngram" -> (dataContaminationNgram _),
     "text_fingerprint" -> (textFingerprint _),
     "ann_bruteforce_cosine" -> (annBruteforce _),
     "ann_lsh_cosine" -> (annLsh _),
@@ -478,6 +597,9 @@ object LlmQueries {
     "text_ngram_stats" -> textNgramStatsSql,
     "data_split_stratified" -> dataSplitSql,
     "data_decontamination" -> dataDecontaminationSql,
+    "data_sample_by_source" -> dataSampleBySourceSql,
+    "data_pack_sequences" -> dataPackSequencesSql,
+    "data_contamination_ngram" -> dataContaminationNgramSql,
     "text_fingerprint" -> textFingerprintSql,
     "ann_bruteforce_cosine" -> annBruteforceSql,
     "ann_lsh_cosine" -> annLshSql,
