@@ -50,6 +50,18 @@ object Kafka {
         Changefeed.parseHlc("__updated").as("hlc"))
       .withColumn("is_delete", col("data").isNull || col("data") === "null")
 
+  /** Streaming read of the same wire layout — the natural mode for a
+    * live topic (the batch path covers archives/backfills). All the
+    * projections below are stateless column expressions, so they apply
+    * to a streaming frame unchanged: batch and stream parses can never
+    * diverge. `maxFilesPerTrigger` bounds micro-batches on a backlog.
+    */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** Resolved messages → (topic, partition, offset, hlc). */
   def resolved(raw: DataFrame): DataFrame =
     raw.withColumn("__resolved", get_json_object(col("value"), "$.resolved"))

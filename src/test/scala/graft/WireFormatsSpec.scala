@@ -52,6 +52,31 @@ class WireFormatsSpec extends SparkSpec {
     assert(cp.getLong(0) == 6L)
   }
 
+  test("Kafka: streaming parse equals batch parse on the same wire log") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wire = Seq(
+      ("t", 0L, 1L, """[1]""", """{"after":{"id":1},"updated":"1000.0000000000"}"""),
+      ("t", 0L, 2L, """[1]""", """{"updated":"2000.0000000000"}"""),
+      ("t", 1L, 1L, """[2]""", """{"resolved":"3000.0000000000"}"""),
+      ("t", 1L, 2L, """[3]""", """{"after":{"id":3},"updated":"4000.0000000000"}"""))
+      .toDF("topic", "partition", "offset", "key", "value")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_kafka_stream_spec"
+    wire.write.mode("overwrite").json(dir)
+    val q = graft.cdc.Kafka.mutations(
+        graft.cdc.Kafka.readStream(spark, dir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("kafka_stream_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("kafka_stream_out")
+      .select("partition", "offset", "hlc.nanos", "is_delete")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.cdc.Kafka.mutations(graft.cdc.Kafka.read(spark, dir))
+      .select("partition", "offset", "hlc.nanos", "is_delete")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.size == 3) // the resolved message is not a mutation
+  }
+
   test("SchemaWatch: align pads added columns, drops removed ones") {
     val oldBatch = Seq((1L, 10L, 1.5)).toDF("id", "uid", "value")
     val newBatch = Seq((2L, 20L, 150L, "billing")).toDF("id", "uid", "cents", "route")
