@@ -105,13 +105,19 @@ object Multimodal {
   }
 
   /** End-to-end pipeline: attach → repartition by media type (a real
-    * cluster routes video to beefier executors) → batched decode →
-    * per-type feature stats.
+    * cluster routes video to beefier executors) → batched decode, plus
+    * the one-to-many frame fan-out for video rows — every stage's
+    * output lands in the verified result (n_frames counts the sampled
+    * frames per video; 0 for stills/audio).
     */
   def pipeline(docs: DataFrame, id: String, text: String): DataFrame = {
     val media = attachPayloads(docs, id, text).repartition(col("media_type"))
+    val frames = sampleFrames(media, durationMs = 1000, everyMs = 250).toDF()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     decodeFeatures(media).toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long"),
         col("checksum"), col("feature")(0).cast("double").as("f0"))
+      .join(frames, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_frames"))
   }
 }

@@ -521,12 +521,12 @@ object LlmQueries {
   // -- embedding-cosine near-dup pairs ----------------------------------------
   /** Threshold 0.45 because the isotropic test corpus tops out at cos
     * ≈ 0.53 (a 0.8-grade threshold would be vacuously empty here);
-    * nPlanes=2 × nTables=32 gives per-pair miss < 1e-7 at cos 0.45, so
+    * nPlanes=4 × nTables=64 gives per-pair miss < 4e-6 at cos 0.45 with a quarter of the per-table collision load of shallower tables, so
     * the bucketed pair set equals the exact all-pairs answer.
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(embs(s, dir), "vec_id", "embedding",
-        nPlanes = 2, nTables = 32, threshold = 0.45)
+        nPlanes = 4, nTables = 64, threshold = 0.45)
       .orderBy("id_a", "id_b")
 
   val dedupEmbeddingCosineSql: String =
@@ -558,7 +558,9 @@ object LlmQueries {
       |  md5(payload) AS checksum,
       |  (CAST(strpos('0123456789abcdef', substr(md5(payload), 1, 1)) - 1 AS DOUBLE) * 16
       |   + CAST(strpos('0123456789abcdef', substr(md5(payload), 2, 1)) - 1 AS DOUBLE)
-      |   - 128.0) / 128.0 AS f0
+      |   - 128.0) / 128.0 AS f0,
+      |  -- video rows fan out to 4 sampled frames (0/250/500/750 ms)
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_frames
       |FROM m ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
