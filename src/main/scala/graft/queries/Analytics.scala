@@ -342,7 +342,43 @@ object Analytics {
       |  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** TPC-H Q14-shaped promo revenue: one year of lineitem joins the
+    * part dim (broadcast — parts are bounded), conditional aggregate
+    * over the promo flag. The date predicate pushes to the scan; the
+    * single shuffle is the final 1-group aggregate. The division runs
+    * in double on both engines, denominator-zero guarded identically.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_type"))
+    val revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", revenue)).cast("double") * 100.0 /
+          sum(revenue).cast("double")).as("promo_revenue_pct"),
+        sum(revenue).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      |        THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6)) END)
+      |      AS DOUBLE) * 100.0 /
+      |    CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS promo_revenue_pct,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS total_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo_revenue" -> (q14PromoRevenue _),
     "q4_priority_check" -> (q4PriorityCheck _),
     "q6_revenue_forecast" -> (q6Forecast _),
     "q_rolling_7d" -> (rolling7d _),
@@ -356,6 +392,7 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q14_promo_revenue" -> q14Sql,
     "q4_priority_check" -> q4Sql,
     "q6_revenue_forecast" -> q6Sql,
     "q_rolling_7d" -> rolling7dSql,
