@@ -53,7 +53,11 @@ object TxnLog {
         max(when(col("op") === "COMMIT", col("ts_us"))).as("commit_us"),
         max(when(col("op") === "BEGIN", col("ts_us"))).as("begin_us"),
         max(when(col("op") === "ROLLBACK", lit(1L))).as("__rolled"))
-      .filter(col("__rolled").isNull && col("commit_lsn").isNotNull)
+      // a batch needs BOTH frame ends: COMMIT without BEGIN is a torn
+      // log head (reader attached mid-transaction) and is discarded,
+      // exactly as the reference only accumulates from a BEGIN/GTID
+      .filter(col("__rolled").isNull &&
+        col("commit_lsn").isNotNull && col("begin_us").isNotNull)
       .drop("__rolled")
     frames.filter(col("op") === "ROW")
       .select("lsn", "xid", "key", "data", "ts_us")

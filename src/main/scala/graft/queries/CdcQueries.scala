@@ -45,13 +45,20 @@ object CdcQueries {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    if (!new java.io.File(stable, "_SUCCESS").exists()) {
-      if (stable.exists()) rm(stable) // crash leftover: never had _SUCCESS
-      val tmp = new java.io.File(stable.getPath + ".w" + ProcessHandle.current().pid())
-      write(tmp.getPath)
-      if (!tmp.renameTo(stable)) rm(tmp) // lost the race — winner's copy stands
-    }
-    stable.getPath
+    def complete = new java.io.File(stable, "_SUCCESS").exists()
+    if (complete) return stable.getPath
+    val tmp = new java.io.File(stable.getPath + ".w" + ProcessHandle.current().pid())
+    write(tmp.getPath)
+    if (tmp.renameTo(stable)) return stable.getPath
+    // rename failed: the name is occupied. A COMPLETE dir can only ever
+    // appear via an atomic rename, so re-checking _SUCCESS now is safe:
+    // either a concurrent writer won (use theirs) or a crashed run left
+    // garbage (no _SUCCESS, and no rename can succeed past it — remove
+    // it and retry once). A complete fixture is never deleted.
+    if (complete) { rm(tmp); return stable.getPath }
+    rm(stable)
+    if (tmp.renameTo(stable) || complete) { rm(tmp); return stable.getPath }
+    tmp.getPath // last resort: private, correct, unshared copy
   }
   private def ord: Column = struct(col("ts"), col("event_id"))
   private def cents(c: Column): Column = round(c * 100).cast("long")
@@ -795,13 +802,14 @@ object CdcQueries {
       pmod(col("user_id"), lit(4L)).as("p"),
       (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
       col("event_id").as("arrival"))
-    // cache: the frontier aggregate (one row per partition) feeds both
-    // the output and the group minimum — without it the events scan +
-    // running-max window would execute twice
+    // the group minimum rides an unpartitioned window over the already
+    // tiny per-partition aggregate (a handful of rows) — one plan, one
+    // events scan, no cache entry left behind in the session
     val frontiers = Checkpoint.advance(proposals, col("p"), col("nanos"), col("arrival"))
-      .cache()
     frontiers
-      .crossJoin(broadcast(Checkpoint.groupResolved(frontiers)))
+      .withColumn("resolved_nanos",
+        min(col("frontier_nanos")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .orderBy("partition")
   }
 

@@ -253,7 +253,11 @@ object LlmQueries {
     * to sample 100 TB).
     */
   def dataSampleBySource(s: SparkSession, dir: String): DataFrame = {
-    val srcIdx = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+    // try_cast + coalesce: a source name with no digit suffix must get
+    // a deterministic default rate on BOTH engines, not a silent null
+    // keep-decision here and a cast error in the oracle
+    val srcIdx = coalesce(
+      expr("try_cast(regexp_replace(source, '[^0-9]', '') as int)"), lit(0))
     val ratePct = (pmod(srcIdx, lit(4)) + 1) * 25 // 25/50/75/100 by source
     val keep =
       pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(16807L), lit(2147483647L)) % 100 < ratePct
@@ -268,10 +272,10 @@ object LlmQueries {
   val dataSampleBySourceSql: String =
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN ((doc_id % 2147483647) * 16807) % 2147483647 % 100
-      |        < (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) % 4 + 1) * 25
+      |        < (COALESCE(TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER), 0) % 4 + 1) * 25
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  CAST(COALESCE(SUM(CASE WHEN ((doc_id % 2147483647) * 16807) % 2147483647 % 100
-      |        < (CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) % 4 + 1) * 25
+      |        < (COALESCE(TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER), 0) % 4 + 1) * 25
       |      THEN n_chars END), 0) AS BIGINT) AS kept_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 

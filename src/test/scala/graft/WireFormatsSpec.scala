@@ -42,14 +42,18 @@ class WireFormatsSpec extends SparkSpec {
       (6L, "COMMIT", 10L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 105L),
       (7L, "ROLLBACK", 11L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 106L),
       (8L, "BEGIN", 12L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 107L),
-      (9L, "ROW", 12L, java.lang.Long.valueOf(3L), """{"c":1}""", 108L)) // open: never commits
+      (9L, "ROW", 12L, java.lang.Long.valueOf(3L), """{"c":1}""", 108L), // open: never commits
+      (10L, "ROW", 13L, java.lang.Long.valueOf(4L), """{"c":2}""", 109L), // torn head:
+      (11L, "COMMIT", 13L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String], 110L)) // no BEGIN
       .toDF("lsn", "op", "xid", "key", "data", "ts_us")
     val out = TxnLog.committedRows(frames).collect()
-    assert(out.map(_.getAs[Long]("xid")).toSet == Set(10L)) // only the committed txn
+    // only xid 10 survives: 11 rolled back, 12 never commits, 13 is a
+    // torn log head (COMMIT with no BEGIN)
+    assert(out.map(_.getAs[Long]("xid")).toSet == Set(10L))
     assert(out.length == 2) // both its rows, interleaved or not
     assert(out.forall(_.getAs[Long]("commit_lsn") == 6L))
     val cp = TxnLog.consistentPoint(frames).collect()(0)
-    assert(cp.getLong(0) == 6L)
+    assert(cp.getLong(0) == 11L)
   }
 
   test("Kafka: streaming parse equals batch parse on the same wire log") {
@@ -60,13 +64,16 @@ class WireFormatsSpec extends SparkSpec {
       ("t", 1L, 1L, """[2]""", """{"resolved":"3000.0000000000"}"""),
       ("t", 1L, 2L, """[3]""", """{"after":{"id":3},"updated":"4000.0000000000"}"""))
       .toDF("topic", "partition", "offset", "key", "value")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_kafka_stream_spec"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_kafka_stream_spec_" +
+      ProcessHandle.current().pid()
     wire.write.mode("overwrite").json(dir)
     val q = graft.cdc.Kafka.mutations(
         graft.cdc.Kafka.readStream(spark, dir, maxFilesPerTrigger = 1))
       .writeStream.format("memory").queryName("kafka_stream_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    // awaitTermination returns FALSE on timeout — asserting it prevents
+    // comparing against a partially populated memory table
+    assert(q.awaitTermination(120000))
     val streamed = spark.table("kafka_stream_out")
       .select("partition", "offset", "hlc.nanos", "is_delete")
       .collect().map(_.toSeq).toSet
