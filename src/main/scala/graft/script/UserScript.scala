@@ -65,7 +65,7 @@ object UserScript {
         case "map" =>
           // Jackson preserves document field order, so rewrites apply in
           // the order the user wrote them (later cols may read earlier)
-          val cols = req(st, "cols", s"$ctx (map)").fields().asScala.toSeq
+          val cols = req(st, "cols", s"$ctx (map)").properties().asScala.toSeq
             .map(e => e.getKey -> expr(e.getValue.asText()))
           Transforms.MapCols(cols: _*)
         case "drop" =>

@@ -18,15 +18,19 @@ class WireFormatsSpec extends SparkSpec {
       ("t", 0L, 1L, """[1]""", """{"after":{"id":1,"v":"a"},"updated":"1000.0000000000"}"""),
       ("t", 0L, 2L, """[1]""", """{"updated":"2000.0000000000"}"""), // delete: no after
       ("t", 0L, 3L, null.asInstanceOf[String], """{"resolved":"3000.0000000000"}"""),
-      ("t", 1L, 1L, """[2]""", """{"after":{"id":2,"v":"b"},"updated":"not-an-hlc"}"""))
+      ("t", 1L, 1L, """[2]""", """{"after":{"id":2,"v":"b"},"updated":"not-an-hlc"}"""),
+      ("t", 2L, 1L, null.asInstanceOf[String], "")) // empty message value
       .toDF("topic", "partition", "offset", "key", "value")
     val muts = Kafka.mutations(wire).collect().sortBy(r => (r.getLong(1), r.getLong(2)))
-    assert(muts.length == 3) // resolved message is not a mutation
+    assert(muts.length == 4) // resolved message is not a mutation
     assert(!muts(0).getBoolean(muts(0).fieldIndex("is_delete")))
     assert(muts(1).getBoolean(muts(1).fieldIndex("is_delete")))
     assert(muts(0).getStruct(muts(0).fieldIndex("hlc")).getLong(0) == 1000L)
     // malformed HLC yields a NULL struct (DLQ route), not a job abort
     assert(muts(2).isNullAt(muts(2).fieldIndex("hlc")))
+    // an empty message value (reference: asPayload's empty-input no-op)
+    // surfaces as a null-HLC row for the DLQ rather than erroring
+    assert(muts(3).isNullAt(muts(3).fieldIndex("hlc")))
     val res = Kafka.resolved(wire).collect()
     assert(res.length == 1)
     assert(res(0).getStruct(res(0).fieldIndex("hlc")).getLong(0) == 3000L)
