@@ -62,6 +62,24 @@ object Kafka {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Adapt parsed mutations to the stateful-apply shape
+    * ([[graft.streaming.StreamApply.KeyedMut]]): key from the message
+    * key array, version from the HLC, offset as the tiebreak. Rows
+    * whose HLC or key failed to parse are EXCLUDED here — they belong
+    * to the DLQ path, not the apply path (the reference errors the
+    * mutation, not the feed).
+    */
+  def toKeyedMuts(muts: DataFrame): DataFrame =
+    muts.select(
+      expr("try_cast(get_json_object(key, '$[0]') as long)").as("key"),
+      col("hlc.nanos").as("versionNanos"),
+      col("offset").as("tiebreak"),
+      when(col("is_delete"), "delete").otherwise("upsert").as("op"),
+      coalesce(expr("try_cast(get_json_object(data, '$.value') as double)"),
+        lit(0.0)).as("value"),
+      coalesce(col("data"), lit("")).as("payload"))
+      .filter(col("key").isNotNull && col("versionNanos").isNotNull)
+
   /** Resolved messages → (topic, partition, offset, hlc). */
   def resolved(raw: DataFrame): DataFrame =
     raw.withColumn("__resolved", get_json_object(col("value"), "$.resolved"))

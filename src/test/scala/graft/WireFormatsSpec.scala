@@ -88,6 +88,46 @@ class WireFormatsSpec extends SparkSpec {
     assert(batch.size == 3) // the resolved message is not a mutation
   }
 
+  test("Kafka e2e: streamed wire log through stateful apply == batch apply") {
+    import graft.streaming.StreamApply
+    import graft.streaming.StreamApply.KeyedMut
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val enc = org.apache.spark.sql.Encoders.product[KeyedMut]
+    // out-of-order versions per key, a delete, a resolved marker, and a
+    // malformed mutation that must fall out of the apply path
+    val wire = Seq(
+      ("t", 0L, 1L, """[1]""", """{"after":{"value":10.0},"updated":"3000.0000000000"}"""),
+      ("t", 0L, 2L, """[1]""", """{"after":{"value":99.0},"updated":"1000.0000000000"}"""), // stale
+      ("t", 0L, 3L, """[2]""", """{"updated":"2000.0000000000"}"""), // delete wins for key 2
+      ("t", 1L, 1L, """[2]""", """{"after":{"value":5.0},"updated":"1500.0000000000"}"""),
+      ("t", 1L, 2L, """[3]""", """{"after":{"value":7.0},"updated":"bad-hlc"}"""), // DLQ-bound
+      ("t", 1L, 3L, null.asInstanceOf[String], """{"resolved":"9000.0000000000"}"""))
+      .toDF("topic", "partition", "offset", "key", "value")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_kafka_e2e_" +
+      ProcessHandle.current().pid()
+    wire.repartition(3).write.mode("overwrite").json(dir)
+
+    val batch = StreamApply.applyBatch(
+        graft.cdc.Kafka.toKeyedMuts(
+          graft.cdc.Kafka.mutations(graft.cdc.Kafka.read(spark, dir))).as[KeyedMut])
+      .collect().map(m => m.key -> (m.op, m.value)).toMap
+
+    val q = StreamApply.applyStream(
+        graft.cdc.Kafka.toKeyedMuts(
+          graft.cdc.Kafka.mutations(
+            graft.cdc.Kafka.readStream(spark, dir, maxFilesPerTrigger = 1))).as[KeyedMut])
+      .writeStream.format("memory").queryName("kafka_e2e_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // last update per key across incremental triggers = the final state
+    val streamed = spark.table("kafka_e2e_out").as[KeyedMut].collect()
+      .groupBy(_.key).map { case (k, ms) =>
+        k -> { val w = ms.maxBy(m => (m.versionNanos, m.tiebreak)); (w.op, w.value) }
+      }
+    assert(streamed == batch)
+    assert(batch == Map(1L -> ("upsert", 10.0), 2L -> ("delete", 0.0)))
+  }
+
   test("SchemaWatch: align pads added columns, drops removed ones") {
     val oldBatch = Seq((1L, 10L, 1.5)).toDF("id", "uid", "value")
     val newBatch = Seq((2L, 20L, 150L, "billing")).toDF("id", "uid", "cents", "route")
