@@ -363,6 +363,70 @@ object LlmQueries {
       |FROM d WHERE d.split <> 'train'
       |GROUP BY d.split ORDER BY d.split""".stripMargin
 
+  // -- repetition-based quality filtering -------------------------------------
+  /** Gopher/MassiveText-style repetition signals per document: the
+    * distinct-token ratio and the most-frequent-token / most-frequent-
+    * bigram mass fractions, plus the resulting keep/drop flag. Two
+    * explode+aggregate passes, all counts — the standard repetition
+    * gate a corpus cleaner runs before training.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val tokCounts = d.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val biCounts = d.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg"))
+    val distinctRatio = col("n_distinct").cast("double") / col("n_tokens").cast("double")
+    val topTokFrac = col("top_tok").cast("double") / col("n_tokens").cast("double")
+    val topBgFrac = col("top_bg").cast("double") / col("n_bigrams").cast("double")
+    tokCounts.join(biCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        distinctRatio.as("distinct_ratio"),
+        topTokFrac.as("top_token_frac"),
+        topBgFrac.as("top_bigram_frac"),
+        (distinctRatio < 0.3 || topTokFrac > 0.2 ||
+          coalesce(topBgFrac, lit(0.0)) > 0.18).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_tok
+      |  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |t2 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+      |       FROM t2, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |bc AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS top_bg
+      |  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT tc.doc_id, tc.n_tokens, tc.n_distinct,
+      |  CAST(tc.n_distinct AS DOUBLE) / CAST(tc.n_tokens AS DOUBLE) AS distinct_ratio,
+      |  CAST(tc.top_tok AS DOUBLE) / CAST(tc.n_tokens AS DOUBLE) AS top_token_frac,
+      |  CAST(bc.top_bg AS DOUBLE) / CAST(bc.n_bigrams AS DOUBLE) AS top_bigram_frac,
+      |  (CAST(tc.n_distinct AS DOUBLE) / CAST(tc.n_tokens AS DOUBLE) < 0.3
+      |   OR CAST(tc.top_tok AS DOUBLE) / CAST(tc.n_tokens AS DOUBLE) > 0.2
+      |   OR COALESCE(CAST(bc.top_bg AS DOUBLE) / CAST(bc.n_bigrams AS DOUBLE), 0.0) > 0.18)
+      |    AS flagged
+      |FROM tc LEFT JOIN bc USING (doc_id)
+      |ORDER BY tc.doc_id""".stripMargin
+
   // -- corpus bigram statistics ----------------------------------------------
   /** Top bigrams by document frequency — classic corpus analysis. One
     * explode + two aggregations; document frequency (distinct docs per
@@ -581,6 +645,7 @@ object LlmQueries {
     "data_sample_by_source" -> (dataSampleBySource _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
+    "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
     "ann_bruteforce_cosine" -> (annBruteforce _),
     "ann_lsh_cosine" -> (annLsh _),
@@ -606,6 +671,7 @@ object LlmQueries {
     "data_sample_by_source" -> dataSampleBySourceSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     "data_contamination_ngram" -> dataContaminationNgramSql,
+    "text_repetition" -> textRepetitionSql,
     "text_fingerprint" -> textFingerprintSql,
     "ann_bruteforce_cosine" -> annBruteforceSql,
     "ann_lsh_cosine" -> annLshSql,
