@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming transaction assembly — the incremental counterpart of
+  * [[graft.cdc.TxnLog.committedRows]].
+  *
+  * Reference: `internal/source/mylogical/conn.go:135` accumulates ROW
+  * events into a MultiBatch between BEGIN and XID/COMMIT as the binlog
+  * STREAMS in — frames of one transaction may arrive across many reads,
+  * interleaved with other transactions. The batch parser re-expresses
+  * this as joins; this operator re-expresses the live consumer loop:
+  * `groupByKey(xid)` + `flatMapGroupsWithState`, state = the open
+  * transaction's accumulated frames. A COMMIT emits the atomic batch
+  * summary and clears state; a ROLLBACK just clears. State is bounded
+  * by OPEN transactions only (the reference's memory profile), not
+  * stream length.
+  */
+object StreamTxn {
+
+  /** One wire frame (see [[graft.cdc.TxnLog.frameSchema]]). */
+  case class Frame(lsn: Long, op: String, xid: Long,
+      key: Option[Long], data: Option[String], ts_us: Long)
+
+  /** An assembled, committed transaction. */
+  case class TxnBatch(xid: Long, n_ops: Long, begin_us: Long,
+      commit_us: Long, commit_lsn: Long)
+
+  /** Per-xid accumulation state (public: Spark's encoder codegen needs
+    * constructor access).
+    */
+  case class Open(nOps: Long, beginUs: Option[Long])
+
+  /** Assemble committed transactions from a stream of frames. Only
+    * transactions whose BEGIN and COMMIT both appear emit (a torn log
+    * head — COMMIT with no BEGIN — is discarded, matching the batch
+    * parser); rolled-back and still-open transactions emit nothing.
+    */
+  def assemble(frames: Dataset[Frame]): Dataset[TxnBatch] = {
+    implicit val lenc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[TxnBatch]
+    implicit val stEnc = Encoders.product[Open]
+    frames.groupByKey(_.xid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (xid: Long, rows: Iterator[Frame], state: GroupState[Open]) =>
+          // frames within one trigger arrive unordered across partitions;
+          // lsn gives the in-transaction order
+          val sorted = rows.toSeq.sortBy(_.lsn)
+          var open = state.getOption.getOrElse(Open(0L, None))
+          var out = List.empty[TxnBatch]
+          sorted.foreach { f =>
+            f.op match {
+              case "BEGIN" => open = Open(0L, Some(f.ts_us))
+              case "ROW" => open = open.copy(nOps = open.nOps + 1)
+              case "ROLLBACK" => open = Open(0L, None)
+              case "COMMIT" =>
+                open.beginUs.foreach { b =>
+                  out ::= TxnBatch(xid, open.nOps, b, f.ts_us, f.lsn)
+                }
+                open = Open(0L, None)
+              case _ => ()
+            }
+          }
+          if (open.beginUs.isDefined) state.update(open) else state.remove()
+          out.reverseIterator
+      }
+  }
+}

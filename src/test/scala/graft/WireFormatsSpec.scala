@@ -128,6 +128,43 @@ class WireFormatsSpec extends SparkSpec {
     assert(batch == Map(1L -> ("upsert", 10.0), 2L -> ("delete", 0.0)))
   }
 
+  test("StreamTxn: transactions assemble incrementally across triggers") {
+    import graft.streaming.StreamTxn
+    import graft.streaming.StreamTxn.{Frame, TxnBatch}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    implicit val fenc = org.apache.spark.sql.Encoders.product[Frame]
+    implicit val tenc = org.apache.spark.sql.Encoders.product[TxnBatch]
+    val input = MemoryStream[Frame]
+    // trigger 1: two transactions open, rows interleaved
+    input.addData(
+      Frame(1L, "BEGIN", 10L, None, None, 100L),
+      Frame(2L, "ROW", 10L, Some(1L), Some("""{"c":5}"""), 101L),
+      Frame(3L, "BEGIN", 11L, None, None, 102L),
+      Frame(4L, "ROW", 11L, Some(2L), Some("""{"c":7}"""), 103L))
+    val q1 = StreamTxn.assemble(input.toDS())
+      .writeStream.format("memory").queryName("txn_out1")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q1.awaitTermination(60000))
+    assert(spark.table("txn_out1").count() == 0) // nothing committed yet
+
+    // trigger 2: txn 10 commits (one more row), 11 rolls back, and a
+    // torn-head COMMIT (xid 13, no BEGIN ever seen) must not emit
+    input.addData(
+      Frame(5L, "ROW", 10L, Some(1L), Some("""{"c":9}"""), 104L),
+      Frame(6L, "COMMIT", 10L, None, None, 105L),
+      Frame(7L, "ROLLBACK", 11L, None, None, 106L),
+      Frame(8L, "COMMIT", 13L, None, None, 107L))
+    val q2 = StreamTxn.assemble(input.toDS())
+      .writeStream.format("memory").queryName("txn_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(60000))
+    val out = spark.table("txn_out2").as[TxnBatch].collect()
+    assert(out.length == 1)
+    assert(out(0) == TxnBatch(10L, 2L, 100L, 105L, 6L))
+  }
+
   test("SchemaWatch: align pads added columns, drops removed ones") {
     val oldBatch = Seq((1L, 10L, 1.5)).toDF("id", "uid", "value")
     val newBatch = Seq((2L, 20L, 150L, "billing")).toDF("id", "uid", "cents", "route")
