@@ -46,6 +46,7 @@ object Kafka {
     raw.filter(get_json_object(col("value"), "$.resolved").isNull)
       .withColumn("__updated", get_json_object(col("value"), "$.updated"))
       .select(col("topic"), col("partition"), col("offset"), col("key"),
+        get_json_object(col("value"), "$.before").as("before"),
         get_json_object(col("value"), "$.after").as("data"),
         Changefeed.parseHlc("__updated").as("hlc"))
       .withColumn("is_delete", col("data").isNull || col("data") === "null")

@@ -19,10 +19,12 @@ class WireFormatsSpec extends SparkSpec {
       ("t", 0L, 2L, """[1]""", """{"updated":"2000.0000000000"}"""), // delete: no after
       ("t", 0L, 3L, null.asInstanceOf[String], """{"resolved":"3000.0000000000"}"""),
       ("t", 1L, 1L, """[2]""", """{"after":{"id":2,"v":"b"},"updated":"not-an-hlc"}"""),
-      ("t", 2L, 1L, null.asInstanceOf[String], "")) // empty message value
+      ("t", 2L, 1L, null.asInstanceOf[String], ""), // empty message value
+      ("t", 3L, 1L, """[5]""", // update with a before image (diff feed)
+        """{"after":{"id":5,"v":"n"},"before":{"id":5,"v":"o"},"updated":"6000.0000000000"}"""))
       .toDF("topic", "partition", "offset", "key", "value")
     val muts = Kafka.mutations(wire).collect().sortBy(r => (r.getLong(1), r.getLong(2)))
-    assert(muts.length == 4) // resolved message is not a mutation
+    assert(muts.length == 5) // resolved message is not a mutation
     assert(!muts(0).getBoolean(muts(0).fieldIndex("is_delete")))
     assert(muts(1).getBoolean(muts(1).fieldIndex("is_delete")))
     assert(muts(0).getStruct(muts(0).fieldIndex("hlc")).getLong(0) == 1000L)
@@ -31,6 +33,9 @@ class WireFormatsSpec extends SparkSpec {
     // an empty message value (reference: asPayload's empty-input no-op)
     // surfaces as a null-HLC row for the DLQ rather than erroring
     assert(muts(3).isNullAt(muts(3).fieldIndex("hlc")))
+    // before image rides along (reference payload_test.go "update" case)
+    assert(muts(4).getString(muts(4).fieldIndex("before")).contains("\"o\""))
+    assert(muts(0).isNullAt(muts(0).fieldIndex("before")))
     val res = Kafka.resolved(wire).collect()
     assert(res.length == 1)
     assert(res(0).getStruct(res(0).fieldIndex("hlc")).getLong(0) == 3000L)
