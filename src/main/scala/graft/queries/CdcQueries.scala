@@ -832,7 +832,45 @@ object CdcQueries {
       |  (SELECT MIN(frontier_nanos) FROM f) AS resolved_nanos
       |FROM f ORDER BY partition""".stripMargin
 
+  // -- 31: temporal as-of join ----------------------------------------------
+  /** For every purchase, the user's most recent signup at or before it
+    * (attribution-style lookup). Spark lacks a native ASOF JOIN; the
+    * [[graft.ops.AsOf]] operator does it in one shuffle + one window
+    * pass (never the |L|·|R| range-join explosion). The right side is
+    * deduped on (user, ts) first — msort.UniqueByTimeKey semantics —
+    * so the as-of pick is unambiguous on both engines. The oracle uses
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), cents(col("value")).as("cents"))
+    val signups = Msort.uniqueByTimeKey(
+        ev.filter(col("event_type") === "signup"), Seq("user_id"), "ts", col("event_id"))
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event_id"), col("ts").as("signup_ts"))
+    graft.ops.AsOf.asOfJoin(purchases, signups, "user_id",
+        leftTime = "ts", rightTime = "ts", rightTiebreak = col("signup_event_id"),
+        valueCols = Seq("signup_event_id", "signup_ts"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |sg AS (
+      |  SELECT user_id, event_id AS signup_event_id, ts AS signup_ts FROM (
+      |    SELECT user_id, event_id, ts,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'signup') WHERE rn = 1)
+      |SELECT p.user_id, p.event_id, p.ts, p.cents, sg.signup_event_id, sg.signup_ts
+      |FROM p ASOF LEFT JOIN sg
+      |  ON p.user_id = sg.user_id AND p.ts >= sg.signup_ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_asof_join" -> (asofJoin _),
     "cdc_latest_by_key" -> (latestByKey _),
     "cdc_unique_by_time_key" -> (uniqueByTimeKey _),
     "cdc_apply_upsert_delete" -> (applyUpsertDelete _),
@@ -865,6 +903,7 @@ object CdcQueries {
     "cdc_userscript_dsl" -> (userscriptDsl _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_asof_join" -> asofJoinSql,
     "cdc_latest_by_key" -> latestByKeySql,
     "cdc_unique_by_time_key" -> uniqueByTimeKeySql,
     "cdc_apply_upsert_delete" -> applyUpsertDeleteSql,

@@ -183,6 +183,28 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("id_a") === 4).count() == 0) // alone in its group
   }
 
+  test("asOfJoin: at-or-before semantics, same-instant match, no-match nulls") {
+    import graft.ops.AsOf
+    val quotes = Seq( // (key, ts, px)
+      (1L, 10L, 100.0), (1L, 20L, 110.0), (2L, 15L, 50.0))
+      .toDF("k", "ts", "px")
+      .select(col("k"), col("ts"), col("px").as("quote_px"), col("ts").as("quote_ts"))
+    val trades = Seq( // (key, ts, qty)
+      (1L, 5L, 1L),   // before any quote -> nulls
+      (1L, 10L, 2L),  // same instant -> matches the 10-quote
+      (1L, 25L, 3L),  // after both -> latest (110)
+      (2L, 16L, 4L))
+      .toDF("k", "ts", "qty")
+    val out = AsOf.asOfJoin(trades, quotes, "k",
+        leftTime = "ts", rightTime = "ts", rightTiebreak = col("quote_ts"),
+        valueCols = Seq("quote_px", "quote_ts"))
+      .orderBy("k", "ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("quote_px")))
+    assert(out(1).getDouble(out(1).fieldIndex("quote_px")) == 100.0)
+    assert(out(2).getDouble(out(2).fieldIndex("quote_px")) == 110.0)
+    assert(out(3).getDouble(out(3).fieldIndex("quote_px")) == 50.0)
+  }
+
   test("multimodal resize preserves aspect ratio; frame sampling fans out") {
     val d = docs.withColumnRenamed("text", "t")
     val media = Multimodal.attachPayloads(d, "doc_id", "t")
