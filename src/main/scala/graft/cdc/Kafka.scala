@@ -64,22 +64,34 @@ object Kafka {
       .json(dir)
 
   /** Adapt parsed mutations to the stateful-apply shape
-    * ([[graft.streaming.StreamApply.KeyedMut]]): key from the message
-    * key array, version from the HLC, offset as the tiebreak. Rows
-    * whose HLC or key failed to parse are EXCLUDED here — they belong
-    * to the DLQ path, not the apply path (the reference errors the
-    * mutation, not the feed).
+    * ([[graft.streaming.StreamApply.KeyedMut]]).
+    *
+    * - key: hash of the WHOLE key array (composite primary keys stay
+    *   distinct — the reference shards its lockset by key hash the
+    *   same way); the original key text rides in the payload.
+    * - version: HLC (nanos, logical) — the logical counter is the
+    *   tiebreak, so equal-nanos mutations resolve exactly as
+    *   `hlc.Compare` would (a Kafka offset is per-partition and
+    *   carries no cross-partition order).
+    * - rows whose key or HLC failed to parse, or upserts whose value
+    *   payload is malformed, are EXCLUDED here — they belong to the
+    *   DLQ path, not the apply path (the reference errors the
+    *   mutation, not the feed).
     */
   def toKeyedMuts(muts: DataFrame): DataFrame =
     muts.select(
-      expr("try_cast(get_json_object(key, '$[0]') as long)").as("key"),
+      xxhash64(col("key")).as("key"),
+      col("key").isNotNull.as("__key_ok"),
       col("hlc.nanos").as("versionNanos"),
-      col("offset").as("tiebreak"),
+      col("hlc.logical").cast("long").as("tiebreak"),
       when(col("is_delete"), "delete").otherwise("upsert").as("op"),
-      coalesce(expr("try_cast(get_json_object(data, '$.value') as double)"),
-        lit(0.0)).as("value"),
-      coalesce(col("data"), lit("")).as("payload"))
-      .filter(col("key").isNotNull && col("versionNanos").isNotNull)
+      col("is_delete"),
+      expr("try_cast(get_json_object(data, '$.value') as double)").as("__v"),
+      concat_ws("|", col("key"), coalesce(col("data"), lit(""))).as("payload"))
+      .filter(col("__key_ok") && col("versionNanos").isNotNull &&
+        (col("is_delete") || col("__v").isNotNull))
+      .select(col("key"), col("versionNanos"), col("tiebreak"), col("op"),
+        coalesce(col("__v"), lit(0.0)).as("value"), col("payload"))
 
   /** Resolved messages → (topic, partition, offset, hlc). */
   def resolved(raw: DataFrame): DataFrame =

@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Whitespace tokenization — ONE definition, kept in lockstep with
+    * the oracle-side `regexp_split_to_array(lower(trim(text)), '\s+')`
+    * convention used by every SQL mirror in this file.
+    */
+  private def tokenize(c: Column): Column = split(lower(trim(c)), "\\s+")
   private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
   // -- exact dedup ---------------------------------------------------------
@@ -289,7 +295,7 @@ object LlmQueries {
     */
   def dataPackSequences(s: SparkSession, dir: String): DataFrame = {
     val budget = 256L
-    val nToks = size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+    val nToks = size(tokenize(col("text"))).cast("long")
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs(s, dir)
@@ -372,7 +378,7 @@ object LlmQueries {
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = tokenize(col("text"))
     val tokCounts = d.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -434,7 +440,7 @@ object LlmQueries {
     * dominate.
     */
   def textNgramStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
+    val toks = tokenize(col("text"))
     val bigrams = zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),

@@ -51,7 +51,11 @@ object StreamTxn {
           var out = List.empty[TxnBatch]
           sorted.foreach { f =>
             f.op match {
-              case "BEGIN" => open = Open(0L, Some(f.ts_us))
+              // BEGIN must not reset an already-accumulated count: a ROW
+              // frame can land in an earlier trigger than its BEGIN when
+              // trigger boundaries don't respect lsn order (an xid is one
+              // transaction, so the count can only belong to this txn)
+              case "BEGIN" => open = open.copy(beginUs = Some(f.ts_us))
               case "ROW" => open = open.copy(nOps = open.nOps + 1)
               case "ROLLBACK" => open = Open(0L, None)
               case "COMMIT" =>
@@ -62,7 +66,10 @@ object StreamTxn {
               case _ => ()
             }
           }
-          if (open.beginUs.isDefined) state.update(open) else state.remove()
+          // keep state while ANYTHING is accumulated — rows seen before
+          // their BEGIN must survive to the trigger that delivers it
+          if (open.beginUs.isDefined || open.nOps > 0) state.update(open)
+          else state.remove()
           out.reverseIterator
       }
   }

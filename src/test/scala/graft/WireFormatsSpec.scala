@@ -115,7 +115,7 @@ class WireFormatsSpec extends SparkSpec {
     val batch = StreamApply.applyBatch(
         graft.cdc.Kafka.toKeyedMuts(
           graft.cdc.Kafka.mutations(graft.cdc.Kafka.read(spark, dir))).as[KeyedMut])
-      .collect().map(m => m.key -> (m.op, m.value)).toMap
+      .collect().map(m => m.key -> (m.op, m.value, m.payload)).toMap
 
     val q = StreamApply.applyStream(
         graft.cdc.Kafka.toKeyedMuts(
@@ -127,10 +127,12 @@ class WireFormatsSpec extends SparkSpec {
     // last update per key across incremental triggers = the final state
     val streamed = spark.table("kafka_e2e_out").as[KeyedMut].collect()
       .groupBy(_.key).map { case (k, ms) =>
-        k -> { val w = ms.maxBy(m => (m.versionNanos, m.tiebreak)); (w.op, w.value) }
+        k -> { val w = ms.maxBy(m => (m.versionNanos, m.tiebreak)); (w.op, w.value, w.payload) }
       }
     assert(streamed == batch)
-    assert(batch == Map(1L -> ("upsert", 10.0), 2L -> ("delete", 0.0)))
+    // keys are hashes of the full key text; the payload carries the text
+    val byKeyText = batch.values.map(v => v._3.split('|').head -> (v._1, v._2)).toMap
+    assert(byKeyText == Map("[1]" -> ("upsert", 10.0), "[2]" -> ("delete", 0.0)))
   }
 
   test("StreamTxn: transactions assemble incrementally across triggers") {
