@@ -377,7 +377,87 @@ object Analytics {
       |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l.l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin
 
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer over a quarter. Lineitem carries the full predicate set
+    * to the scan (returnflag + date), orders shuffle-joins it on
+    * orderkey, and the customer/nation dims broadcast onto the (small)
+    * per-customer aggregate. Top 20 via TakeOrdered, never a global
+    * sort.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = broadcast(Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_nationkey"))
+    val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total
+    * quantity crosses a threshold. The HAVING reduces on the fact's
+    * own key (one shuffle on orderkey, map-side combined) BEFORE any
+    * dim joins — the survivors are few, so customer broadcasts onto
+    * them.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = broadcast(Tables.customer(s, dir).select("c_custkey", "c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 150.0)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, big.total_qty
+      |FROM big
+      |JOIN orders o ON big.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY big.total_qty DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q4_priority_check" -> (q4PriorityCheck _),
     "q6_revenue_forecast" -> (q6Forecast _),
@@ -392,6 +472,8 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_items" -> q10Sql,
+    "q18_large_orders" -> q18Sql,
     "q14_promo_revenue" -> q14Sql,
     "q4_priority_check" -> q4Sql,
     "q6_revenue_forecast" -> q6Sql,
