@@ -455,7 +455,46 @@ object Analytics {
       |ORDER BY big.total_qty DESC, o.o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems below 20% of
+    * their part's average quantity. The correlated subquery becomes a
+    * per-part aggregate joined back to the fact — BOTH sides shuffle
+    * once on partkey (co-partitioned join, no broadcast of a fact-sized
+    * aggregate), the part dim broadcasts, and the threshold compare
+    * runs in double identically on both engines.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey"))
+    val l = Tables.lineitem(s, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQ = l.groupBy(col("l_partkey").as("ap"))
+      .agg((sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    l.join(avgQ, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast(dec)).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17Sql: String =
+    """WITH l AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'),
+      |a AS (
+      |  SELECT l_partkey AS ap,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM l GROUP BY 1)
+      |SELECT
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_items
+      |FROM l JOIN a ON l.l_partkey = a.ap
+      |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_quantity" -> (q17SmallQuantity _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -472,6 +511,7 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q17_small_quantity" -> q17Sql,
     "q10_returned_items" -> q10Sql,
     "q18_large_orders" -> q18Sql,
     "q14_promo_revenue" -> q14Sql,
