@@ -869,7 +869,40 @@ object CdcQueries {
       |  ON p.user_id = sg.user_id AND p.ts >= sg.signup_ts
       |ORDER BY p.event_id""".stripMargin
 
+  // -- 32: incremental apply across resolved windows ------------------------
+  /** The reference's actual apply loop: each resolved window's
+    * mutations fold into the accumulated state (`state' =
+    * latestByKey(state ∪ batch)`), and the invariant that makes
+    * checkpoint-resumable replication sound is that the fold equals the
+    * one-shot reduce over everything. This query RUNS the three-window
+    * fold; its oracle is the one-shot answer — equality is the
+    * invariant, machine-checked. Each fold step stays one shuffle
+    * (state is already key-reduced, so the union re-reduces cheaply).
+    */
+  def incrementalApply(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cut = ev.agg(
+      (min(col("ts")) + expr("INTERVAL 10 DAY")).as("__c1"),
+      (min(col("ts")) + expr("INTERVAL 20 DAY")).as("__c2"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    val windows = Seq(
+      tagged.filter(col("ts") <= col("__c1")),
+      tagged.filter(col("ts") > col("__c1") && col("ts") <= col("__c2")),
+      tagged.filter(col("ts") > col("__c2")))
+      .map(_.drop("__c1", "__c2"))
+    val finalState = windows.foldLeft(Option.empty[DataFrame]) {
+      case (None, batch) => Some(Msort.latestByKey(batch, Seq("user_id"), ord))
+      case (Some(state), batch) =>
+        Some(Msort.latestByKey(state.unionByName(batch), Seq("user_id"), ord))
+    }.get
+    finalState.orderBy("user_id")
+  }
+
+  /** One-shot reduce — the fold must land exactly here. */
+  val incrementalApplySql: String = latestByKeySql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_incremental_apply" -> (incrementalApply _),
     "cdc_asof_join" -> (asofJoin _),
     "cdc_latest_by_key" -> (latestByKey _),
     "cdc_unique_by_time_key" -> (uniqueByTimeKey _),
@@ -903,6 +936,7 @@ object CdcQueries {
     "cdc_userscript_dsl" -> (userscriptDsl _))
 
   val oracles: Map[String, String] = Map(
+    "cdc_incremental_apply" -> incrementalApplySql,
     "cdc_asof_join" -> asofJoinSql,
     "cdc_latest_by_key" -> latestByKeySql,
     "cdc_unique_by_time_key" -> uniqueByTimeKeySql,
