@@ -22,9 +22,11 @@ object Checkpoint {
 
   /** Per-partition frontier with Advance accounting: for every
     * partition, the frontier (max proposed nanos), the proposal count,
-    * and how many proposals were regressions (would not have advanced
-    * the frontier at their arrival time — the reference rejects these
-    * with a "going backwards" error; equal timestamps do not advance).
+    * and how many proposals were regressions (strictly below the
+    * frontier at their arrival time — the reference rejects these with
+    * a "going backwards" error; its Advance SQL inserts when the
+    * proposal is `>=` the stored HLC, so an EQUAL re-proposal succeeds
+    * idempotently and only strictly-less fires the error).
     */
   def advance(proposals: DataFrame, partition: Column, nanos: Column,
       arrival: Column): DataFrame = {
@@ -32,11 +34,11 @@ object Checkpoint {
       nanos.as("__nanos"), arrival.as("__arrival"))
     val w = Window.partitionBy(col("partition")).orderBy(col("__arrival"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // first arrival: running max is NULL, <= NULL is NULL, otherwise(0)
+    // first arrival: running max is NULL, < NULL is NULL, otherwise(0)
     // — never a rejection, matching the reference's empty-table case
     tagged
       .withColumn("__rejected",
-        when(col("__nanos") <= max(col("__nanos")).over(w), 1L).otherwise(0L))
+        when(col("__nanos") < max(col("__nanos")).over(w), 1L).otherwise(0L))
       .groupBy("partition")
       .agg(
         max(col("__nanos")).as("frontier_nanos"),

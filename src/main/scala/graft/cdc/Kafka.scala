@@ -64,11 +64,14 @@ object Kafka {
       .json(dir)
 
   /** Adapt parsed mutations to the stateful-apply shape
-    * ([[graft.streaming.StreamApply.KeyedMut]]).
+    * ([[graft.streaming.StreamApply.KeyedMutText]]).
     *
-    * - key: hash of the WHOLE key array (composite primary keys stay
-    *   distinct — the reference shards its lockset by key hash the
-    *   same way); the original key text rides in the payload.
+    * - key: the WHOLE key text, verbatim. The key's identity is the
+    *   text itself — the reference only hashes a key to pick a lockset
+    *   SHARD, never to identify it, and a 64-bit hash collision must
+    *   not merge two primary keys' mutation histories. Spark's shuffle
+    *   already hash-partitions the string key for sharding, so no
+    *   explicit hash column is needed at all.
     * - version: HLC (nanos, logical) — the logical counter is the
     *   tiebreak, so equal-nanos mutations resolve exactly as
     *   `hlc.Compare` would (a Kafka offset is per-partition and
@@ -80,7 +83,7 @@ object Kafka {
     */
   def toKeyedMuts(muts: DataFrame): DataFrame =
     muts.select(
-      xxhash64(col("key")).as("key"),
+      col("key").as("key"),
       col("key").isNotNull.as("__key_ok"),
       col("hlc.nanos").as("versionNanos"),
       col("hlc.logical").cast("long").as("tiebreak"),

@@ -135,8 +135,17 @@ object LshBuckets {
     z.toDouble / 9.223372036854776e18
   }
 
+  /** `component` packs (table << 26 | plane << 20 | dim) into one long
+    * before mixing — a dimension index at or above 2^20 would overlap
+    * the plane bits and silently correlate hyperplanes across planes
+    * and tables, so oversized vectors are rejected outright.
+    */
+  val MaxDims: Int = 1 << 20
+
   def compute(v: ArrayData, nTables: Int, nPlanes: Int): ArrayData = {
     val dims = v.numElements()
+    if (dims >= MaxDims) throw new IllegalArgumentException(
+      s"graft_lsh_buckets supports vectors of fewer than $MaxDims dimensions, got $dims")
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines: exact, MinHash+LSH,
@@ -24,6 +25,26 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"), min(col(id)).as("canonical_id"))
     withFp.join(groups, "fp")
       .withColumn("is_dup", col(id) =!= col("canonical_id"))
+  }
+
+  /** Exact-identity membership: (id, rep_id) for every doc, where the
+    * representative is the min id among docs whose NORMALIZED text is
+    * md5-identical. This is the scale gate in front of every LSH stage:
+    * a web corpus routinely carries clusters of 10⁴⁺ byte-identical
+    * boilerplate docs, and identical docs collide in EVERY band, so
+    * running LSH on raw docs turns one such cluster into B²/2 candidate
+    * pairs from a single bucket. Collapsing first makes the LSH input
+    * one representative per distinct text — candidate work scales with
+    * DISTINCT content, and identical-doc pairs are reconstructed from
+    * the membership map (identical texts have identical shingle sets,
+    * so the expansion is exact, not approximate). The reference stages
+    * an analogous collapse: msort dedups staged mutations before apply.
+    */
+  def exactMembership(docs: DataFrame, id: String, text: String): DataFrame = {
+    val fp = docs.filter(col(id).isNotNull && col(text).isNotNull)
+      .select(col(id), md5(norm(col(text))).as("__fp"))
+    val reps = fp.groupBy("__fp").agg(min(col(id)).as("rep_id"))
+    fp.join(reps, "__fp").select(col(id), col("rep_id"))
   }
 
   /** Word k-shingles of the normalized text (string form, for tests /
@@ -102,9 +123,21 @@ object Dedup {
     * `rowsPerBand`, hash each band → (band_id, bucket) keys. Documents
     * sharing any bucket become candidate pairs — the ONLY pair source,
     * so candidate count is bounded by bucket occupancy, not n².
+    *
+    * `maxBucketSize` is the residual hot-bucket valve for what
+    * [[exactMembership]] collapse can't remove (near-identical
+    * templated docs): a bucket above the cap pairs each member only
+    * with the cap's hash-smallest members (its ANCHORS) instead of all
+    * members, so per-bucket candidates are occupancy × cap — linear,
+    * never quadratic. Below the cap, output is identical to the
+    * uncapped join (anchors = the whole bucket). A binding cap trades
+    * pair-COMPLETENESS for the bound (members still connect to the
+    * cluster through shared anchors — what dedup clustering consumes);
+    * the default is uncapped, for exhaustive-pair-list semantics.
     */
   def lshCandidates(sigs: DataFrame, id: String,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val banded = sigs.select(
       col(id),
       posexplode(
@@ -114,10 +147,27 @@ object Dedup {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
     val a = banded.select(col("band_id"), col("bucket"), col(id).as("id_a"))
-    val b = banded.select(col("band_id"), col("bucket"), col(id).as("id_b"))
-    a.join(b, Seq("band_id", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    if (maxBucketSize == Int.MaxValue) {
+      val b = banded.select(col("band_id"), col("bucket"), col(id).as("id_b"))
+      a.join(b, Seq("band_id", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    } else {
+      // anchors: deterministic (hash-ordered) cap-smallest per bucket.
+      // The window sorts only within one (band, bucket) partition —
+      // n log n in occupancy, strictly cheaper than the n² join it caps.
+      val w = Window.partitionBy("band_id", "bucket")
+        .orderBy(xxhash64(col(id), lit(7)), col(id))
+      val anchors = banded
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= maxBucketSize)
+        .select(col("band_id"), col("bucket"), col(id).as("id_b"))
+      a.join(anchors, Seq("band_id", "bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+    }
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (the verification
@@ -213,28 +263,78 @@ object Dedup {
         (col(id) =!= col("cluster_id")).as("is_dup"))
   }
 
-  /** The full near-dup pipeline: MinHash signatures → LSH band-bucket
-    * candidates → exact shingle-Jaccard verification ≥ `threshold`.
-    * Returns verified pairs with their set sizes and Jaccard — the
-    * deliverable a dedup pass consumes, and (because LSH recall at
-    * dup-grade similarity is 1 − (1−J^r)^b ≈ 1) a result an exact
-    * all-pairs oracle can check: candidates are a provable superset of
-    * above-threshold pairs, and the verify stage discards the rest.
+  /** Expand verified REPRESENTATIVE pairs back to member pairs via the
+    * exact-identity membership map. Cross-group pairs inherit the rep
+    * pair's stats verbatim (md5-identical normalized texts have
+    * identical shingle sets, so every member pair's Jaccard IS the rep
+    * pair's); intra-group pairs are J = 1 with n = the group's
+    * shingle-set size. The intra expansion is quadratic in group size —
+    * that is the OUTPUT's own cardinality (every identical pair is a
+    * dup pair), not candidate work; a 100 TB consumer that only needs
+    * the verdict should read [[exactMembership]] + rep pairs instead.
+    */
+  private def expandVerified(repPairs: DataFrame, members: DataFrame,
+      repSizes: DataFrame, id: String): DataFrame = {
+    val swapped = col("__ma") > col("__mb")
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col(id).as("__ma")), "id_a")
+      .join(members.select(col("rep_id").as("id_b"), col(id).as("__mb")), "id_b")
+      .select(
+        least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        // stats follow their ids through the reorientation
+        when(swapped, col("n_b")).otherwise(col("n_a")).as("n_a"),
+        when(swapped, col("n_a")).otherwise(col("n_b")).as("n_b"),
+        col("n_inter"), col("jaccard"))
+    val m = members.select(col("rep_id"), col(id))
+    val intra = m.select(col("rep_id"), col(id).as("id_a"))
+      .join(m.select(col("rep_id"), col(id).as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .join(repSizes, "rep_id")
+      .select(col("id_a"), col("id_b"), col("n").as("n_a"),
+        col("n").as("n_b"), col("n").as("n_inter"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The full near-dup pipeline: exact-identity collapse → MinHash
+    * signatures over representatives → LSH band-bucket candidates →
+    * exact shingle-Jaccard verification ≥ `threshold` → expansion back
+    * to member pairs. Returns verified pairs with their set sizes and
+    * Jaccard — the deliverable a dedup pass consumes, and (because LSH
+    * recall at dup-grade similarity is 1 − (1−J^r)^b ≈ 1) a result an
+    * exact all-pairs oracle can check: candidates are a provable
+    * superset of above-threshold pairs, the verify stage discards the
+    * rest, and the collapse/expand step is identity-exact.
+    *
+    * The collapse is what makes this safe on dup-HEAVY corpora: a
+    * cluster of B identical docs contributes ONE doc to the LSH stage
+    * (candidate work linear in distinct content), where the uncollapsed
+    * pipeline would self-join B²/2 pairs out of a single bucket.
+    * `maxBucketSize` additionally caps residual near-identical buckets
+    * (see [[lshCandidates]]) — off by default to keep the pair list
+    * exhaustive.
     */
   def verifiedDupPairs(docs: DataFrame, id: String, text: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+      threshold: Double, numHashes: Int = 64, bands: Int = 32,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val members = exactMembership(docs, id, text)
+    val repDocs = docs.join(
+      members.filter(col(id) === col("rep_id")).select(col(id)), Seq(id), "left_semi")
     // the banding default is rows-per-band = 2: candidate recall at the
     // THRESHOLD (not just at dup-grade J) is what makes the verified
     // output exhaustive — miss = (1−J²)^b = 0.36³² ≈ 6e-15 at J = 0.8,
     // where r = 4 banding would miss ≈ 2e-4 of borderline pairs.
     // The shingle frame is built once and shared by the signature and
     // verification stages (identical subtrees let Spark reuse work).
-    val sh = shingleHashes(docs, id, text)
+    val sh = shingleHashes(repDocs, id, text)
     val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
-      bands, numHashes / bands)
-    jaccardFromShingles(sh, id, cands)
+      bands, numHashes / bands, maxBucketSize)
+    val repPairs = jaccardFromShingles(sh, id, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+    val repSizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+      .select(col(id).as("rep_id"), col("n"))
+    expandVerified(repPairs, members, repSizes, id)
   }
 
   /** SimHash near-dup pairs with ENSEMBLE candidate generation.
@@ -255,11 +355,18 @@ object Dedup {
     * `threshold`; neither candidate source is ever O(n²).
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-      nBands: Int = 8, maxHamming: Int = 23, threshold: Double = 0.8): DataFrame = {
+      nBands: Int = 8, maxHamming: Int = 23, threshold: Double = 0.8,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(64 % nBands == 0, "nBands must divide 64")
     val width = 64 / nBands
-    val sh = shingleHashes(docs, id, text) // shared: signatures + verify
-    val sig = simhash(docs, id, text).select(col(id), col("simhash"))
+    // exact-identity collapse first (see verifiedDupPairs): identical
+    // docs share a simhash, so they collide in every band — without the
+    // collapse one B-sized identical cluster yields B²/2 band candidates
+    val members = exactMembership(docs, id, text)
+    val repDocs = docs.join(
+      members.filter(col(id) === col("rep_id")).select(col(id)), Seq(id), "left_semi")
+    val sh = shingleHashes(repDocs, id, text) // shared: signatures + verify
+    val sig = simhash(repDocs, id, text).select(col(id), col("simhash"))
     val banded = sig.select(col(id), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash"), b * width)
@@ -275,24 +382,45 @@ object Dedup {
     // union is provably the same verified output.
     def ham(limit: Int) =
       bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= limit
-    val bandCands = banded.select(col("band_id"), col("band_val"),
-        col(id).as("id_a"), col("simhash").as("sim_a"))
-      .join(banded.select(col("band_id"), col("band_val"),
-        col(id).as("id_b"), col("simhash").as("sim_b")), Seq("band_id", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(ham(math.min(nBands - 1, maxHamming)))
-      .select("id_a", "id_b")
+    val aSide = banded.select(col("band_id"), col("band_val"),
+      col(id).as("id_a"), col("simhash").as("sim_a"))
+    val bandCands =
+      if (maxBucketSize == Int.MaxValue)
+        aSide
+          .join(banded.select(col("band_id"), col("band_val"),
+            col(id).as("id_b"), col("simhash").as("sim_b")), Seq("band_id", "band_val"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(ham(math.min(nBands - 1, maxHamming)))
+          .select("id_a", "id_b")
+      else {
+        // residual hot-bucket cap: anchor join (see lshCandidates)
+        val w = Window.partitionBy("band_id", "band_val")
+          .orderBy(xxhash64(col(id), lit(7)), col(id))
+        val anchors = banded
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= maxBucketSize)
+          .select(col("band_id"), col("band_val"),
+            col(id).as("id_b"), col("simhash").as("sim_b"))
+        aSide.join(anchors, Seq("band_id", "band_val"))
+          .filter(col("id_a") =!= col("id_b"))
+          .filter(ham(math.min(nBands - 1, maxHamming)))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+      }
     val lshTail = lshCandidates(
         minhashFromShingles(sh, id, numHashes = 32), id,
-        bands = 16, rowsPerBand = 2)
+        bands = 16, rowsPerBand = 2, maxBucketSize)
       .join(sig.select(col(id).as("id_a"), col("simhash").as("sim_a")), "id_a")
       .join(sig.select(col(id).as("id_b"), col("simhash").as("sim_b")), "id_b")
       .filter(ham(maxHamming))
       .select("id_a", "id_b")
     val cands = bandCands.union(lshTail).distinct()
-    jaccardFromShingles(sh, id, cands)
+    val repPairs = jaccardFromShingles(sh, id, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+    val repSizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+      .select(col(id).as("rep_id"), col("n"))
+    expandVerified(repPairs, members, repSizes, id)
   }
 
   /** 64-bit SimHash: per token hash, +1/−1 vote per bit, sign of the

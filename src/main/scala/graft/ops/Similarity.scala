@@ -123,7 +123,20 @@ object Similarity {
         .filter(col("crank") <= n)
         .drop("centroid", "cent_sim", "crank")
     }
-    val assigned = nearestCells(corpus, 1, "c")   // inverted file: 1 cell per vector
+    // inverted file: 1 cell per vector. Rank-1 needs no window/sort —
+    // max_by aggregates map-side (partial agg), so the assignment stage
+    // is a shuffle of one (cell, vector) row per corpus id, never a
+    // per-partition sort of the n × nCells cross product. Tie-break
+    // matches the probe window (max sim, then smallest cell id).
+    val assigned = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+      .crossJoin(cents)
+      .withColumn("cent_sim",
+        call_function("graft_cosine", col("c_v"), col("centroid")))
+      .groupBy("c_id")
+      .agg(
+        max_by(col("cell"), struct(col("cent_sim"), negate(col("cell")))).as("cell"),
+        first(col("c_v")).as("c_v")) // c_v is constant within the group
     val probes = nearestCells(queries, nProbe, "q")
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     probes.join(assigned, "cell")
@@ -143,49 +156,145 @@ object Similarity {
     * above-threshold pair (miss = (1−agree^nPlanes)^nTables).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, nTables: Int, threshold: Double): DataFrame = {
+      nPlanes: Int, nTables: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // exact-identity collapse FIRST: byte-identical embeddings collide
+    // in every table's bucket, so a cluster of B identical vectors would
+    // put B²/2 candidate pairs in one bucket. Grouping directly on the
+    // vector VALUE (arrays are grouping keys — no hash identity, no
+    // collision risk) reduces the LSH input to one representative per
+    // distinct vector; identical-member pairs are reconstructed exactly
+    // afterwards (the cosine of equal arrays is the same float the
+    // uncollapsed path would compute).
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val reps = base.groupBy("__v").agg(min(col("__id")).as("rep_id"))
+    val members = base.join(reps, "__v")
+      .select(col("__id"), col("rep_id"), col("__v"))
+    val repVecs = reps.select(col("rep_id").as("vid"), col("__v").as("vec"))
     // candidate generation carries ONLY (table, bucket, id) — a pair
     // colliding in many tables must not drag its vectors through the
     // join nTables times (measured 10 s → ~2 s at sf0.1). Pairs dedup
     // as bare id pairs first; each distinct pair is then scored exactly
     // once after re-attaching vectors.
-    val b = df.select(col(idCol).as("vid"),
-      posexplode(lshTableBuckets(col(vecCol), nTables, nPlanes))
+    val b = repVecs.select(col("vid"),
+      posexplode(lshTableBuckets(col("vec"), nTables, nPlanes))
         .as(Seq("table_id", "bucket")))
-    val pairs = b.select(col("table_id"), col("bucket"), col("vid").as("id_a"))
-      .join(b.select(col("table_id"), col("bucket"), col("vid").as("id_b")),
-        Seq("table_id", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val aSide = b.select(col("table_id"), col("bucket"), col("vid").as("id_a"))
+    val pairs =
+      if (maxBucketSize == Int.MaxValue)
+        aSide
+          .join(b.select(col("table_id"), col("bucket"), col("vid").as("id_b")),
+            Seq("table_id", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      else {
+        // residual hot-bucket valve (near-identical, not byte-identical,
+        // vectors): anchor join — see Dedup.lshCandidates
+        val w = Window.partitionBy("table_id", "bucket")
+          .orderBy(xxhash64(col("vid"), lit(7)), col("vid"))
+        val anchors = b
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= maxBucketSize)
+          .select(col("table_id"), col("bucket"), col("vid").as("id_b"))
+        aSide.join(anchors, Seq("table_id", "bucket"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct()
+      }
     // vector fetch: the embedding table is keyed and far smaller than
     // the exploded candidate stream — AQE broadcasts it when it fits
-    val vecs = df.select(col(idCol), col(vecCol))
-    pairs
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+    val repPairs = pairs
+      .join(repVecs.select(col("vid").as("id_a"), col("vec").as("va")), "id_a")
+      .join(repVecs.select(col("vid").as("id_b"), col("vec").as("vb")), "id_b")
       .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+    // expansion: cross-group pairs inherit the rep pair's cosine
+    // (identical arrays), intra-group pairs score the shared vector
+    // against itself — both bit-identical to the uncollapsed result
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col("__id").as("__ma")), "id_a")
+      .join(members.select(col("rep_id").as("id_b"), col("__id").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cos_sim"))
+    val mm = members.select(col("rep_id"), col("__id"), col("__v"))
+    val intra = mm.select(col("rep_id"), col("__id").as("id_a"))
+      .join(mm.select(col("rep_id"), col("__id").as("id_b"), col("__v")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", call_function("graft_cosine", col("__v"), col("__v")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+    cross.unionByName(intra)
   }
 
   /** k-NN join within groups (e.g. per label): for every vector, its k
     * nearest same-group neighbors. The group key bounds the join — at
     * scale each group co-locates via one shuffle on the key.
+    *
+    * The dense in-group self-join is O(g²) per group — exact, and fine
+    * while groups are bounded (class labels, language buckets). A
+    * million-row group would go quadratic, so `maxGroupSize` switches
+    * groups ABOVE it to an in-group LSH path: candidates come from
+    * shared (table, bucket) cells, with the neighbor side of each cell
+    * capped to its `maxGroupSize` hash-smallest members — per-row
+    * candidates ≤ nTables × maxGroupSize, linear in group size. The
+    * LSH path is approximate top-k (recall from the usual
+    * 1 − (1−agree^nPlanes)^nTables bound); the default keeps every
+    * group exact.
     */
   def knnJoinWithinGroups(df: DataFrame, idCol: String, vecCol: String,
-      groupCol: String, k: Int): DataFrame = {
+      groupCol: String, k: Int, maxGroupSize: Int = Int.MaxValue,
+      nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
-    val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
     val w = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b"))
-    a.join(b, "g")
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
+    def topK(scored: DataFrame): DataFrame = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("g").as("label"), col("id_a"), col("rank"), col("id_b"), col("cos_sim"))
+    if (maxGroupSize == Int.MaxValue) {
+      val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
+        col(vecCol).as("va"))
+      val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
+        col(vecCol).as("vb"))
+      topK(a.join(b, "g")
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb"))))
+    } else {
+      val sizes = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("__gsz"))
+      val tagged = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        col(vecCol).as("v")).join(sizes, "g")
+      val dense = tagged.filter(col("__gsz") <= maxGroupSize)
+      val denseOut = dense.select(col("g"), col("id").as("id_a"), col("v").as("va"))
+        .join(dense.select(col("g"), col("id").as("id_b"), col("v").as("vb")), "g")
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
+      // hot groups: in-group LSH candidates, anchor-capped per cell
+      val sparse = tagged.filter(col("__gsz") > maxGroupSize)
+      val buckets = sparse.select(col("g"), col("id"), col("v"),
+        posexplode(lshTableBuckets(col("v"), nTables, nPlanes))
+          .as(Seq("table_id", "bucket")))
+      val wCell = Window.partitionBy("g", "table_id", "bucket")
+        .orderBy(xxhash64(col("id"), lit(7)), col("id"))
+      val anchors = buckets
+        .withColumn("__r", row_number().over(wCell))
+        .filter(col("__r") <= maxGroupSize)
+        .select(col("g"), col("table_id"), col("bucket"), col("id").as("id_b"))
+      // ids only through the candidate dedup; vectors re-attach once
+      val cand = buckets.select(col("g"), col("table_id"), col("bucket"),
+          col("id").as("id_a"))
+        .join(anchors, Seq("g", "table_id", "bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("g", "id_a", "id_b").distinct()
+      val vecs = sparse.select(col("id"), col("v"))
+      val sparseOut = cand
+        .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
+      topK(denseOut.select("g", "id_a", "id_b", "cos_sim")
+        .unionByName(sparseOut.select("g", "id_a", "id_b", "cos_sim")))
+    }
   }
 }

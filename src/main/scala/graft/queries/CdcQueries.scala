@@ -820,7 +820,7 @@ object CdcQueries {
       |  FROM events),
       |t AS (
       |  SELECT partition, nanos,
-      |    CASE WHEN nanos <= MAX(nanos) OVER (PARTITION BY partition ORDER BY arrival
+      |    CASE WHEN nanos < MAX(nanos) OVER (PARTITION BY partition ORDER BY arrival
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |         THEN 1 ELSE 0 END AS rej
       |  FROM p),

@@ -315,8 +315,8 @@ object LlmQueries {
       |  FROM documents),
       |c AS (
       |  SELECT source, doc_id, toks,
-      |    COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS chunk_id
+      |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS chunk_id
       |  FROM t)
       |SELECT source, chunk_id, COUNT(*) AS n_docs,
       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,

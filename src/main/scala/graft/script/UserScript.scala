@@ -2,6 +2,8 @@ package graft.script
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.functions.expr
 import scala.jdk.CollectionConverters._
 
@@ -34,6 +36,37 @@ object UserScript {
 
   private val mapper = new ObjectMapper()
 
+  /** Functions a user script may not call. `expr()` admits the whole SQL
+    * function surface, which includes reflection escapes — arbitrary
+    * static-method invocation is a strictly WIDER capability than the
+    * reference's sandboxed goja VM, so scripts from untrusted authors
+    * must not reach them. The parsed (unresolved) tree is walked before
+    * compilation; aliases are listed explicitly because denial happens
+    * pre-resolution, by name.
+    */
+  private val deniedFunctions = Set("reflect", "java_method")
+
+  /** Parse a user expression, reject denied function calls anywhere in
+    * its tree (including nested in lambdas/subexpressions), then hand
+    * it to `expr()` for plan-time validation like any other column.
+    */
+  private def safeExpr(s: String, ctx: String): Column = {
+    val parsed =
+      try CatalystSqlParser.parseExpression(s)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"user script: $ctx has a malformed expression: ${e.getMessage}")
+      }
+    val bad = parsed.collect {
+      case f: UnresolvedFunction
+          if deniedFunctions.contains(f.nameParts.last.toLowerCase) =>
+        f.nameParts.mkString(".")
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"user script: $ctx calls disallowed function(s): ${bad.distinct.mkString(", ")}")
+    expr(s)
+  }
+
   final case class Script(
       pipeline: Transforms.Pipeline,
       routes: Seq[(String, Column)],
@@ -61,12 +94,12 @@ object UserScript {
       val ctx = s"stage $i"
       req(st, "op", ctx).asText() match {
         case "filter" =>
-          Transforms.Filter(expr(req(st, "where", s"$ctx (filter)").asText()))
+          Transforms.Filter(safeExpr(req(st, "where", s"$ctx (filter)").asText(), s"$ctx (filter)"))
         case "map" =>
           // Jackson preserves document field order, so rewrites apply in
           // the order the user wrote them (later cols may read earlier)
           val cols = req(st, "cols", s"$ctx (map)").properties().asScala.toSeq
-            .map(e => e.getKey -> expr(e.getValue.asText()))
+            .map(e => e.getKey -> safeExpr(e.getValue.asText(), s"$ctx (map) col '${e.getKey}'"))
           Transforms.MapCols(cols: _*)
         case "drop" =>
           Transforms.DropCols(
@@ -82,7 +115,7 @@ object UserScript {
           .getOrElse(Seq.empty).zipWithIndex
           .map { case (r, i) =>
             req(r, "name", s"route $i").asText() ->
-              expr(req(r, "when", s"route $i").asText())
+              safeExpr(req(r, "when", s"route $i").asText(), s"route $i")
           }
         (rs, Option(d.get("default")).filterNot(_.isNull).map(_.asText()))
     }

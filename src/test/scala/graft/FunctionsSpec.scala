@@ -50,6 +50,18 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_lsh_buckets rejects vectors whose dims would overlap plane bits") {
+    // the plane-component packing gives dims 20 bits; an oversized
+    // vector must error rather than silently correlate hyperplanes
+    GraftFunctions.register(spark)
+    val big = Seq(Tuple1(Array.fill(1 << 20)(0.5f))).toDF("v")
+    val e = intercept[Exception] {
+      big.select(call_function("graft_lsh_buckets", col("v"), lit(2), lit(4))).collect()
+    }
+    assert(e.getMessage.contains("dimensions") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimensions")))
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

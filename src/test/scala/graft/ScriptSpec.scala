@@ -33,6 +33,24 @@ class ScriptSpec extends SparkSpec {
     assert(routes("telemetry").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
   }
 
+  test("userscript rejects reflection-escape functions at compile time") {
+    // expr() admits reflect()/java_method() — arbitrary static-method
+    // invocation, wider than the reference's sandboxed VM. The compile
+    // step must refuse them wherever they appear in the tree.
+    val bad = Seq(
+      """{"stages": [{"op": "filter", "where": "reflect('java.lang.System', 'exit', 0) is null"}]}""",
+      """{"stages": [{"op": "map", "cols": {"x": "java_method('java.lang.Runtime', 'getRuntime')"}}]}""",
+      """{"stages": [{"op": "map", "cols": {"x": "concat('a', REFLECT('a','b'))"}}]}""",
+      """{"dispatch": {"routes": [{"name": "r", "when": "reflect('x','y') = 'z'"}]}}""")
+    bad.foreach { js =>
+      val e = intercept[IllegalArgumentException](graft.script.UserScript.compile(js))
+      assert(e.getMessage.contains("disallowed function"))
+    }
+    // benign scripts still compile
+    graft.script.UserScript.compile(
+      """{"stages": [{"op": "map", "cols": {"x": "reverse(trim(op))"}}]}""")
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val direct = muts.groupBy("op")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))

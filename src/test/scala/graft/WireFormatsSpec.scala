@@ -95,9 +95,9 @@ class WireFormatsSpec extends SparkSpec {
 
   test("Kafka e2e: streamed wire log through stateful apply == batch apply") {
     import graft.streaming.StreamApply
-    import graft.streaming.StreamApply.KeyedMut
+    import graft.streaming.StreamApply.KeyedMutText
     import org.apache.spark.sql.streaming.Trigger
-    implicit val enc = org.apache.spark.sql.Encoders.product[KeyedMut]
+    implicit val enc = org.apache.spark.sql.Encoders.product[KeyedMutText]
     // out-of-order versions per key, a delete, a resolved marker, and a
     // malformed mutation that must fall out of the apply path
     val wire = Seq(
@@ -112,26 +112,27 @@ class WireFormatsSpec extends SparkSpec {
       ProcessHandle.current().pid()
     wire.repartition(3).write.mode("overwrite").json(dir)
 
-    val batch = StreamApply.applyBatch(
+    val batch = StreamApply.applyBatchText(
         graft.cdc.Kafka.toKeyedMuts(
-          graft.cdc.Kafka.mutations(graft.cdc.Kafka.read(spark, dir))).as[KeyedMut])
+          graft.cdc.Kafka.mutations(graft.cdc.Kafka.read(spark, dir))).as[KeyedMutText])
       .collect().map(m => m.key -> (m.op, m.value, m.payload)).toMap
 
-    val q = StreamApply.applyStream(
+    val q = StreamApply.applyStreamText(
         graft.cdc.Kafka.toKeyedMuts(
           graft.cdc.Kafka.mutations(
-            graft.cdc.Kafka.readStream(spark, dir, maxFilesPerTrigger = 1))).as[KeyedMut])
+            graft.cdc.Kafka.readStream(spark, dir, maxFilesPerTrigger = 1))).as[KeyedMutText])
       .writeStream.format("memory").queryName("kafka_e2e_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     assert(q.awaitTermination(120000))
     // last update per key across incremental triggers = the final state
-    val streamed = spark.table("kafka_e2e_out").as[KeyedMut].collect()
+    val streamed = spark.table("kafka_e2e_out").as[KeyedMutText].collect()
       .groupBy(_.key).map { case (k, ms) =>
         k -> { val w = ms.maxBy(m => (m.versionNanos, m.tiebreak)); (w.op, w.value, w.payload) }
       }
     assert(streamed == batch)
-    // keys are hashes of the full key text; the payload carries the text
-    val byKeyText = batch.values.map(v => v._3.split('|').head -> (v._1, v._2)).toMap
+    // the key IS the key text (no hash identity — a 64-bit collision
+    // must never merge two keys' histories)
+    val byKeyText = batch.map { case (k, v) => k -> (v._1, v._2) }
     assert(byKeyText == Map("[1]" -> ("upsert", 10.0), "[2]" -> ("delete", 0.0)))
   }
 
@@ -170,6 +171,21 @@ class WireFormatsSpec extends SparkSpec {
     val out = spark.table("txn_out2").as[TxnBatch].collect()
     assert(out.length == 1)
     assert(out(0) == TxnBatch(10L, 2L, 100L, 105L, 6L))
+
+    // trigger 3: LATE frames for closed txns — a ROW for rolled-back 11
+    // and committed 10 must hit the tombstone (not resurrect state),
+    // and a late COMMIT for 11 must not emit a second batch (the fresh
+    // query replays all three triggers, so exactly txn 10's batch shows)
+    input.addData(
+      Frame(9L, "ROW", 11L, Some(3L), Some("""{"c":1}"""), 108L),
+      Frame(10L, "ROW", 10L, Some(4L), Some("""{"c":2}"""), 109L),
+      Frame(11L, "COMMIT", 11L, None, None, 110L))
+    val q3 = StreamTxn.assemble(input.toDS())
+      .writeStream.format("memory").queryName("txn_out3")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q3.awaitTermination(60000))
+    val out3 = spark.table("txn_out3").as[TxnBatch].collect()
+    assert(out3.toSeq == Seq(TxnBatch(10L, 2L, 100L, 105L, 6L)))
   }
 
   test("SchemaWatch: align pads added columns, drops removed ones") {
@@ -183,8 +199,9 @@ class WireFormatsSpec extends SparkSpec {
   }
 
   test("Checkpoint: regressions rejected, frontier monotone, group min") {
-    // partition 0 proposes 100, 300, 200 (regression), 300 (equal: also
-    // rejected — the reference's Advance requires strictly forward);
+    // partition 0 proposes 100, 300, 200 (regression), 300 (equal: NOT
+    // rejected — the reference's Advance inserts on `>=` the stored
+    // HLC, so an equal re-proposal succeeds idempotently);
     // partition 1 proposes 150 only
     val props = Seq(
       (0L, 100L, 1L), (0L, 300L, 2L), (0L, 200L, 3L), (0L, 300L, 4L),
@@ -192,7 +209,7 @@ class WireFormatsSpec extends SparkSpec {
     val f = Checkpoint.advance(props, col("p"), col("nanos"), col("arrival"))
       .orderBy("partition").collect()
     assert(f(0).getAs[Long]("frontier_nanos") == 300L)
-    assert(f(0).getAs[Long]("n_rejected") == 2L)
+    assert(f(0).getAs[Long]("n_rejected") == 1L)
     assert(f(1).getAs[Long]("frontier_nanos") == 150L)
     assert(f(1).getAs[Long]("n_rejected") == 0L)
     val g = Checkpoint.groupResolved(
