@@ -23,10 +23,17 @@ object Bench {
     // OS page cache, reporting steady-state cost instead of first-run
     // compilation noise. A query that throws reports -1 (never a
     // near-zero fake time that would flatter the total).
+    // The timed action is a noop-format WRITE, not count(): under count
+    // Catalyst prunes every unreferenced projection, so a row-shaped
+    // query (fingerprints, schema maps) would skip its expensive
+    // expressions entirely and the bench would flatter it. The noop
+    // sink consumes every output column like Verify's parquet write
+    // does, with zero I/O cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

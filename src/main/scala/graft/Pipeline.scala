@@ -71,6 +71,22 @@ final case class Pipeline(
   def dropDeletesWhere(isDelete: Column): Pipeline =
     copy(mutations = mutations.filter(!isDelete))
 
+  /** Dispatch to routes, then apply EACH route under its own
+    * [[graft.cdc.Apply.Config]] — the reference's per-table applycfg
+    * (`internal/util/applycfg/conf.go:52` consumed by
+    * `internal/target/apply`): one pipeline fans out to multiple target
+    * tables whose CAS columns, deadlines, and rewrites all differ.
+    * Routes without a config reduce latest-by-`order`.
+    */
+  def dispatchApplyEach(routes: Seq[(String, Column)],
+      configs: Map[String, Apply.Config],
+      defaultRoute: Option[String] = None): Map[String, DataFrame] =
+    graft.script.Transforms.dispatch(mutations, routes, defaultRoute)
+      .map { case (route, df) =>
+        route -> Apply.applyWith(df, keys, order,
+          configs.getOrElse(route, Apply.Config()))
+      }
+
   /** The materialized state (lazy — a plan, not a result). */
   def state: DataFrame = mutations
 

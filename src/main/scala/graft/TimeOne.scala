@@ -17,7 +17,7 @@ object TimeOne {
     spark.read.parquet(s"$sfDir/embeddings.parquet").groupBy().count().collect()
     val times = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     println(f"[timeone] $name best=${times.min}%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")

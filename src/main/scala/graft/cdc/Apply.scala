@@ -50,6 +50,40 @@ object Apply {
       .drop("__resolved")
   }
 
+  /** Per-target apply configuration — the reference's `applycfg.Config`
+    * (`internal/util/applycfg/conf.go:52`), one per dispatch route:
+    * CASColumns (CAS tuple order), Deadlines, Exprs (synthetic column
+    * rewrites), and the tombstone predicate. A multi-table pipeline
+    * hands each route ITS OWN config (see `Pipeline.dispatchApplyEach`)
+    * — two routes may CAS on entirely different columns.
+    */
+  final case class Config(
+      casOrder: Option[Column] = None,
+      deadline: Option[(String, String)] = None,
+      exprs: Seq[(String, Column)] = Nil,
+      isDelete: Option[Column] = None)
+
+  /** Apply one route's mutation stream under its own [[Config]]:
+    * rewrites → deadline filter → CAS-or-latest reduce → tombstone
+    * drop. `order` is the fallback mutation order when the config has
+    * no CAS columns.
+    */
+  def applyWith(muts: DataFrame, keys: Seq[String], order: Column,
+      cfg: Config): DataFrame = {
+    val rewritten = cfg.exprs.foldLeft(muts) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    val fresh = cfg.deadline match {
+      case Some((ts, d)) => deadlineFilter(rewritten, ts, d)
+      case None => rewritten
+    }
+    val reduced = Msort.latestByKey(fresh, keys, cfg.casOrder.getOrElse(order))
+    cfg.isDelete match {
+      case Some(p) => reduced.filter(!coalesce(p, lit(false)))
+      case None => reduced
+    }
+  }
+
   /** Declarative source→target schema mapping (reference: applycfg
     * SourceNames renames, Exprs synthetic expressions, Ignore drops,
     * Extras packs unmapped source columns into a JSON column; plus
@@ -62,11 +96,21 @@ object Apply {
       renames: Seq[(String, String)],
       exprs: Seq[(String, Column)],
       ignore: Seq[String],
-      extrasJson: Option[(String, Seq[String])]): DataFrame = {
+      extrasJson: Option[(String, Seq[String])],
+      caseSensitive: Boolean = false): DataFrame = {
+    // identifier matching is case-insensitive by default, mirroring the
+    // reference's ident canonicalization (internal/util/ident): a config
+    // naming USER_ID must hit source column user_id. Spark's own col()
+    // resolution already folds case; this folds the kept-column filter
+    // to match.
+    def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val ignoreSet = ignore.map(canon).toSet
+    val renameSet = renames.map(r => canon(r._1)).toSet
+    val extrasSet = extrasJson.map(_._2.map(canon).toSet).getOrElse(Set.empty[String])
     val kept = src.columns.filterNot(c =>
-      ignore.contains(c) ||
-        renames.exists(_._1 == c) ||
-        extrasJson.exists(_._2.contains(c)))
+      ignoreSet.contains(canon(c)) ||
+        renameSet.contains(canon(c)) ||
+        extrasSet.contains(canon(c)))
     val cols =
       kept.map(col).toIndexedSeq ++
         renames.map { case (from, to) => col(from).as(to) } ++

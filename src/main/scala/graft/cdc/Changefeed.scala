@@ -98,4 +98,26 @@ object Changefeed {
       .schema(envelopeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir))
+
+  /** Per-file ingest frontier (reference: `internal/source/objstore`
+    * tracks each bucket object's applied progress): one row per applied
+    * file with its max applied HLC and mutation count — the durable
+    * record a resumed backfill consults. `fileCol` is the file
+    * identity: `input_file_name()` for raw objects, or a partition
+    * column for bucketed layouts.
+    */
+  def fileFrontier(muts: DataFrame, fileCol: String): DataFrame =
+    muts.groupBy(col(fileCol))
+      .agg(max(col("hlc.nanos")).as("applied_nanos"),
+        count(lit(1)).as("n_muts"))
+
+  /** Resume a batch backfill from a frontier: keep only mutations of
+    * files NOT yet applied (left anti join on the file identity — the
+    * frontier side is tiny, one row per applied file, so it
+    * broadcasts). The streaming path gets this for free from Spark's
+    * file-source tracking; this is the BATCH "resume from file X"
+    * story the reference's objstore loop implements.
+    */
+  def resumeFrom(muts: DataFrame, frontier: DataFrame, fileCol: String): DataFrame =
+    muts.join(frontier.select(col(fileCol)), Seq(fileCol), "left_anti")
 }

@@ -22,12 +22,28 @@ object SchemaWatch {
   /** Project `batch` onto `target`: name-matched columns pass through
     * (cast to the target type), target-only columns become NULL,
     * batch-only columns drop.
+    *
+    * Matching is CASE-INSENSITIVE by default, the reference's behavior
+    * throughout (`internal/util/ident` canonicalizes identifiers, so a
+    * MySQL feed emitting `USER_ID` maps onto a target `user_id` rather
+    * than silently null-padding). Quoted-identifier pipelines that
+    * genuinely distinguish case pass `caseSensitive = true`. When two
+    * batch columns fold to the same target name (`id` and `ID`), the
+    * exact-case match wins, then first-in-batch order — deterministic,
+    * like the reference's canonical-map insertion order.
     */
-  def align(batch: DataFrame, target: StructType): DataFrame = {
-    val have = batch.columns.toSet
+  def align(batch: DataFrame, target: StructType,
+      caseSensitive: Boolean = false): DataFrame = {
+    def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val byCanon = batch.columns.toIndexedSeq.groupBy(canon)
     batch.select(target.fields.toIndexedSeq.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      val src = byCanon.get(canon(f.name)).map { cands =>
+        cands.find(_ == f.name).getOrElse(cands.head)
+      }
+      src match {
+        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 
@@ -35,9 +51,10 @@ object SchemaWatch {
     * batch's schema (the watcher's latest Refresh result) — the apply
     * path for a feed whose upstream evolved mid-stream.
     */
-  def evolve(batches: Seq[DataFrame], target: Option[StructType] = None): DataFrame = {
+  def evolve(batches: Seq[DataFrame], target: Option[StructType] = None,
+      caseSensitive: Boolean = false): DataFrame = {
     require(batches.nonEmpty, "evolve needs at least one batch")
     val tgt = target.getOrElse(batches.last.schema)
-    batches.map(align(_, tgt)).reduce(_.unionByName(_))
+    batches.map(align(_, tgt, caseSensitive)).reduce(_.unionByName(_))
   }
 }

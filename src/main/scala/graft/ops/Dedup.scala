@@ -40,11 +40,25 @@ object Dedup {
     * so the expansion is exact, not approximate). The reference stages
     * an analogous collapse: msort dedups staged mutations before apply.
     */
-  def exactMembership(docs: DataFrame, id: String, text: String): DataFrame = {
+  def exactMembership(docs: DataFrame, id: String, text: String): DataFrame =
+    collapseExact(docs, id, text)._1
+
+  /** The collapse itself: (members = (id, rep_id), repDocs = one doc
+    * row per distinct normalized text). The fingerprint aggregate
+    * carries only (fp, min id) — never text — so its map-side combine
+    * shuffles 24 bytes per doc; representative rows come back from the
+    * docs frame via a semi-join on the (typically broadcastable,
+    * AQE-sized) representative-id set.
+    */
+  def collapseExact(docs: DataFrame, id: String,
+      text: String): (DataFrame, DataFrame) = {
     val fp = docs.filter(col(id).isNotNull && col(text).isNotNull)
       .select(col(id), md5(norm(col(text))).as("__fp"))
-    val reps = fp.groupBy("__fp").agg(min(col(id)).as("rep_id"))
-    fp.join(reps, "__fp").select(col(id), col("rep_id"))
+    val groups = fp.groupBy("__fp").agg(min(col(id)).as("rep_id"))
+    val members = fp.join(groups, "__fp").select(col(id), col("rep_id"))
+      .localCheckpoint(true)
+    val repDocs = docs.join(groups.select(col("rep_id").as(id)), Seq(id), "left_semi")
+    (members, repDocs)
   }
 
   /** Word k-shingles of the normalized text (string form, for tests /
@@ -317,16 +331,14 @@ object Dedup {
   def verifiedDupPairs(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val members = exactMembership(docs, id, text)
-    val repDocs = docs.join(
-      members.filter(col(id) === col("rep_id")).select(col(id)), Seq(id), "left_semi")
+    val (members, repDocs) = collapseExact(docs, id, text)
     // the banding default is rows-per-band = 2: candidate recall at the
     // THRESHOLD (not just at dup-grade J) is what makes the verified
     // output exhaustive — miss = (1−J²)^b = 0.36³² ≈ 6e-15 at J = 0.8,
     // where r = 4 banding would miss ≈ 2e-4 of borderline pairs.
     // The shingle frame is built once and shared by the signature and
     // verification stages (identical subtrees let Spark reuse work).
-    val sh = shingleHashes(repDocs, id, text)
+    val sh = shingleHashes(repDocs, id, text).localCheckpoint(true)
     val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
       bands, numHashes / bands, maxBucketSize)
     val repPairs = jaccardFromShingles(sh, id, cands)
@@ -362,10 +374,8 @@ object Dedup {
     // exact-identity collapse first (see verifiedDupPairs): identical
     // docs share a simhash, so they collide in every band — without the
     // collapse one B-sized identical cluster yields B²/2 band candidates
-    val members = exactMembership(docs, id, text)
-    val repDocs = docs.join(
-      members.filter(col(id) === col("rep_id")).select(col(id)), Seq(id), "left_semi")
-    val sh = shingleHashes(repDocs, id, text) // shared: signatures + verify
+    val (members, repDocs) = collapseExact(docs, id, text)
+    val sh = shingleHashes(repDocs, id, text).localCheckpoint(true) // shared: signatures + verify
     val sig = simhash(repDocs, id, text).select(col(id), col("simhash"))
     val banded = sig.select(col(id), col("simhash"),
       posexplode(array((0 until nBands).map(b =>

@@ -792,6 +792,143 @@ object CdcQueries {
       |  CAST(SUM(CASE WHEN cents >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
       |FROM r GROUP BY route ORDER BY route""".stripMargin
 
+  // -- 28b: userscript 1→N emission with key rewrite ------------------------
+  /** Reference `internal/script/script.go:35` / `api.go`: a script map
+    * may return MULTIPLE mutations, each free to retarget its key or
+    * table. The user script below fans every purchase out to an order
+    * row (original key) plus an audit copy (key rewritten into the
+    * 1e6+ range), then dispatch routes the two emissions to different
+    * tables — one input row lands in two routes under two keys.
+    */
+  def userscriptEmit(s: SparkSession, dir: String): DataFrame = {
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |   {"op": "filter", "where": "event_type = 'purchase'"},
+        |   {"op": "map", "cols": {"cents": "cast(round(value * 100, 0) as bigint)"}},
+        |   {"op": "emit", "rows": "array(named_struct('user_id', user_id, 'kind', 'order'), named_struct('user_id', user_id + 1000000, 'kind', 'audit'))"}],
+        | "dispatch": {
+        |   "routes": [{"name": "orders", "when": "kind = 'order'"},
+        |              {"name": "audit", "when": "kind = 'audit'"}]}}""".stripMargin)
+    val routed = script.dispatch(events(s, dir))
+    routed.toSeq.map { case (route, df) =>
+      df.groupBy(lit(route).as("route"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_keys"),
+          sum(col("cents")).as("cents"),
+          min(col("user_id")).as("min_key"), max(col("user_id")).as("max_key"))
+    }.reduce(_ unionByName _).orderBy("route")
+  }
+
+  val userscriptEmitSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT 'orders' AS route, user_id, cents FROM p
+      |  UNION ALL
+      |  SELECT 'audit' AS route, user_id + 1000000 AS user_id, cents FROM p)
+      |SELECT route, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_keys,
+      |  CAST(SUM(cents) AS BIGINT) AS cents,
+      |  MIN(user_id) AS min_key, MAX(user_id) AS max_key
+      |FROM e GROUP BY route ORDER BY route""".stripMargin
+
+  // -- 28c: per-route apply configurations ----------------------------------
+  /** Reference `internal/util/applycfg/conf.go:52` + `internal/target/
+    * apply`: dispatch hands each target table its OWN apply config. One
+    * pipeline here fans out to two routes with different semantics —
+    * `billing` (purchases) CASes on the value tuple (highest value
+    * wins, not newest), `telemetry` (everything else) applies
+    * latest-by-time under a 15-day deadline; both carry a cents
+    * rewrite. Inexpressible in r2's single-config Pipeline.
+    */
+  def routeConfigs(s: SparkSession, dir: String): DataFrame = {
+    val routes = Seq(
+      "billing" -> (col("event_type") === "purchase"),
+      "telemetry" -> (col("event_type") =!= "purchase"))
+    val configs = Map(
+      "billing" -> Apply.Config(
+        casOrder = Some(struct(col("value"), col("ts"), col("event_id"))),
+        exprs = Seq("cents" -> cents(col("value")))),
+      "telemetry" -> Apply.Config(
+        deadline = Some(("ts", "15 DAY")),
+        exprs = Seq("cents" -> cents(col("value")))))
+    graft.Pipeline(events(s, dir), Seq("user_id"), ord)
+      .dispatchApplyEach(routes, configs)
+      .toSeq.map { case (route, df) =>
+        df.select(lit(route).as("route"), col("user_id"),
+          col("event_id"), col("cents"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("route", "user_id")
+  }
+
+  val routeConfigsSql: String =
+    """WITH b AS (
+      |  SELECT 'billing' AS route, user_id, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM (
+      |    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, ts DESC, event_id DESC) AS rn
+      |    FROM events e WHERE event_type = 'purchase') WHERE rn = 1),
+      |t AS (
+      |  SELECT 'telemetry' AS route, user_id, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM (
+      |    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM (SELECT * FROM events
+      |          WHERE event_type <> 'purchase'
+      |            AND ts >= (SELECT MAX(ts) FROM events WHERE event_type <> 'purchase')
+      |                      - INTERVAL 15 DAY) e) WHERE rn = 1)
+      |SELECT * FROM b UNION ALL SELECT * FROM t ORDER BY route, user_id""".stripMargin
+
+  // -- 28d: objstore per-file resume ----------------------------------------
+  /** Reference `internal/source/objstore`: a bucket feed tracks
+    * PER-FILE applied progress so an interrupted backfill resumes from
+    * the first un-applied object instead of re-reading the bucket. The
+    * fixture writes the changefeed as 8 file partitions (file_no =
+    * user_id % 8 — the bucket objects). Phase 1 ingests objects 0–3 and
+    * records the per-file frontier (max applied HLC + count); the
+    * resumed phase anti-joins that frontier, so only objects 4–7 are
+    * parsed and applied. Output = the frontier after each phase.
+    */
+  def changefeedResume(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outDir = fixture(dir, "cfresume") { p =>
+      events(s, dir).select(
+        to_json(array(col("user_id"))).as("key"),
+        to_json(struct(col("event_id"), col("value"))).as("after"),
+        concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"),
+          lit(".0000000000")).as("updated"),
+        pmod(col("user_id"), lit(8L)).as("file_no"))
+        .write.partitionBy("file_no").mode("overwrite").json(p)
+    }
+    val full = StructType(
+      Changefeed.envelopeSchema.fields.toSeq :+ StructField("file_no", LongType))
+    val muts = s.read.schema(full).json(outDir)
+      .select(col("file_no"), col("key"),
+        Changefeed.parseHlc("updated").as("hlc"))
+    val phase1 = muts.filter(col("file_no") <= 3)
+    val frontier = Changefeed.fileFrontier(phase1, "file_no")
+    val resumed = Changefeed.resumeFrom(muts, frontier, "file_no")
+    frontier.withColumn("phase", lit("applied"))
+      .unionByName(
+        Changefeed.fileFrontier(resumed, "file_no").withColumn("phase", lit("resumed")))
+      .select("phase", "file_no", "applied_nanos", "n_muts")
+      .orderBy("phase", "file_no")
+  }
+
+  val changefeedResumeSql: String =
+    """WITH m AS (
+      |  SELECT user_id % 8 AS file_no, epoch_us(ts) * 1000 AS nanos
+      |  FROM events)
+      |SELECT 'applied' AS phase, file_no, MAX(nanos) AS applied_nanos,
+      |  COUNT(*) AS n_muts
+      |FROM m WHERE file_no <= 3 GROUP BY file_no
+      |UNION ALL
+      |SELECT 'resumed' AS phase, file_no, MAX(nanos) AS applied_nanos,
+      |  COUNT(*) AS n_muts
+      |FROM m WHERE file_no > 3 GROUP BY file_no
+      |ORDER BY phase, file_no""".stripMargin
+
   // -- 29: checkpoint frontier with Advance semantics -----------------------
   /** Reference `internal/staging/checkpoint/group.go:121`: per-partition
     * monotone frontier (regressions rejected), group resolved = the
@@ -901,6 +1038,143 @@ object CdcQueries {
   /** One-shot reduce — the fold must land exactly here. */
   val incrementalApplySql: String = latestByKeySql
 
+  // -- 34: wire before-images drive the three-way merge ---------------------
+  /** Reference `internal/types/types.go:132` (`Mutation.Before`) +
+    * `internal/util/merge/standard.go`: a changefeed with diff enabled
+    * carries each mutation's BEFORE image, and the merge uses it — not
+    * a reconstruction — as the common ancestor against the live target
+    * row. The fixture serializes diff envelopes (`before`/`after`/
+    * `updated`) onto the Kafka wire; odd events are the incoming feed
+    * (msort'ed to the latest per key), even events materialize the
+    * target table. Every third user's feed carries a STALE before
+    * (its previous odd value — the classic skipped-intermediate
+    * situation), so `before ≠ target` and the bag-level merge must
+    * flag the conflicting property and route the row to the DLQ;
+    * everyone else's before matches the target and applies cleanly.
+    * The merge base is `mergeBags(wire before, proposed, target)` —
+    * no lag() anywhere in the apply path.
+    */
+  def mergeWireBefore(s: SparkSession, dir: String): DataFrame = {
+    val outDir = fixture(dir, "wirebefore") { p =>
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
+        cents(col("value")).as("c"))
+      val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      val even = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val tgt = even.groupBy("user_id")
+        .agg(max_by(col("c"), struct(col("nanos"), col("event_id"))).as("target_c"))
+      val wOdd = Window.partitionBy("user_id").orderBy("nanos", "event_id")
+      odd
+        .withColumn("prev_odd_c", lag(col("c"), 1).over(wOdd))
+        .join(tgt, Seq("user_id"), "left")
+        .withColumn("before_c",
+          when(pmod(col("user_id"), lit(3)) === 0, col("prev_odd_c"))
+            .otherwise(col("target_c")))
+        .select(
+          lit("merge").as("topic"),
+          pmod(col("user_id"), lit(4L)).as("partition"),
+          col("event_id").as("offset"),
+          to_json(array(col("user_id"))).as("key"),
+          to_json(struct(
+            when(col("before_c").isNotNull,
+              to_json(struct(col("before_c").as("c"), col("user_id").as("u"))))
+              .as("before"),
+            to_json(struct(col("c").as("c"), col("user_id").as("u"))).as("after"),
+            concat(col("nanos").cast("string"), lit(".0000000000")).as("updated")))
+            .as("value"))
+        .write.mode("overwrite").json(p)
+    }
+    val bag = "map<string,string>"
+    val muts = Kafka.mutations(Kafka.read(s, outDir)).select(
+      get_json_object(col("key"), "$[0]").cast("long").as("user_id"),
+      from_json(col("before"), bag, Map.empty[String, String]).as("before_bag"),
+      from_json(col("data"), bag, Map.empty[String, String]).as("proposed_bag"),
+      col("hlc.nanos").as("nanos"), col("offset"))
+    // msort: one surviving mutation per key (hlc order, offset tiebreak)
+    val latest = muts.groupBy("user_id")
+      .agg(max_by(struct(col("before_bag"), col("proposed_bag")),
+        struct(col("nanos"), col("offset"))).as("m"))
+      .select(col("user_id"),
+        col("m.before_bag").as("before_bag"), col("m.proposed_bag").as("proposed_bag"))
+    // the live target table as bags (the same shape Apply materializes)
+    val target = events(s, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("user_id"),
+        (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
+        col("event_id"), cents(col("value")).as("c"))
+      .groupBy("user_id")
+      .agg(max_by(col("c"), struct(col("nanos"), col("event_id"))).as("target_c"))
+      .select(col("user_id"), map(
+        lit("c"), col("target_c").cast("string"),
+        lit("u"), col("user_id").cast("string")).as("target_bag"))
+    latest.join(target, Seq("user_id"), "left")
+      .withColumn("mg", MergeOps.mergeBags(
+        col("before_bag"), col("proposed_bag"), col("target_bag")))
+      .select(col("user_id"),
+        element_at(col("target_bag"), "c").as("target_c"),
+        element_at(col("before_bag"), "c").as("before_c"),
+        element_at(col("proposed_bag"), "c").as("proposed_c"),
+        element_at(col("mg.merged"), "c").as("merged_c"),
+        element_at(col("mg.merged"), "u").as("merged_u"),
+        array_join(col("mg.unmerged"), ",").as("unmerged"),
+        (size(col("mg.unmerged")) > 0).as("is_dlq"))
+      .orderBy("user_id")
+  }
+
+  /** The oracle rebuilds the diff envelopes and the bag-merge decision
+    * table per property straight from events: before = previous odd
+    * value for user_id % 3 = 0 (stale) else the target value; property
+    * `c` classifies unchanged/idempotent/safe/conflict exactly as
+    * merge/standard.go, property `u` never changes.
+    */
+  val mergeWireBeforeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS nanos,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |tgt AS (
+      |  SELECT user_id, c AS target_c FROM (
+      |    SELECT user_id, c, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+      |ob AS (
+      |  SELECT user_id, event_id, nanos, c,
+      |    LAG(c) OVER (PARTITION BY user_id ORDER BY nanos, event_id) AS prev_odd_c
+      |  FROM e WHERE event_id % 2 = 1),
+      |latest AS (
+      |  SELECT user_id, c AS proposed, prev_odd_c FROM (
+      |    SELECT ob.*, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM ob) WHERE rn = 1),
+      |m AS (
+      |  SELECT l.user_id, t.target_c,
+      |    CASE WHEN l.user_id % 3 = 0 THEN l.prev_odd_c ELSE t.target_c END AS before_c,
+      |    l.proposed,
+      |    (t.user_id IS NULL) AS no_target
+      |  FROM latest l LEFT JOIN tgt t USING (user_id)),
+      |cls AS (
+      |  SELECT user_id, target_c, before_c, proposed, no_target,
+      |    CASE
+      |      WHEN no_target THEN proposed
+      |      WHEN before_c IS NOT NULL AND before_c = proposed THEN target_c
+      |      WHEN target_c = proposed THEN proposed
+      |      WHEN before_c IS NOT NULL AND target_c = before_c THEN proposed
+      |      ELSE target_c END AS merged_c_num,
+      |    (NOT no_target
+      |      AND NOT (before_c IS NOT NULL AND before_c = proposed)
+      |      AND NOT (target_c = proposed)
+      |      AND NOT (before_c IS NOT NULL AND target_c = before_c)) AS conflict
+      |  FROM m)
+      |SELECT user_id,
+      |  CAST(target_c AS VARCHAR) AS target_c,
+      |  CAST(before_c AS VARCHAR) AS before_c,
+      |  CAST(proposed AS VARCHAR) AS proposed_c,
+      |  CAST(merged_c_num AS VARCHAR) AS merged_c,
+      |  CAST(user_id AS VARCHAR) AS merged_u,
+      |  CASE WHEN conflict THEN 'c' ELSE '' END AS unmerged,
+      |  conflict AS is_dlq
+      |FROM cls ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_incremental_apply" -> (incrementalApply _),
     "cdc_asof_join" -> (asofJoin _),
@@ -933,7 +1207,11 @@ object CdcQueries {
     "cdc_schema_drift" -> (schemaDrift _),
     "cdc_merge_dlq" -> (mergeDlq _),
     "cdc_checkpoint_frontier" -> (checkpointFrontier _),
-    "cdc_userscript_dsl" -> (userscriptDsl _))
+    "cdc_userscript_dsl" -> (userscriptDsl _),
+    "cdc_merge_wire_before" -> (mergeWireBefore _),
+    "cdc_userscript_emit" -> (userscriptEmit _),
+    "cdc_route_configs" -> (routeConfigs _),
+    "cdc_changefeed_resume" -> (changefeedResume _))
 
   val oracles: Map[String, String] = Map(
     "cdc_incremental_apply" -> incrementalApplySql,
@@ -967,5 +1245,9 @@ object CdcQueries {
     "cdc_schema_drift" -> schemaDriftSql,
     "cdc_merge_dlq" -> mergeDlqSql,
     "cdc_checkpoint_frontier" -> checkpointFrontierSql,
-    "cdc_userscript_dsl" -> userscriptDslSql)
+    "cdc_userscript_dsl" -> userscriptDslSql,
+    "cdc_merge_wire_before" -> mergeWireBeforeSql,
+    "cdc_userscript_emit" -> userscriptEmitSql,
+    "cdc_route_configs" -> routeConfigsSql,
+    "cdc_changefeed_resume" -> changefeedResumeSql)
 }

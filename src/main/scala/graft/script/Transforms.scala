@@ -2,6 +2,7 @@ package graft.script
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Declarative equivalent of the reference's userscript layer.
   *
@@ -30,6 +31,31 @@ object Transforms {
   /** Drop columns (reference: deleting properties in the script). */
   final case class DropCols(names: String*) extends Step {
     def apply(df: DataFrame): DataFrame = df.drop(names: _*)
+  }
+
+  /** `emit` — one mutation fans out to N output mutations (reference:
+    * a script `map` may return MULTIPLE mutations, `internal/script/
+    * script.go:35`, each free to retarget its key or table). `rows` is
+    * a user expression of type `array<struct<...>>`: posexplode makes
+    * one output row per element, `emit_pos` carries the element index,
+    * and each struct field OVERWRITES the like-named column (so
+    * emitting a new value for the key column IS the key rewrite; new
+    * fields become new columns). An empty array drops the row —
+    * emit(array()) subsumes filter, exactly as the reference's map
+    * returning [] does.
+    */
+  final case class Emit(rows: Column) extends Step {
+    def apply(df: DataFrame): DataFrame = {
+      val out = df.select(col("*"), posexplode(rows).as(Seq("emit_pos", "__emit")))
+      val fields = out.schema("__emit").dataType match {
+        case st: StructType => st.fieldNames.toSeq
+        case other => throw new IllegalArgumentException(
+          s"emit expects an array<struct<...>> expression, " +
+            s"got array element type ${other.simpleString}")
+      }
+      fields.foldLeft(out)((d, f) =>
+        d.withColumn(f, col("__emit").getField(f))).drop("__emit")
+    }
   }
 
   /** A pipeline of steps applied in order. */

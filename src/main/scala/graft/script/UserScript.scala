@@ -17,7 +17,8 @@ import scala.jdk.CollectionConverters._
   * as a JSON pipeline whose predicates and column rewrites are SQL
   * EXPRESSION STRINGS: arbitrary user input, parsed and validated once
   * at plan time by Catalyst (`expr()`), then compiled into the plan.
-  * The verbs mirror `api.go`: filter / map / drop / dispatch.
+  * The verbs mirror `api.go`: filter / map / drop / emit (1→N fan-out
+  * with key rewrite) / dispatch.
   *
   * {{{
   * {"stages": [
@@ -104,6 +105,10 @@ object UserScript {
         case "drop" =>
           Transforms.DropCols(
             req(st, "cols", s"$ctx (drop)").elements().asScala.map(_.asText()).toSeq: _*)
+        case "emit" =>
+          // 1→N fan-out with key rewrite: rows is an array<struct<...>>
+          // user expression, one output mutation per element
+          Transforms.Emit(safeExpr(req(st, "rows", s"$ctx (emit)").asText(), s"$ctx (emit)"))
         case other =>
           throw new IllegalArgumentException(s"user script: unknown op '$other' in $ctx")
       }

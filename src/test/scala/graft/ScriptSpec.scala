@@ -33,6 +33,24 @@ class ScriptSpec extends SparkSpec {
     assert(routes("telemetry").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
   }
 
+  test("emit fans one mutation out to N rows with key rewrite") {
+    val df = Seq((1L, "purchase", 60.0), (2L, "signup", 1.0))
+      .toDF("id", "event_type", "value")
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |  {"op": "emit", "rows": "case when event_type = 'purchase' then array(named_struct('id', id, 'copy', 'main'), named_struct('id', id + 100, 'copy', 'audit')) else array(named_struct('id', id, 'copy', 'main')) end"}]}""".stripMargin)
+    val out = script(df).orderBy("id", "emit_pos")
+      .select("id", "copy", "emit_pos", "event_type").collect()
+    // purchase row 1 → two rows under two keys; signup stays single
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "main", 0), (2L, "main", 0), (101L, "audit", 1)))
+    assert(out.forall(r => Set("purchase", "signup")(r.getString(3))))
+    // empty array drops the row (map returning [] in the reference)
+    val drop = graft.script.UserScript.compile(
+      """{"stages": [{"op": "emit", "rows": "case when event_type = 'signup' then array(named_struct('id', id)) else array() end"}]}""")
+    assert(drop(df.withColumn("__t", lit(1))).count() == 1)
+  }
+
   test("userscript rejects reflection-escape functions at compile time") {
     // expr() admits reflect()/java_method() — arbitrary static-method
     // invocation, wider than the reference's sandboxed VM. The compile

@@ -198,6 +198,24 @@ class WireFormatsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 150L && out(1).getString(3) == "billing")
   }
 
+  test("SchemaWatch: case-variant columns MAP onto the target, not null-pad") {
+    // a MySQL feed emitting USER_ID must land in target user_id — the
+    // reference canonicalizes identifiers (internal/util/ident); only
+    // an explicit caseSensitive=true keeps the quoted-identifier view
+    val target = Seq((0L, 0L, "")).toDF("id", "user_id", "route").schema
+    val feed = Seq((7L, 42L, "billing")).toDF("ID", "USER_ID", "Route")
+    val folded = SchemaWatch.align(feed, target).collect()(0)
+    assert(folded.getLong(0) == 7L && folded.getLong(1) == 42L &&
+      folded.getString(2) == "billing")
+    val strict = SchemaWatch.align(feed, target, caseSensitive = true).collect()(0)
+    assert(strict.isNullAt(0) && strict.isNullAt(1) && strict.isNullAt(2))
+    // schemaMap's ignore/renames fold case the same way
+    val mapped = graft.cdc.Apply.schemaMap(feed,
+      renames = Seq("USER_ID" -> "uid"), exprs = Nil,
+      ignore = Seq("route"), extrasJson = None)
+    assert(mapped.columns.toSeq == Seq("ID", "uid"))
+  }
+
   test("Checkpoint: regressions rejected, frontier monotone, group min") {
     // partition 0 proposes 100, 300, 200 (regression), 300 (equal: NOT
     // rejected — the reference's Advance inserts on `>=` the stored
