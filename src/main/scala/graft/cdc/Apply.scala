@@ -104,6 +104,16 @@ object Apply {
     // resolution already folds case; this folds the kept-column filter
     // to match.
     def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
+    // resolve configured names to ACTUAL source columns under the
+    // requested sensitivity — col("ID") would otherwise still resolve
+    // `id` through Spark's case-insensitive resolver even when this
+    // mapping is case-sensitive, leaving the column both kept and
+    // renamed (duplicated) instead of erroring
+    def actual(n: String, what: String): String =
+      src.columns.find(c => canon(c) == canon(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"schemaMap: $what '$n' does not match any source column" +
+            (if (caseSensitive) " (case-sensitive)" else "")))
     val ignoreSet = ignore.map(canon).toSet
     val renameSet = renames.map(r => canon(r._1)).toSet
     val extrasSet = extrasJson.map(_._2.map(canon).toSet).getOrElse(Set.empty[String])
@@ -113,10 +123,10 @@ object Apply {
         extrasSet.contains(canon(c)))
     val cols =
       kept.map(col).toIndexedSeq ++
-        renames.map { case (from, to) => col(from).as(to) } ++
+        renames.map { case (from, to) => col(actual(from, "rename source")).as(to) } ++
         exprs.map { case (name, e) => e.as(name) } ++
         extrasJson.toSeq.map { case (name, srcCols) =>
-          to_json(struct(srcCols.map(col): _*)).as(name)
+          to_json(struct(srcCols.map(c => col(actual(c, "extras column"))): _*)).as(name)
         }
     src.select(cols: _*)
   }

@@ -35,13 +35,19 @@ object SchemaWatch {
   def align(batch: DataFrame, target: StructType,
       caseSensitive: Boolean = false): DataFrame = {
     def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
-    val byCanon = batch.columns.toIndexedSeq.groupBy(canon)
-    batch.select(target.fields.toIndexedSeq.map { f =>
+    val names = batch.columns.toIndexedSeq
+    // positional temp names: a batch carrying BOTH `id` and `ID` would
+    // make a name-based col("id") ambiguous under Spark's (default
+    // case-insensitive) resolver — selecting by position sidesteps the
+    // resolver entirely, so the winner choice below is authoritative
+    val tmp = batch.toDF(names.indices.map(i => s"__c$i"): _*)
+    val byCanon = names.zipWithIndex.groupBy { case (n, _) => canon(n) }
+    tmp.select(target.fields.toIndexedSeq.map { f =>
       val src = byCanon.get(canon(f.name)).map { cands =>
-        cands.find(_ == f.name).getOrElse(cands.head)
+        cands.find(_._1 == f.name).getOrElse(cands.head)._2
       }
       src match {
-        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case Some(i) => col(s"__c$i").cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)

@@ -167,14 +167,7 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     } else {
-      // anchors: deterministic (hash-ordered) cap-smallest per bucket.
-      // The window sorts only within one (band, bucket) partition —
-      // n log n in occupancy, strictly cheaper than the n² join it caps.
-      val w = Window.partitionBy("band_id", "bucket")
-        .orderBy(xxhash64(col(id), lit(7)), col(id))
-      val anchors = banded
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= maxBucketSize)
+      val anchors = Buckets.anchors(banded, Seq("band_id", "bucket"), id, maxBucketSize)
         .select(col("band_id"), col("bucket"), col(id).as("id_b"))
       a.join(anchors, Seq("band_id", "bucket"))
         .filter(col("id_a") =!= col("id_b"))
@@ -403,12 +396,8 @@ object Dedup {
           .filter(ham(math.min(nBands - 1, maxHamming)))
           .select("id_a", "id_b")
       else {
-        // residual hot-bucket cap: anchor join (see lshCandidates)
-        val w = Window.partitionBy("band_id", "band_val")
-          .orderBy(xxhash64(col(id), lit(7)), col(id))
-        val anchors = banded
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= maxBucketSize)
+        // residual hot-bucket cap: anchor join (see Buckets.anchors)
+        val anchors = Buckets.anchors(banded, Seq("band_id", "band_val"), id, maxBucketSize)
           .select(col("band_id"), col("band_val"),
             col(id).as("id_b"), col("simhash").as("sim_b"))
         aSide.join(anchors, Seq("band_id", "band_val"))

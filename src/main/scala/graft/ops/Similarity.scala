@@ -191,12 +191,8 @@ object Similarity {
           .select("id_a", "id_b").distinct()
       else {
         // residual hot-bucket valve (near-identical, not byte-identical,
-        // vectors): anchor join — see Dedup.lshCandidates
-        val w = Window.partitionBy("table_id", "bucket")
-          .orderBy(xxhash64(col("vid"), lit(7)), col("vid"))
-        val anchors = b
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= maxBucketSize)
+        // vectors): anchor join — see Buckets.anchors
+        val anchors = Buckets.anchors(b, Seq("table_id", "bucket"), "vid", maxBucketSize)
           .select(col("table_id"), col("bucket"), col("vid").as("id_b"))
         aSide.join(anchors, Seq("table_id", "bucket"))
           .filter(col("id_a") =!= col("id_b"))
@@ -220,12 +216,17 @@ object Similarity {
       .join(members.select(col("rep_id").as("id_b"), col("__id").as("__mb")), "id_b")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("cos_sim"))
-    val mm = members.select(col("rep_id"), col("__id"), col("__v"))
-    val intra = mm.select(col("rep_id"), col("__id").as("id_a"))
-      .join(mm.select(col("rep_id"), col("__id").as("id_b"), col("__v")), "rep_id")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", call_function("graft_cosine", col("__v"), col("__v")))
+    // the self-cosine is one value per GROUP — compute it once per rep
+    // (B²/2 pair-level evaluations for a B-sized identical cluster
+    // otherwise) and join it onto the expanded pairs
+    val selfSim = repVecs.select(col("vid").as("rep_id"),
+        call_function("graft_cosine", col("vec"), col("vec")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    val mm = members.select(col("rep_id"), col("__id"))
+    val intra = mm.select(col("rep_id"), col("__id").as("id_a"))
+      .join(mm.select(col("rep_id"), col("__id").as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .join(selfSim, "rep_id")
       .select("id_a", "id_b", "cos_sim")
     cross.unionByName(intra)
   }
@@ -276,11 +277,8 @@ object Similarity {
       val buckets = sparse.select(col("g"), col("id"), col("v"),
         posexplode(lshTableBuckets(col("v"), nTables, nPlanes))
           .as(Seq("table_id", "bucket")))
-      val wCell = Window.partitionBy("g", "table_id", "bucket")
-        .orderBy(xxhash64(col("id"), lit(7)), col("id"))
-      val anchors = buckets
-        .withColumn("__r", row_number().over(wCell))
-        .filter(col("__r") <= maxGroupSize)
+      val anchors = Buckets.anchors(buckets, Seq("g", "table_id", "bucket"),
+          "id", maxGroupSize)
         .select(col("g"), col("table_id"), col("bucket"), col("id").as("id_b"))
       // ids only through the candidate dedup; vectors re-attach once
       val cand = buckets.select(col("g"), col("table_id"), col("bucket"),

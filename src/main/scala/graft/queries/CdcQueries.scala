@@ -929,6 +929,80 @@ object CdcQueries {
       |FROM m WHERE file_no > 3 GROUP BY file_no
       |ORDER BY phase, file_no""".stripMargin
 
+  // -- 28e: pglogical relation descriptors + positional tuples --------------
+  /** Reference `internal/source/pglogical/conn.go`: RELATION messages
+    * declare each relation id's column layout (re-sent on schema
+    * change), data tuples are POSITIONAL and resolve against the most
+    * recent descriptor. The fixture declares three relations up front,
+    * re-declares `tbl_0` mid-stream with an extra column (rows after
+    * the upgrade carry 3-value tuples), and routes error events to an
+    * undeclared relation id — those must flag `unknown_relation`, not
+    * abort. Resolution is the AsOf operator; no driver-side relations
+    * map.
+    */
+  def pglogicalFrames(s: SparkSession, dir: String): DataFrame = {
+    val outDir = fixture(dir, "pglogical") { p =>
+      val ev = events(s, dir)
+      val nDf = ev.agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy("ts", "event_id") // fixture-only global sort
+      val base = ev.crossJoin(broadcast(nDf))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val upgraded = pmod(col("user_id"), lit(3L)) === 0 &&
+        col("rn") > (col("__n") / 2).cast("long")
+      val rows = base.select(
+        (col("rn") * 10).as("lsn"),
+        when(col("event_type") === "error", "DELETE").otherwise("INSERT").as("op"),
+        when(col("event_type") === "error", lit(99L))
+          .otherwise(pmod(col("user_id"), lit(3L))).as("rel_id"),
+        lit(null).cast("string").as("rel_name"),
+        lit(null).cast("string").as("cols"),
+        when(upgraded,
+          to_json(array(col("event_id").cast("string"),
+            cents(col("value")).cast("string"), lit("1"))))
+          .otherwise(to_json(array(col("event_id").cast("string"),
+            cents(col("value")).cast("string")))).as("tuple"))
+      val rels = s.range(3).select(
+        (col("id") + 1).as("lsn"), lit("RELATION").as("op"),
+        col("id").as("rel_id"),
+        concat(lit("tbl_"), col("id")).as("rel_name"),
+        lit("e,c").as("cols"), lit(null).cast("string").as("tuple"))
+      val upgrade = nDf.select(
+        ((col("__n") / 2).cast("long") * 10 + 1).as("lsn"),
+        lit("RELATION").as("op"), lit(0L).as("rel_id"),
+        lit("tbl_0").as("rel_name"), lit("e,c,f").as("cols"),
+        lit(null).cast("string").as("tuple"))
+      rows.unionByName(rels).unionByName(upgrade)
+        .write.mode("overwrite").json(p)
+    }
+    PgLogical.resolve(PgLogical.read(s, outDir))
+      .groupBy(
+        coalesce(col("rel_name"), lit("(unknown)")).as("rel_name"),
+        when(col("unknown_relation"), lit(0L))
+          .otherwise(size(col("col_names")).cast("long")).as("n_cols"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(element_at(col("row_data"), "c").cast("long")).as("c_sum"))
+      .orderBy("rel_name", "n_cols")
+  }
+
+  val pglogicalFramesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+      |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM events),
+      |cls AS (
+      |  SELECT
+      |    CASE WHEN event_type = 'error' THEN '(unknown)'
+      |         ELSE 'tbl_' || CAST(user_id % 3 AS VARCHAR) END AS rel_name,
+      |    CAST(CASE WHEN event_type = 'error' THEN 0
+      |         WHEN user_id % 3 = 0 AND rn > n // 2 THEN 3
+      |         ELSE 2 END AS BIGINT) AS n_cols,
+      |    CASE WHEN event_type <> 'error' THEN c END AS c
+      |  FROM e)
+      |SELECT rel_name, n_cols, COUNT(*) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS c_sum
+      |FROM cls GROUP BY rel_name, n_cols ORDER BY rel_name, n_cols""".stripMargin
+
   // -- 29: checkpoint frontier with Advance semantics -----------------------
   /** Reference `internal/staging/checkpoint/group.go:121`: per-partition
     * monotone frontier (regressions rejected), group resolved = the
@@ -1211,7 +1285,8 @@ object CdcQueries {
     "cdc_merge_wire_before" -> (mergeWireBefore _),
     "cdc_userscript_emit" -> (userscriptEmit _),
     "cdc_route_configs" -> (routeConfigs _),
-    "cdc_changefeed_resume" -> (changefeedResume _))
+    "cdc_changefeed_resume" -> (changefeedResume _),
+    "cdc_pglogical_frames" -> (pglogicalFrames _))
 
   val oracles: Map[String, String] = Map(
     "cdc_incremental_apply" -> incrementalApplySql,
@@ -1249,5 +1324,6 @@ object CdcQueries {
     "cdc_merge_wire_before" -> mergeWireBeforeSql,
     "cdc_userscript_emit" -> userscriptEmitSql,
     "cdc_route_configs" -> routeConfigsSql,
-    "cdc_changefeed_resume" -> changefeedResumeSql)
+    "cdc_changefeed_resume" -> changefeedResumeSql,
+    "cdc_pglogical_frames" -> pglogicalFramesSql)
 }

@@ -46,7 +46,11 @@ object Transforms {
     */
   final case class Emit(rows: Column) extends Step {
     def apply(df: DataFrame): DataFrame = {
-      val out = df.select(col("*"), posexplode(rows).as(Seq("emit_pos", "__emit")))
+      // emit_pos always refers to the LAST emit stage: a prior stage's
+      // index column is dropped before re-exploding (keeping both would
+      // make any later emit_pos reference ambiguous)
+      val out = df.drop("emit_pos")
+        .select(col("*"), posexplode(rows).as(Seq("emit_pos", "__emit")))
       val fields = out.schema("__emit").dataType match {
         case st: StructType => st.fieldNames.toSeq
         case other => throw new IllegalArgumentException(

@@ -3,6 +3,7 @@ package graft.script
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.functions.expr
 import scala.jdk.CollectionConverters._
@@ -45,11 +46,16 @@ object UserScript {
     * compilation; aliases are listed explicitly because denial happens
     * pre-resolution, by name.
     */
-  private val deniedFunctions = Set("reflect", "java_method")
+  private val deniedFunctions =
+    Set("reflect", "java_method", "try_reflect", "try_java_method")
 
   /** Parse a user expression, reject denied function calls anywhere in
     * its tree (including nested in lambdas/subexpressions), then hand
     * it to `expr()` for plan-time validation like any other column.
+    * Subqueries are rejected outright: a script runs per mutation (the
+    * reference's map/filter contract has no query surface), and a
+    * scalar subquery's inner plan would otherwise smuggle function
+    * calls past the tree walk.
     */
   private def safeExpr(s: String, ctx: String): Column = {
     val parsed =
@@ -58,6 +64,9 @@ object UserScript {
         case e: Exception => throw new IllegalArgumentException(
           s"user script: $ctx has a malformed expression: ${e.getMessage}")
       }
+    if (parsed.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new IllegalArgumentException(
+        s"user script: $ctx contains a subquery — scripts are per-mutation expressions")
     val bad = parsed.collect {
       case f: UnresolvedFunction
           if deniedFunctions.contains(f.nameParts.last.toLowerCase) =>

@@ -17,14 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * tombstone so a ROW frame delivered in a later trigger (cross-trigger
   * reordering) is dropped instead of resurrecting state — an xid names
   * exactly one transaction, so nothing after its COMMIT/ROLLBACK can
-  * belong to a live txn. For long-running feeds, pass a tombstone TTL:
-  * tombstones then expire on a processing-time timeout, so steady-state
-  * store size stays bounded by OPEN transactions plus a sliding window
-  * of recently closed ones — the reference's memory profile, not stream
-  * length. The default keeps tombstones (no timeout): Spark re-runs
-  * batches unconditionally while a ProcessingTimeTimeout is configured,
-  * which would keep an `AvailableNow` replay alive forever, so bounded
-  * replays must not opt in.
+  * belong to a live txn. By default tombstones expire on a
+  * processing-time timeout (10 min), so the long-running-feed state
+  * store stays bounded by OPEN transactions plus a sliding window of
+  * recently closed ones — the reference's memory profile, not stream
+  * length. BOUNDED replays (`Trigger.AvailableNow`, tests) must pass
+  * `tombstoneTtlMs = 0` (keep tombstones, no timeout): Spark re-runs
+  * batches unconditionally while a ProcessingTimeTimeout is
+  * configured, which would keep an AvailableNow run alive forever —
+  * and a replay's tombstone count is bounded by its input anyway.
   */
 object StreamTxn {
 
@@ -48,7 +49,7 @@ object StreamTxn {
     * parser); rolled-back and still-open transactions emit nothing.
     */
   def assemble(frames: Dataset[Frame],
-      tombstoneTtlMs: Long = 0L): Dataset[TxnBatch] = {
+      tombstoneTtlMs: Long = 10 * 60 * 1000L): Dataset[TxnBatch] = {
     implicit val lenc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[TxnBatch]
     implicit val stEnc = Encoders.product[Open]

@@ -59,11 +59,16 @@ class ScriptSpec extends SparkSpec {
       """{"stages": [{"op": "filter", "where": "reflect('java.lang.System', 'exit', 0) is null"}]}""",
       """{"stages": [{"op": "map", "cols": {"x": "java_method('java.lang.Runtime', 'getRuntime')"}}]}""",
       """{"stages": [{"op": "map", "cols": {"x": "concat('a', REFLECT('a','b'))"}}]}""",
+      """{"stages": [{"op": "map", "cols": {"x": "try_reflect('java.lang.System','exit',0)"}}]}""",
       """{"dispatch": {"routes": [{"name": "r", "when": "reflect('x','y') = 'z'"}]}}""")
     bad.foreach { js =>
       val e = intercept[IllegalArgumentException](graft.script.UserScript.compile(js))
       assert(e.getMessage.contains("disallowed function"))
     }
+    // a subquery would smuggle calls past the tree walk — rejected
+    val sub = intercept[IllegalArgumentException](graft.script.UserScript.compile(
+      """{"stages": [{"op": "filter", "where": "(select reflect('a','b')) is null"}]}"""))
+    assert(sub.getMessage.contains("subquery"))
     // benign scripts still compile
     graft.script.UserScript.compile(
       """{"stages": [{"op": "map", "cols": {"x": "reverse(trim(op))"}}]}""")

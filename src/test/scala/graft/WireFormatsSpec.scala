@@ -151,7 +151,7 @@ class WireFormatsSpec extends SparkSpec {
       Frame(2L, "ROW", 10L, Some(1L), Some("""{"c":5}"""), 101L),
       Frame(3L, "BEGIN", 11L, None, None, 102L),
       Frame(4L, "ROW", 11L, Some(2L), Some("""{"c":7}"""), 103L))
-    val q1 = StreamTxn.assemble(input.toDS())
+    val q1 = StreamTxn.assemble(input.toDS(), tombstoneTtlMs = 0L)
       .writeStream.format("memory").queryName("txn_out1")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     assert(q1.awaitTermination(60000))
@@ -164,7 +164,7 @@ class WireFormatsSpec extends SparkSpec {
       Frame(6L, "COMMIT", 10L, None, None, 105L),
       Frame(7L, "ROLLBACK", 11L, None, None, 106L),
       Frame(8L, "COMMIT", 13L, None, None, 107L))
-    val q2 = StreamTxn.assemble(input.toDS())
+    val q2 = StreamTxn.assemble(input.toDS(), tombstoneTtlMs = 0L)
       .writeStream.format("memory").queryName("txn_out2")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     assert(q2.awaitTermination(60000))
@@ -180,7 +180,7 @@ class WireFormatsSpec extends SparkSpec {
       Frame(9L, "ROW", 11L, Some(3L), Some("""{"c":1}"""), 108L),
       Frame(10L, "ROW", 10L, Some(4L), Some("""{"c":2}"""), 109L),
       Frame(11L, "COMMIT", 11L, None, None, 110L))
-    val q3 = StreamTxn.assemble(input.toDS())
+    val q3 = StreamTxn.assemble(input.toDS(), tombstoneTtlMs = 0L)
       .writeStream.format("memory").queryName("txn_out3")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     assert(q3.awaitTermination(60000))
@@ -214,6 +214,18 @@ class WireFormatsSpec extends SparkSpec {
       renames = Seq("USER_ID" -> "uid"), exprs = Nil,
       ignore = Seq("route"), extrasJson = None)
     assert(mapped.columns.toSeq == Seq("ID", "uid"))
+    // a case-sensitive mapping must ERROR on a case-mismatched rename,
+    // never silently duplicate the column through Spark's resolver
+    val e = intercept[IllegalArgumentException](graft.cdc.Apply.schemaMap(feed,
+      renames = Seq("user_id" -> "uid"), exprs = Nil, ignore = Nil,
+      extrasJson = None, caseSensitive = true))
+    assert(e.getMessage.contains("rename source"))
+    // a batch carrying BOTH id and ID: exact-case match wins, no
+    // ambiguous-reference failure (selection is positional)
+    val both = Seq((1L, 2L)).toDF("id", "ID")
+    val one = SchemaWatch.align(both, Seq((0L, 0L)).toDF("id", "other").schema)
+      .collect()(0)
+    assert(one.getLong(0) == 1L && one.isNullAt(1))
   }
 
   test("Checkpoint: regressions rejected, frontier monotone, group min") {
