@@ -321,25 +321,57 @@ object Dedup {
     * (see [[lshCandidates]]) — off by default to keep the pair list
     * exhaustive.
     */
-  def verifiedDupPairs(docs: DataFrame, id: String, text: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 32,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+  /** The collapse → signature → candidates → verify core shared by the
+    * pair-listing and edge-listing entry points: (members, shingle
+    * frame over representatives, verified REP pairs).
+    */
+  private def repDupPairs(docs: DataFrame, id: String, text: String,
+      threshold: Double, numHashes: Int, bands: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
     val (members, repDocs) = collapseExact(docs, id, text)
     // the banding default is rows-per-band = 2: candidate recall at the
     // THRESHOLD (not just at dup-grade J) is what makes the verified
     // output exhaustive — miss = (1−J²)^b = 0.36³² ≈ 6e-15 at J = 0.8,
     // where r = 4 banding would miss ≈ 2e-4 of borderline pairs.
     // The shingle frame is built once and shared by the signature and
-    // verification stages (identical subtrees let Spark reuse work).
+    // verification stages (eagerly checkpointed — it is read 3×).
     val sh = shingleHashes(repDocs, id, text).localCheckpoint(true)
     val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
       bands, numHashes / bands, maxBucketSize)
     val repPairs = jaccardFromShingles(sh, id, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
+    (members, sh, repPairs)
+  }
+
+  def verifiedDupPairs(docs: DataFrame, id: String, text: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 32,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val (members, sh, repPairs) =
+      repDupPairs(docs, id, text, threshold, numHashes, bands, maxBucketSize)
     val repSizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
       .select(col(id).as("rep_id"), col("n"))
     expandVerified(repPairs, members, repSizes, id)
+  }
+
+  /** LINEAR edge set for dup CLUSTERING: verified representative pairs
+    * plus member→representative star edges. Connectivity-equivalent to
+    * the expanded pair list (identical members connect through their
+    * rep, near-dup groups connect at rep level), but a B-identical
+    * cluster contributes B−1 edges instead of B²/2 — this is the edge
+    * set connected components should consume at 100 TB, where the
+    * exhaustive pair LIST is itself quadratic by definition.
+    */
+  def verifiedDupEdges(docs: DataFrame, id: String, text: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 32,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val (members, _, repPairs) =
+      repDupPairs(docs, id, text, threshold, numHashes, bands, maxBucketSize)
+    // rep = min id of its group, so star edges keep the id_a < id_b
+    // orientation the pair convention uses
+    val star = members.filter(col(id) =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col(id).as("id_b"))
+    repPairs.select("id_a", "id_b").unionByName(star)
   }
 
   /** SimHash near-dup pairs with ENSEMBLE candidate generation.

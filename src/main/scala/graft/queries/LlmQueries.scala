@@ -563,14 +563,15 @@ object LlmQueries {
   // -- dup clustering: connected components over verified pairs ---------------
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    // edges = the verified near-dup pairs (LSH candidates that pass
-    // exact Jaccard >= 0.8). Exact md5 duplicates are a subset: equal
-    // normalized text means equal shingle sets, J = 1. 32 hashes in
-    // 16 bands of 2 suffice for candidate RECALL here (miss = (1-J²)^16
-    // = 8e-8 at J = 0.8, ~1e-19 at dup-grade J) — the verify stage owns
-    // precision, so the cheaper signature wins
-    val edges = Dedup.verifiedDupPairs(d, "doc_id", "text", threshold = 0.8,
-      numHashes = 32, bands = 16).select("id_a", "id_b")
+    // edges = the LINEAR clustering edge set: verified REP pairs (LSH
+    // candidates passing exact Jaccard >= 0.8) plus member→rep star
+    // edges — connectivity-identical to the exhaustive pair list, but
+    // a B-identical cluster contributes B−1 edges, never B²/2. 32
+    // hashes in 16 bands of 2 suffice for candidate RECALL (miss =
+    // (1-J²)^16 = 8e-8 at J = 0.8, ~1e-19 at dup-grade J) — the verify
+    // stage owns precision, so the cheaper signature wins
+    val edges = Dedup.verifiedDupEdges(d, "doc_id", "text", threshold = 0.8,
+      numHashes = 32, bands = 16)
     Dedup.dupClusters(d, "doc_id", edges).orderBy("doc_id")
   }
 

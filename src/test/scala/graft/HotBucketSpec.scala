@@ -55,6 +55,16 @@ class HotBucketSpec extends SparkSpec {
     assert(one(0).getAs[Long]("n_inter") == one(0).getAs[Long]("n_a"))
   }
 
+  test("verifiedDupEdges: clustering edge set is linear in cluster size") {
+    // the exhaustive pair LIST is quadratic by definition; the edge set
+    // clustering consumes must not be — star edges + rep pairs
+    val edges = Dedup.verifiedDupEdges(hotDocs, "doc_id", "text", threshold = 0.8)
+    assert(edges.count() == clusterSize - 1) // B−1 star edges, no cross reps
+    val clustered = Dedup.dupClusters(hotDocs, "doc_id", edges)
+    assert(clustered.filter(col("cluster_id") === 1L).count() == clusterSize)
+    assert(clustered.filter(!col("is_dup")).count() == 4) // 1 rep + 3 uniques
+  }
+
   test("bucket cap bounds near-identical (non-collapsible) hot buckets") {
     // 200 docs sharing a long template, each with a unique tail token:
     // md5-distinct (no collapse), pairwise J high → all land in shared
