@@ -401,7 +401,11 @@ object Dedup {
     // collapse one B-sized identical cluster yields B²/2 band candidates
     val (members, repDocs) = collapseExact(docs, id, text)
     val sh = shingleHashes(repDocs, id, text).localCheckpoint(true) // shared: signatures + verify
+    // the signature frame feeds the band join (both sides) and the
+    // minhash tail's two hamming lookups — 4 reads; eagerly checkpoint
+    // the explode+groupBy instead of recomputing it per read
     val sig = simhash(repDocs, id, text).select(col(id), col("simhash"))
+      .localCheckpoint(true)
     val banded = sig.select(col(id), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash"), b * width)
