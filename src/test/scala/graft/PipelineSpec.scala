@@ -7,6 +7,41 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("conveyor composition: userscript emit fan-out feeds per-route apply configs") {
+    // the reference's full path: script map returns MULTIPLE mutations
+    // retargeting keys/tables, dispatch hands each target its own
+    // applycfg. One purchase mutation lands in two routes; each route
+    // reduces under ITS OWN config (billing CASes on amount, audit
+    // keeps latest-by-time) — r2 could not express this in one pipeline.
+    val muts = Seq(
+      // (key, ts, seq, amount)
+      (1L, 100L, 1L, 50.0),
+      (1L, 200L, 2L, 30.0), // newer but smaller: billing keeps seq 1, audit keeps seq 2
+      (2L, 100L, 3L, 70.0)
+    ).toDF("key", "ts", "seq", "amount")
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |  {"op": "emit", "rows": "array(named_struct('key', key, 'route_kind', 'bill'), named_struct('key', key + 1000, 'route_kind', 'audit'))"}]}""".stripMargin)
+    val p = Pipeline(script(muts), keys = Seq("key"),
+      order = struct(col("ts"), col("seq")))
+    val routed = p.dispatchApplyEach(
+      routes = Seq(
+        "billing" -> (col("route_kind") === "bill"),
+        "audit" -> (col("route_kind") === "audit")),
+      configs = Map(
+        "billing" -> graft.cdc.Apply.Config(
+          casOrder = Some(struct(col("amount"), col("ts"), col("seq")))),
+        "audit" -> graft.cdc.Apply.Config()))
+    val billing = routed("billing").select("key", "seq", "amount")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val audit = routed("audit").select("key", "seq", "amount")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // billing: CAS keeps the HIGHEST amount per original key
+    assert(billing == Map(1L -> (1L, 50.0), 2L -> (3L, 70.0)))
+    // audit: rewritten keys (1e3+), latest-by-time wins
+    assert(audit == Map(1001L -> (2L, 30.0), 1002L -> (3L, 70.0)))
+  }
+
   test("full pipeline: dedup -> dlq -> transform -> apply -> state + dead letters") {
     val muts = Seq(
       // (key, ts, seq, op, payload)
