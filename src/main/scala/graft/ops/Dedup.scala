@@ -374,6 +374,30 @@ object Dedup {
     repPairs.select("id_a", "id_b").unionByName(star)
   }
 
+  /** Per-document n-gram coverage against the rest of the corpus — the
+    * RefinedWeb-style "how much of this doc already exists elsewhere"
+    * dedup signal. For every doc: the fraction of its k-gram shingles
+    * whose corpus document-frequency exceeds 1; a doc above the
+    * threshold is boilerplate/recombined content even when no single
+    * pair passes a Jaccard gate (it can be stitched from MANY partial
+    * sources). Two shuffles total: shingle→df aggregate (map-side
+    * combined), then the df join lands on the same shingle
+    * partitioning (exchange reuse) and re-aggregates per doc — never a
+    * pairwise comparison.
+    */
+  def ngramCoverage(docs: DataFrame, id: String, text: String,
+      k: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = shingleHashes(docs, id, text, k) // distinct (doc, shingle)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("coverage",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("drop_doc", col("coverage") >= threshold)
+  }
+
   /** SimHash near-dup pairs with ENSEMBLE candidate generation.
     *
     * Band the 64-bit simhash into `nBands` equal slices — by

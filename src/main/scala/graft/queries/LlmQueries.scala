@@ -67,6 +67,36 @@ object LlmQueries {
       |SELECT id_a, id_b, n_a, n_b, n_inter, jaccard FROM jac
       |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  // -- RefinedWeb-style n-gram coverage dedup ---------------------------------
+  /** For every doc: what fraction of its 3-gram shingles already
+    * exists elsewhere in the corpus (document frequency > 1)? Catches
+    * boilerplate STITCHED from many partial sources, which no pairwise
+    * Jaccard gate sees. Two shuffles (shingle df, per-doc re-agg) —
+    * never pairwise.
+    */
+  def dedupNgramCoverage(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramCoverage(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.6)
+      .orderBy("doc_id")
+
+  val dedupNgramCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+      |       WHERE len(t) > 3
+      |       UNION
+      |       SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) <= 3),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      |cov AS (
+      |  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |    CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |  FROM sh JOIN df ON df.s = sh.s GROUP BY sh.doc_id)
+      |SELECT doc_id, n_shingles, n_shared,
+      |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS coverage,
+      |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.6 AS drop_doc
+      |FROM cov ORDER BY doc_id""".stripMargin
+
   // -- SimHash banding + hamming + exact-Jaccard verify ----------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
@@ -660,6 +690,7 @@ object LlmQueries {
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_ngram_coverage" -> (dedupNgramCoverage _),
     "multimodal_pipeline" -> (multimodal _))
 
   val oracles: Map[String, String] = Map(
@@ -668,6 +699,7 @@ object LlmQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_ngram_coverage" -> dedupNgramCoverageSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "text_quality_score" -> textQualitySql,
     "text_langid" -> textLangidSql,
