@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.cdc._
+import graft.ops.RangeJoin
 import graft.streaming.StreamApply
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1003,6 +1004,48 @@ object CdcQueries {
       |  CAST(SUM(c) AS BIGINT) AS c_sum
       |FROM cls GROUP BY rel_name, n_cols ORDER BY rel_name, n_cols""".stripMargin
 
+  // -- 28f: bin-bucketed range join -----------------------------------------
+  /** Point-in-interval range join (the custom-operator list's range
+    * join): which campaign window does each event fall into? Twelve
+    * deterministic 3-day windows spaced a week apart from the corpus
+    * min timestamp; naive SQL plans this as a nested-loop join — the
+    * [[graft.ops.RangeJoin]] operator bins both sides (one equi-join
+    * shuffle) and filters exactly.
+    */
+  def rangeJoinCampaigns(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400L * 1000000000L
+    val ev = events(s, dir).select(col("user_id"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
+      cents(col("value")).as("c"))
+    val lo = ev.agg(min(col("nanos")).as("lo"))
+    val campaigns = s.range(12).crossJoin(broadcast(lo)).select(
+      col("id").as("campaign_id"),
+      (col("lo") + col("id") * (7L * day)).as("start_n"),
+      (col("lo") + col("id") * (7L * day) + 3L * day).as("end_n"))
+    RangeJoin.pointInInterval(ev, "nanos", campaigns, "start_n", "end_n",
+        binWidth = 3L * day)
+      .groupBy("campaign_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("c")).as("cents"))
+      .orderBy("campaign_id")
+  }
+
+  val rangeJoinCampaignsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS nanos,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      |  FROM events),
+      |c AS (
+      |  SELECT i AS campaign_id,
+      |    (SELECT MIN(nanos) FROM e) + i * 604800000000000 AS start_n,
+      |    (SELECT MIN(nanos) FROM e) + i * 604800000000000 + 259200000000000 AS end_n
+      |  FROM (SELECT unnest(generate_series(0, 11)) AS i))
+      |SELECT campaign_id, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users, CAST(SUM(c) AS BIGINT) AS cents
+      |FROM e JOIN c ON e.nanos >= c.start_n AND e.nanos < c.end_n
+      |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin
+
   // -- 29: checkpoint frontier with Advance semantics -----------------------
   /** Reference `internal/staging/checkpoint/group.go:121`: per-partition
     * monotone frontier (regressions rejected), group resolved = the
@@ -1286,7 +1329,8 @@ object CdcQueries {
     "cdc_userscript_emit" -> (userscriptEmit _),
     "cdc_route_configs" -> (routeConfigs _),
     "cdc_changefeed_resume" -> (changefeedResume _),
-    "cdc_pglogical_frames" -> (pglogicalFrames _))
+    "cdc_pglogical_frames" -> (pglogicalFrames _),
+    "q_range_join" -> (rangeJoinCampaigns _))
 
   val oracles: Map[String, String] = Map(
     "cdc_incremental_apply" -> incrementalApplySql,
@@ -1325,5 +1369,6 @@ object CdcQueries {
     "cdc_userscript_emit" -> userscriptEmitSql,
     "cdc_route_configs" -> routeConfigsSql,
     "cdc_changefeed_resume" -> changefeedResumeSql,
-    "cdc_pglogical_frames" -> pglogicalFramesSql)
+    "cdc_pglogical_frames" -> pglogicalFramesSql,
+    "q_range_join" -> rangeJoinCampaignsSql)
 }
