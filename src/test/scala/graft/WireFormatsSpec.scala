@@ -188,6 +188,29 @@ class WireFormatsSpec extends SparkSpec {
     assert(out3.toSeq == Seq(TxnBatch(10L, 2L, 100L, 105L, 6L)))
   }
 
+  test("PgLogical: descriptors resolve tuples as-of, re-declare, flag unknown/mismatch") {
+    import graft.cdc.PgLogical
+    val frames = Seq(
+      // lsn, op, rel_id, rel_name, cols, tuple
+      (1L, "RELATION", 1L, "t1", "a,b", null.asInstanceOf[String]),
+      (2L, "INSERT", 1L, null.asInstanceOf[String], null.asInstanceOf[String], """["x","y"]"""),
+      (3L, "RELATION", 1L, "t1", "a,b,c", null.asInstanceOf[String]), // schema change
+      (4L, "INSERT", 1L, null.asInstanceOf[String], null.asInstanceOf[String], """["x","y","z"]"""),
+      (5L, "INSERT", 9L, null.asInstanceOf[String], null.asInstanceOf[String], """["q"]"""), // undeclared rel
+      (6L, "INSERT", 1L, null.asInstanceOf[String], null.asInstanceOf[String], """["only-one"]""") // arity mismatch
+    ).toDF("lsn", "op", "rel_id", "rel_name", "cols", "tuple")
+    val out = PgLogical.resolve(frames).orderBy("lsn").collect()
+    assert(out.length == 4)
+    // lsn 2 resolves against the 2-col descriptor, lsn 4 the 3-col one
+    assert(out(0).getAs[Map[String, String]]("row_data") == Map("a" -> "x", "b" -> "y"))
+    assert(out(1).getAs[Map[String, String]]("row_data") ==
+      Map("a" -> "x", "b" -> "y", "c" -> "z"))
+    // undeclared relation: flagged, never a job failure
+    assert(out(2).getAs[Boolean]("unknown_relation") && out(2).isNullAt(out(2).fieldIndex("row_data")))
+    // declared relation, wrong tuple arity: flagged separately
+    assert(out(3).getAs[Boolean]("arity_mismatch") && out(3).isNullAt(out(3).fieldIndex("row_data")))
+  }
+
   test("SchemaWatch: align pads added columns, drops removed ones") {
     val oldBatch = Seq((1L, 10L, 1.5)).toDF("id", "uid", "value")
     val newBatch = Seq((2L, 20L, 150L, "billing")).toDF("id", "uid", "cents", "route")
