@@ -303,24 +303,6 @@ object Dedup {
     cross.unionByName(intra)
   }
 
-  /** The full near-dup pipeline: exact-identity collapse → MinHash
-    * signatures over representatives → LSH band-bucket candidates →
-    * exact shingle-Jaccard verification ≥ `threshold` → expansion back
-    * to member pairs. Returns verified pairs with their set sizes and
-    * Jaccard — the deliverable a dedup pass consumes, and (because LSH
-    * recall at dup-grade similarity is 1 − (1−J^r)^b ≈ 1) a result an
-    * exact all-pairs oracle can check: candidates are a provable
-    * superset of above-threshold pairs, the verify stage discards the
-    * rest, and the collapse/expand step is identity-exact.
-    *
-    * The collapse is what makes this safe on dup-HEAVY corpora: a
-    * cluster of B identical docs contributes ONE doc to the LSH stage
-    * (candidate work linear in distinct content), where the uncollapsed
-    * pipeline would self-join B²/2 pairs out of a single bucket.
-    * `maxBucketSize` additionally caps residual near-identical buckets
-    * (see [[lshCandidates]]) — off by default to keep the pair list
-    * exhaustive.
-    */
   /** The collapse → signature → candidates → verify core shared by the
     * pair-listing and edge-listing entry points: (members, shingle
     * frame over representatives, verified REP pairs).
@@ -344,6 +326,24 @@ object Dedup {
     (members, sh, repPairs)
   }
 
+  /** The full near-dup pipeline: exact-identity collapse → MinHash
+    * signatures over representatives → LSH band-bucket candidates →
+    * exact shingle-Jaccard verification ≥ `threshold` → expansion back
+    * to member pairs. Returns verified pairs with their set sizes and
+    * Jaccard — the deliverable a dedup pass consumes, and (because LSH
+    * recall at dup-grade similarity is 1 − (1−J^r)^b ≈ 1) a result an
+    * exact all-pairs oracle can check: candidates are a provable
+    * superset of above-threshold pairs, the verify stage discards the
+    * rest, and the collapse/expand step is identity-exact.
+    *
+    * The collapse is what makes this safe on dup-HEAVY corpora: a
+    * cluster of B identical docs contributes ONE doc to the LSH stage
+    * (candidate work linear in distinct content), where the uncollapsed
+    * pipeline would self-join B²/2 pairs out of a single bucket.
+    * `maxBucketSize` additionally caps residual near-identical buckets
+    * (see [[lshCandidates]]) — off by default to keep the pair list
+    * exhaustive.
+    */
   def verifiedDupPairs(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
@@ -387,7 +387,11 @@ object Dedup {
     */
   def ngramCoverage(docs: DataFrame, id: String, text: String,
       k: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingleHashes(docs, id, text, k) // distinct (doc, shingle)
+    // checkpointed: the df-aggregate subtree and the join subtree are
+    // not canonically identical, so ReuseExchange cannot share them —
+    // without this the tokenize+shingle flatMap (the measured hot
+    // path) runs twice
+    val sh = shingleHashes(docs, id, text, k).localCheckpoint(true)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     sh.join(df, "shingle")
       .groupBy(col(id))
