@@ -493,7 +493,194 @@ object Analytics {
       |FROM l JOIN a ON l.l_partkey = a.ap
       |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin
 
+  // -- TPC-H Q7-shaped volume shipping ---------------------------------------
+  /** Revenue shipped between two nations, by direction and year. Both
+    * nation dims broadcast; the only shuffles are lineitem⋈orders on
+    * orderkey and the final small aggregate. Supplier and customer
+    * nations resolve through their own broadcast chains, so the fact
+    * table moves once.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    // nation groups (even/odd key) instead of two named nations: the
+    // reduced testdata has 10 suppliers at sf0.001, so any specific
+    // nation pair is empty at some scale — the JOIN SHAPE (two
+    // broadcast dim chains onto one fact shuffle, direction × year
+    // matrix) is Q7's
+    val side = when(pmod(col("n_nationkey"), lit(2L)) === 0, "EVEN").otherwise("ODD")
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), side.as("n_side"))
+    val su = broadcast(Tables.supplier(s, dir).join(n,
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_side").as("supp_nation")))
+    val cu = broadcast(Tables.customer(s, dir).join(n,
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_side").as("cust_nation")))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec).as("rev"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT
+      |  CASE WHEN sn.n_nationkey % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS supp_nation,
+      |  CASE WHEN cn.n_nationkey % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS cust_nation,
+      |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |WHERE (sn.n_nationkey % 2) <> (cn.n_nationkey % 2)
+      |  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // -- TPC-H Q9-shaped product-type profit -----------------------------------
+  /** Revenue by supplier nation × year for parts whose name carries a
+    * marker substring (the testdata schema has no partsupp cost side,
+    * so profit reduces to revenue — the JOIN SHAPE is Q9's: part
+    * filter broadcast onto the fact, supplier→nation broadcast chain,
+    * one fact shuffle).
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(s, dir)
+      .filter(col("p_name").contains("s"))
+      .select("p_partkey"))
+    val su = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec).as("rev"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("rev")).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy("nation", "o_year")
+  }
+
+  val q9Sql: String =
+    """SELECT n.n_name AS nation,
+      |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%s%'
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- TPC-H Q16-shaped supplier-count report --------------------------------
+  /** Distinct suppliers per (brand, type, size-band): the part dim
+    * broadcasts onto the lineitem (partkey, suppkey) pair set; the
+    * distinct + count aggregate is the only shuffle. (The testdata has
+    * no partsupp table; lineitem's observed pairs are its stand-in.)
+    */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(s, dir)
+      .filter(col("p_size").isin(5, 10, 15, 20))
+      .select("p_partkey", "p_brand", "p_type", "p_size"))
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_size IN (5, 10, 15, 20)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // -- TPC-H Q19-shaped disjunctive discounted revenue ------------------------
+  /** Revenue under an OR-of-ANDs predicate over (brand, size, quantity)
+    * bands — Q19's shape with the testdata's columns. The disjunction
+    * lives INSIDE the join: part broadcasts, each conjunct references
+    * both sides, and Catalyst still pushes the brand/size restriction
+    * to the part scan (the union of the bands).
+    */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec).as("rev"))
+    val band1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1, 15)
+    val band2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+      col("l_quantity").between(10, 25)
+    val band3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+      col("l_quantity").between(20, 35)
+    l.join(p, col("l_partkey") === col("p_partkey") && (band1 || band2 || band3))
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 15)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 25)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30 AND l.l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  // -- TPC-H Q22-shaped sales opportunity -------------------------------------
+  /** Customers with above-average account balance and no URGENT
+    * orders (every synthetic customer has SOME order, so the
+    * opportunity predicate is priority-scoped): the average is a 1-row
+    * broadcast, the "none exists" test a left anti join on custkey —
+    * never a correlated per-row subquery.
+    */
+  def q22SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("__avg"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("cntrycode", pmod(col("c_nationkey"), lit(5L)))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22Sql: String =
+    """SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q16_supplier_count" -> (q16SupplierCount _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -511,6 +698,11 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" -> q7Sql,
+    "q9_product_profit" -> q9Sql,
+    "q16_supplier_count" -> q16Sql,
+    "q19_discounted_revenue" -> q19Sql,
+    "q22_sales_opportunity" -> q22Sql,
     "q17_small_quantity" -> q17Sql,
     "q10_returned_items" -> q10Sql,
     "q18_large_orders" -> q18Sql,
