@@ -108,12 +108,24 @@ object Apply {
     // requested sensitivity — col("ID") would otherwise still resolve
     // `id` through Spark's case-insensitive resolver even when this
     // mapping is case-sensitive, leaving the column both kept and
-    // renamed (duplicated) instead of erroring
-    def actual(n: String, what: String): String =
-      src.columns.find(c => canon(c) == canon(n)).getOrElse(
-        throw new IllegalArgumentException(
+    // renamed (duplicated) instead of erroring. With case-VARIANT
+    // duplicate source columns (`id` AND `ID`), an exact-case match
+    // wins (as SchemaWatch.align does); no exact match among several
+    // fold-equal candidates is ambiguous and errors rather than
+    // silently binding to whichever column comes first.
+    def actual(n: String, what: String): String = {
+      val folded = src.columns.filter(c => canon(c) == canon(n))
+      folded match {
+        case Array() => throw new IllegalArgumentException(
           s"schemaMap: $what '$n' does not match any source column" +
-            (if (caseSensitive) " (case-sensitive)" else "")))
+            (if (caseSensitive) " (case-sensitive)" else ""))
+        case Array(one) => one
+        case many => many.find(_ == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"schemaMap: $what '$n' is ambiguous among case-variant " +
+              s"source columns [${many.mkString(", ")}] — name one exactly"))
+      }
+    }
     val ignoreSet = ignore.map(canon).toSet
     val renameSet = renames.map(r => canon(r._1)).toSet
     val extrasSet = extrasJson.map(_._2.map(canon).toSet).getOrElse(Set.empty[String])
@@ -121,13 +133,39 @@ object Apply {
       ignoreSet.contains(canon(c)) ||
         renameSet.contains(canon(c)) ||
         extrasSet.contains(canon(c)))
+    // two kept columns folding to one name (`id` AND `ID`) would hit
+    // Spark's ambiguous-resolver error at col(c) regardless of this
+    // mapping's own sensitivity (name resolution is a session conf) —
+    // fail here with an actionable message instead
+    val keptDups = kept.groupBy(_.toLowerCase).filter(_._2.length > 1)
+    if (keptDups.nonEmpty)
+      throw new IllegalArgumentException(
+        "schemaMap: case-variant duplicate source columns are all kept: " +
+          keptDups.values.map(_.mkString("/")).mkString(", ") +
+          " — rename or ignore all but one of each")
+    // even the exact-case name actual() picked cannot be SELECTED by
+    // name when its case-variant twin survives to the same frame —
+    // Spark's resolver folds case per session conf, so col("ID") is
+    // ambiguous whenever both `id` and `ID` exist. Positionally rename
+    // only the fold-duplicated columns to unique scratch names first
+    // (everything else keeps its name, so user `exprs` still resolve),
+    // then reference renames/extras through the scratch name.
+    val foldDups = src.columns.groupBy(_.toLowerCase).filter(_._2.length > 1).keySet
+    val safeNames = src.columns.zipWithIndex.map { case (c, i) =>
+      if (foldDups.contains(c.toLowerCase)) s"__graft_c$i" else c }
+    val base = if (foldDups.isEmpty) src else src.toDF(safeNames.toIndexedSeq: _*)
+    def ref(actualName: String): Column = col(safeNames(src.columns.indexOf(actualName)))
     val cols =
-      kept.map(col).toIndexedSeq ++
-        renames.map { case (from, to) => col(actual(from, "rename source")).as(to) } ++
+      kept.map(c => ref(c).as(c)).toIndexedSeq ++
+        renames.map { case (from, to) => ref(actual(from, "rename source")).as(to) } ++
         exprs.map { case (name, e) => e.as(name) } ++
         extrasJson.toSeq.map { case (name, srcCols) =>
-          to_json(struct(srcCols.map(c => col(actual(c, "extras column"))): _*)).as(name)
+          // JSON keys stay the ACTUAL source column names (as before the
+          // scratch rename), not the configured spelling
+          to_json(struct(srcCols.map { c =>
+            val a = actual(c, "extras column"); ref(a).as(a)
+          }: _*)).as(name)
         }
-    src.select(cols: _*)
+    base.select(cols: _*)
   }
 }

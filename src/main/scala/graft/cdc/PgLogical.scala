@@ -45,9 +45,14 @@ object PgLogical {
   /** Resolve each data tuple against the latest preceding RELATION
     * descriptor for its rel_id. Output: the data frames with
     * (rel_name, col_names, row_data = name→value map,
-    * unknown_relation). A tuple whose relation was never declared —
-    * or whose arity disagrees with the resolved descriptor — keeps a
-    * NULL row_data and flags instead of failing the feed.
+    * unknown_relation / malformed_tuple / arity_mismatch). A tuple
+    * whose relation was never declared, whose payload is missing or
+    * unparseable, or whose arity disagrees with the resolved
+    * descriptor keeps a NULL row_data and flags instead of failing
+    * the feed. The three flags are mutually exclusive: a
+    * DELETE/keepalive frame carrying no tuple is `malformed_tuple`,
+    * never mislabeled as an arity error (size(NULL) is NULL, so the
+    * arity check alone cannot distinguish the two).
     */
   def resolve(frames: DataFrame): DataFrame = {
     val rels = frames.filter(col("op") === "RELATION")
@@ -61,10 +66,13 @@ object PgLogical {
       .withColumn("col_names", split(col("cols"), ","))
       .withColumn("__vals", from_json(col("tuple"), ArrayType(StringType)))
       .withColumn("unknown_relation", col("rel_name").isNull)
+      .withColumn("malformed_tuple",
+        !col("unknown_relation") && col("__vals").isNull)
       .withColumn("arity_mismatch",
-        !col("unknown_relation") && !(size(col("col_names")) <=> size(col("__vals"))))
+        !col("unknown_relation") && !col("malformed_tuple") &&
+          size(col("col_names")) =!= size(col("__vals")))
       .withColumn("row_data",
-        when(!col("unknown_relation") && !col("arity_mismatch"),
+        when(!col("unknown_relation") && !col("malformed_tuple") && !col("arity_mismatch"),
           map_from_arrays(col("col_names"), col("__vals"))))
       .drop("__vals", "cols")
   }

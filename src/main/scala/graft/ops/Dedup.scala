@@ -16,6 +16,19 @@ object Dedup {
 
   private def norm(text: Column): Column = lower(trim(text))
 
+  /** Small frames read 3–5× inside one plan (membership maps, shingle
+    * frames) are eagerly `localCheckpoint`ed — measured 10–30% on the
+    * dedup family. The trade (every `eagerCheckpoint` param below):
+    * localCheckpoint materializes EAGERLY at plan-construction time and
+    * its blocks are non-replicated executor-local state, so an executor
+    * loss after checkpointing fails the job with no lineage to
+    * recompute. On a long-lived cluster where retry-through-lineage
+    * matters more than the re-read, pass `eagerCheckpoint = false` (the
+    * plan recomputes the subtree per read but stays fault-tolerant).
+    */
+  private def maybeCheckpoint(df: DataFrame, eager: Boolean): DataFrame =
+    if (eager) df.localCheckpoint(true) else df
+
   /** Exact dedup: md5 over normalized text, groups keyed by the hash;
     * canonical doc = min id per group.
     */
@@ -40,8 +53,9 @@ object Dedup {
     * so the expansion is exact, not approximate). The reference stages
     * an analogous collapse: msort dedups staged mutations before apply.
     */
-  def exactMembership(docs: DataFrame, id: String, text: String): DataFrame =
-    collapseExact(docs, id, text)._1
+  def exactMembership(docs: DataFrame, id: String, text: String,
+      eagerCheckpoint: Boolean = true): DataFrame =
+    collapseExact(docs, id, text, eagerCheckpoint)._1
 
   /** The collapse itself: (members = (id, rep_id), repDocs = one doc
     * row per distinct normalized text). The fingerprint aggregate
@@ -50,13 +64,13 @@ object Dedup {
     * docs frame via a semi-join on the (typically broadcastable,
     * AQE-sized) representative-id set.
     */
-  def collapseExact(docs: DataFrame, id: String,
-      text: String): (DataFrame, DataFrame) = {
+  def collapseExact(docs: DataFrame, id: String, text: String,
+      eagerCheckpoint: Boolean = true): (DataFrame, DataFrame) = {
     val fp = docs.filter(col(id).isNotNull && col(text).isNotNull)
       .select(col(id), md5(norm(col(text))).as("__fp"))
     val groups = fp.groupBy("__fp").agg(min(col(id)).as("rep_id"))
-    val members = fp.join(groups, "__fp").select(col(id), col("rep_id"))
-      .localCheckpoint(true)
+    val members = maybeCheckpoint(
+      fp.join(groups, "__fp").select(col(id), col("rep_id")), eagerCheckpoint)
     val repDocs = docs.join(groups.select(col("rep_id").as(id)), Seq(id), "left_semi")
     (members, repDocs)
   }
@@ -309,15 +323,15 @@ object Dedup {
     */
   private def repDupPairs(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int, bands: Int,
-      maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
-    val (members, repDocs) = collapseExact(docs, id, text)
+      maxBucketSize: Int, eagerCheckpoint: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
     // the banding default is rows-per-band = 2: candidate recall at the
     // THRESHOLD (not just at dup-grade J) is what makes the verified
     // output exhaustive — miss = (1−J²)^b = 0.36³² ≈ 6e-15 at J = 0.8,
     // where r = 4 banding would miss ≈ 2e-4 of borderline pairs.
     // The shingle frame is built once and shared by the signature and
     // verification stages (eagerly checkpointed — it is read 3×).
-    val sh = shingleHashes(repDocs, id, text).localCheckpoint(true)
+    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text), eagerCheckpoint)
     val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
       bands, numHashes / bands, maxBucketSize)
     val repPairs = jaccardFromShingles(sh, id, cands)
@@ -346,9 +360,10 @@ object Dedup {
     */
   def verifiedDupPairs(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val (members, sh, repPairs) =
-      repDupPairs(docs, id, text, threshold, numHashes, bands, maxBucketSize)
+      maxBucketSize: Int = Int.MaxValue,
+      eagerCheckpoint: Boolean = true): DataFrame = {
+    val (members, sh, repPairs) = repDupPairs(docs, id, text, threshold,
+      numHashes, bands, maxBucketSize, eagerCheckpoint)
     val repSizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
       .select(col(id).as("rep_id"), col("n"))
     expandVerified(repPairs, members, repSizes, id)
@@ -364,9 +379,10 @@ object Dedup {
     */
   def verifiedDupEdges(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val (members, _, repPairs) =
-      repDupPairs(docs, id, text, threshold, numHashes, bands, maxBucketSize)
+      maxBucketSize: Int = Int.MaxValue,
+      eagerCheckpoint: Boolean = true): DataFrame = {
+    val (members, _, repPairs) = repDupPairs(docs, id, text, threshold,
+      numHashes, bands, maxBucketSize, eagerCheckpoint)
     // rep = min id of its group, so star edges keep the id_a < id_b
     // orientation the pair convention uses
     val star = members.filter(col(id) =!= col("rep_id"))
@@ -386,12 +402,13 @@ object Dedup {
     * pairwise comparison.
     */
   def ngramCoverage(docs: DataFrame, id: String, text: String,
-      k: Int = 3, threshold: Double = 0.6): DataFrame = {
+      k: Int = 3, threshold: Double = 0.6,
+      eagerCheckpoint: Boolean = true): DataFrame = {
     // checkpointed: the df-aggregate subtree and the join subtree are
     // not canonically identical, so ReuseExchange cannot share them —
     // without this the tokenize+shingle flatMap (the measured hot
     // path) runs twice
-    val sh = shingleHashes(docs, id, text, k).localCheckpoint(true)
+    val sh = maybeCheckpoint(shingleHashes(docs, id, text, k), eagerCheckpoint)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     sh.join(df, "shingle")
       .groupBy(col(id))
@@ -421,19 +438,21 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
       nBands: Int = 8, maxHamming: Int = 23, threshold: Double = 0.8,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      eagerCheckpoint: Boolean = true): DataFrame = {
     require(64 % nBands == 0, "nBands must divide 64")
     val width = 64 / nBands
     // exact-identity collapse first (see verifiedDupPairs): identical
     // docs share a simhash, so they collide in every band — without the
     // collapse one B-sized identical cluster yields B²/2 band candidates
-    val (members, repDocs) = collapseExact(docs, id, text)
-    val sh = shingleHashes(repDocs, id, text).localCheckpoint(true) // shared: signatures + verify
+    val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
+    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text),
+      eagerCheckpoint) // shared: signatures + verify
     // the signature frame feeds the band join (both sides) and the
     // minhash tail's two hamming lookups — 4 reads; eagerly checkpoint
     // the explode+groupBy instead of recomputing it per read
-    val sig = simhash(repDocs, id, text).select(col(id), col("simhash"))
-      .localCheckpoint(true)
+    val sig = maybeCheckpoint(
+      simhash(repDocs, id, text).select(col(id), col("simhash")), eagerCheckpoint)
     val banded = sig.select(col(id), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash"), b * width)

@@ -46,6 +46,14 @@ object Transforms {
     */
   final case class Emit(rows: Column) extends Step {
     def apply(df: DataFrame): DataFrame = {
+      // `__emit` is this stage's scratch column and `emit_pos` is its
+      // output index: an input column named `__emit`, or a struct field
+      // named `__emit`/`emit_pos`, would collide into duplicate or
+      // silently-clobbered columns — reject up front, matching the
+      // reserved-name checks in AsOf.asOfJoin / RangeJoin
+      if (df.columns.contains("__emit"))
+        throw new IllegalArgumentException(
+          "emit: input column name '__emit' is reserved")
       // emit_pos always refers to the LAST emit stage: a prior stage's
       // index column is dropped before re-exploding (keeping both would
       // make any later emit_pos reference ambiguous)
@@ -57,6 +65,10 @@ object Transforms {
           s"emit expects an array<struct<...>> expression, " +
             s"got array element type ${other.simpleString}")
       }
+      val reserved = fields.filter(f => f == "__emit" || f == "emit_pos")
+      if (reserved.nonEmpty)
+        throw new IllegalArgumentException(
+          s"emit: struct field name(s) ${reserved.mkString(", ")} are reserved")
       fields.foldLeft(out)((d, f) =>
         d.withColumn(f, col("__emit").getField(f))).drop("__emit")
     }

@@ -17,15 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * tombstone so a ROW frame delivered in a later trigger (cross-trigger
   * reordering) is dropped instead of resurrecting state — an xid names
   * exactly one transaction, so nothing after its COMMIT/ROLLBACK can
-  * belong to a live txn. By default tombstones expire on a
-  * processing-time timeout (10 min), so the long-running-feed state
-  * store stays bounded by OPEN transactions plus a sliding window of
-  * recently closed ones — the reference's memory profile, not stream
-  * length. BOUNDED replays (`Trigger.AvailableNow`, tests) must pass
-  * `tombstoneTtlMs = 0` (keep tombstones, no timeout): Spark re-runs
-  * batches unconditionally while a ProcessingTimeTimeout is
-  * configured, which would keep an AvailableNow run alive forever —
-  * and a replay's tombstone count is bounded by its input anyway.
+  * belong to a live txn. The DEFAULT is `tombstoneTtlMs = 0`: keep
+  * tombstones forever, no timeout — safe for every trigger mode,
+  * because Spark re-runs batches unconditionally while a
+  * ProcessingTimeTimeout is configured, which keeps a bounded replay
+  * (`Trigger.AvailableNow`, tests) alive FOREVER as a silent hang.
+  * A long-running LIVE feed should opt INTO a TTL (e.g. 10 min) so
+  * the state store stays bounded by open transactions plus a sliding
+  * window of recently closed ones — the reference's memory profile —
+  * accepting that its continuous trigger never terminates anyway.
   */
 object StreamTxn {
 
@@ -49,7 +49,7 @@ object StreamTxn {
     * parser); rolled-back and still-open transactions emit nothing.
     */
   def assemble(frames: Dataset[Frame],
-      tombstoneTtlMs: Long = 10 * 60 * 1000L): Dataset[TxnBatch] = {
+      tombstoneTtlMs: Long = 0L): Dataset[TxnBatch] = {
     implicit val lenc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[TxnBatch]
     implicit val stEnc = Encoders.product[Open]

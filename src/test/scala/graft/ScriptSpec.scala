@@ -51,6 +51,21 @@ class ScriptSpec extends SparkSpec {
     assert(drop(df.withColumn("__t", lit(1))).count() == 1)
   }
 
+  test("emit rejects reserved column/field names up front") {
+    val df = Seq((1L, "a")).toDF("id", "op")
+    // input column named __emit would collide with the scratch column
+    val e1 = intercept[IllegalArgumentException](
+      Emit(expr("array(named_struct('id', id))"))(df.withColumn("__emit", lit(1))))
+    assert(e1.getMessage.contains("__emit"))
+    // a struct field named emit_pos would clobber the output index
+    val e2 = intercept[IllegalArgumentException](
+      Emit(expr("array(named_struct('emit_pos', 9))"))(df))
+    assert(e2.getMessage.contains("emit_pos"))
+    val e3 = intercept[IllegalArgumentException](
+      Emit(expr("array(named_struct('__emit', 9))"))(df))
+    assert(e3.getMessage.contains("__emit"))
+  }
+
   test("userscript rejects reflection-escape functions at compile time") {
     // expr() admits reflect()/java_method() — arbitrary static-method
     // invocation, wider than the reference's sandboxed VM. The compile

@@ -197,10 +197,12 @@ class WireFormatsSpec extends SparkSpec {
       (3L, "RELATION", 1L, "t1", "a,b,c", null.asInstanceOf[String]), // schema change
       (4L, "INSERT", 1L, null.asInstanceOf[String], null.asInstanceOf[String], """["x","y","z"]"""),
       (5L, "INSERT", 9L, null.asInstanceOf[String], null.asInstanceOf[String], """["q"]"""), // undeclared rel
-      (6L, "INSERT", 1L, null.asInstanceOf[String], null.asInstanceOf[String], """["only-one"]""") // arity mismatch
+      (6L, "INSERT", 1L, null.asInstanceOf[String], null.asInstanceOf[String], """["only-one"]"""), // arity mismatch
+      (7L, "DELETE", 1L, null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String]), // no tuple at all
+      (8L, "INSERT", 1L, null.asInstanceOf[String], null.asInstanceOf[String], "not-json") // unparseable tuple
     ).toDF("lsn", "op", "rel_id", "rel_name", "cols", "tuple")
     val out = PgLogical.resolve(frames).orderBy("lsn").collect()
-    assert(out.length == 4)
+    assert(out.length == 6)
     // lsn 2 resolves against the 2-col descriptor, lsn 4 the 3-col one
     assert(out(0).getAs[Map[String, String]]("row_data") == Map("a" -> "x", "b" -> "y"))
     assert(out(1).getAs[Map[String, String]]("row_data") ==
@@ -209,6 +211,13 @@ class WireFormatsSpec extends SparkSpec {
     assert(out(2).getAs[Boolean]("unknown_relation") && out(2).isNullAt(out(2).fieldIndex("row_data")))
     // declared relation, wrong tuple arity: flagged separately
     assert(out(3).getAs[Boolean]("arity_mismatch") && out(3).isNullAt(out(3).fieldIndex("row_data")))
+    // missing/unparseable tuple on a KNOWN relation: malformed_tuple,
+    // never misclassified as an arity error (size(NULL) is NULL)
+    Seq(out(4), out(5)).foreach { r =>
+      assert(r.getAs[Boolean]("malformed_tuple"))
+      assert(!r.getAs[Boolean]("arity_mismatch") && !r.getAs[Boolean]("unknown_relation"))
+      assert(r.isNullAt(r.fieldIndex("row_data")))
+    }
   }
 
   test("SchemaWatch: align pads added columns, drops removed ones") {
@@ -249,6 +258,25 @@ class WireFormatsSpec extends SparkSpec {
     val one = SchemaWatch.align(both, Seq((0L, 0L)).toDF("id", "other").schema)
       .collect()(0)
     assert(one.getLong(0) == 1L && one.isNullAt(1))
+    // schemaMap with case-variant duplicates: a rename naming 'ID'
+    // exactly binds to ID (never silently to id) — and the leftover
+    // kept duplicate errors clearly instead of hitting Spark's
+    // ambiguous-resolver failure downstream
+    val mappedBoth = graft.cdc.Apply.schemaMap(both,
+      renames = Seq("ID" -> "upper_id", "id" -> "lower_id"), exprs = Nil,
+      ignore = Nil, extrasJson = None)
+    assert(mappedBoth.columns.toSeq == Seq("upper_id", "lower_id"))
+    assert(mappedBoth.collect()(0).getLong(0) == 2L)
+    assert(mappedBoth.collect()(0).getLong(1) == 1L)
+    // a rename whose name matches NEITHER case exactly is ambiguous
+    val amb = intercept[IllegalArgumentException](graft.cdc.Apply.schemaMap(both,
+      renames = Seq("Id" -> "x"), exprs = Nil, ignore = Seq("ID"),
+      extrasJson = None))
+    assert(amb.getMessage.contains("ambiguous"))
+    // both case-variants kept: clear error, not Spark's resolver error
+    val keptDup = intercept[IllegalArgumentException](graft.cdc.Apply.schemaMap(both,
+      renames = Nil, exprs = Nil, ignore = Nil, extrasJson = None))
+    assert(keptDup.getMessage.contains("case-variant"))
   }
 
   test("Checkpoint: regressions rejected, frontier monotone, group min") {
