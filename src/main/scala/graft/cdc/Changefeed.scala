@@ -90,10 +90,24 @@ object Changefeed {
         coalesce(col("__deleted"), lit(false)).as("is_delete")): _*)
   }
 
-  /** Streaming read of the same layout; `maxFilesPerTrigger` keeps
-    * micro-batches bounded on a large backlog.
+  /** Streaming read of the same layout via the first-class DataSourceV2
+    * connector (graft.sources.ChangefeedSourceV2): per-file frontier
+    * offsets (reference `internal/source/objstore` resume semantics) and
+    * admission control bounding each micro-batch to `maxFilesPerTrigger`
+    * files (reference `internal/conveyor/conveyor.go:188`
+    * AcceptMultiBatch). Shares `project` with the batch reader so
+    * delete/HLC semantics can never diverge.
     */
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    project(spark.readStream
+      .format("graft-changefeed")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir))
+
+  /** The pre-DSv2 streaming reader (Spark's generic json file source),
+    * kept for A/B equivalence testing against the connector.
+    */
+  def readStreamGenericJson(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
     project(spark.readStream
       .schema(envelopeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
