@@ -13,7 +13,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow one task retry, like a real cluster
+      // (spark.task.maxFailures defaults to 4) — the fault-tolerance
+      // specs inject first-attempt task failures and assert recovery
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
