@@ -1,18 +1,26 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * with a partition-batched decode/feature-extract stage.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake, but everything Spark-side is
-  * real: the binary column schema, the metadata struct, the typed
-  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas` —
-  * one iterator per partition so a real decoder could amortize model /
-  * codec initialization per partition, exactly how a GPU feature
-  * extractor would be wired), and the partitioning contract.
+  * Image decode and resize are REAL (`javax.imageio` PNG round-trip —
+  * ships with every JDK, no external codec): image rows carry actual
+  * PNG bytes rendered from a deterministic gradient fixture, the decode
+  * stage parses them with `ImageIO.read` and derives every checked
+  * column (dims, checksum, mean) from the decoded raster. Audio/video
+  * byte decode stays a deterministic md5 stub (no codecs in this
+  * container), but the Spark-side shape — binary column schema,
+  * metadata struct, typed `mapPartitions` batching (the Scala analogue
+  * of `mapInPandas`: one iterator per partition so codec/model init
+  * amortizes, exactly how a GPU feature extractor is wired), and the
+  * per-media-type partitioning contract — is identical for all three.
   */
 object Multimodal {
 
@@ -20,66 +28,147 @@ object Multimodal {
       height: Int, payload: Array[Byte])
 
   case class DecodedRow(doc_id: Long, media_type: String, n_bytes: Int,
-      checksum: String, feature: Array[Float])
+      checksum: String, px_mean: Double, img_w: Int, img_h: Int,
+      feature: Array[Float])
 
-  /** Attach a synthetic binary payload + metadata to each document —
-    * stands in for reading real image/audio bytes from object storage.
-    * Deterministic: payload bytes derive from the doc id and text.
+  /** Attach a binary payload + metadata to each document. Image rows
+    * get a REAL PNG (rendered per partition — stands in for fetching
+    * image bytes from object storage); audio/video rows get synthetic
+    * bytes derived from the doc id and text. Fixture dims and pixel
+    * content are pure functions of the id, so an oracle can predict
+    * what a correct decode must recover.
     */
-  def attachPayloads(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(
+  def attachPayloads(docs: DataFrame, id: String, text: String): DataFrame = {
+    val meta = docs.select(
       col(id).as("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(id), lit(3)) + 1).cast("int")).as("media_type"),
-      (pmod(xxhash64(col(id)), lit(512)) + 64).cast("int").as("width"),
-      (pmod(xxhash64(col(id), lit(1)), lit(512)) + 64).cast("int").as("height"),
+      (pmod(col(id), lit(16)) + 8).cast("int").as("width"),
+      (pmod(floor(col(id) / lit(16)), lit(16)) + 8).cast("int").as("height"),
       encode(concat(lit("MEDIA:"), col(id).cast("string"), lit(":"),
         substring(col(text), 1, 64)), "UTF-8").as("payload"))
+    implicit val enc = Encoders.product[MediaRow]
+    meta.as[MediaRow].mapPartitions { rows =>
+      ImageIO.setUseCache(false) // no temp-file cache inside tasks
+      rows.map { r =>
+        if (r.media_type == "image")
+          r.copy(payload = renderPng(r.doc_id, r.width, r.height))
+        else r
+      }
+    }.toDF()
+  }
 
-  /** Partition-batched "decode": iterate once per partition, produce a
-    * fixed-size feature vector per row. A real implementation replaces
-    * `fakeDecode` with a codec call; the batching shape stays identical.
+  /** Deterministic grayscale gradient fixture: pixel(x, y) =
+    * base + x + y with base = id % 128 (dims ≤ 23 keep values < 256),
+    * PNG-encoded. The pixel sum has the closed form
+    * w*h*base + h*w(w-1)/2 + w*h(h-1)/2, so SQL can verify a decode.
+    */
+  private def renderPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val base = (docId % 128).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, base + x + y); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Partition-batched decode: iterate once per partition, REAL
+    * `ImageIO.read` for image rows — dims, checksum and mean all come
+    * from the decoded raster, so a broken decoder fails the oracle.
+    * Audio/video fall back to the md5 stub (independently computable).
     */
   def decodeFeatures(media: DataFrame, featureDim: Int = 8): Dataset[DecodedRow] = {
     implicit val inEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.product[DecodedRow]
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init (codec handles, model, ...) — here the digest
-      // instance, reset per row, exactly how a real decoder amortizes
+      // per-partition init (codec cache config, digest instance) — the
+      // same place a real decoder amortizes model/codec setup
+      ImageIO.setUseCache(false)
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val d = digest.digest(r.payload) // md5: independently computable
-        val checksum = d.map("%02x".format(_)).mkString
-        val feature = Array.tabulate(featureDim) { i =>
-          // ??? real decoder goes here — deterministic fake feature
-          // from the digest bytes (unsigned), centered and scaled
-          (((d(i % d.length) & 0xff) - 128).toFloat) / 128f
+        if (r.media_type == "image") {
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          val bandSum = new Array[Long](featureDim)
+          val bandN = new Array[Long](featureDim)
+          var y = 0
+          while (y < h) {
+            val band = y * featureDim / h
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sum += v; bandSum(band) += v; bandN(band) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum.toDouble / (w * h) / 255.0
+          val checksum = hex(digest.digest(
+            s"${w}x${h}:$sum".getBytes("UTF-8")))
+          val feature = Array.tabulate(featureDim) { i =>
+            if (bandN(i) == 0) 0f
+            else (bandSum(i).toDouble / bandN(i) / 255.0).toFloat
+          }
+          DecodedRow(r.doc_id, r.media_type, w * h, checksum, mean, w, h, feature)
+        } else {
+          val d = digest.digest(r.payload)
+          val feature = Array.tabulate(featureDim) { i =>
+            (((d(i % d.length) & 0xff) - 128).toFloat) / 128f
+          }
+          val mean = ((d(0) & 0xff) - 128).toDouble / 128.0
+          DecodedRow(r.doc_id, r.media_type, r.payload.length, hex(d),
+            mean, 0, 0, feature)
         }
-        DecodedRow(r.doc_id, r.media_type, r.payload.length, checksum, feature)
       }
     }
   }
 
+  private def hex(d: Array[Byte]): String = d.map("%02x".format(_)).mkString
+
   case class ResizedRow(doc_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, payload: Array[Byte])
 
-  /** Resize stage: aspect-preserving target box computation is real;
-    * the pixel resample itself is stubbed (no codec in this image) with
-    * a deterministic byte fold. Batch shape matches a real resampler:
-    * one iterator per partition, init amortized per partition.
+  /** Resize stage. Image rows do a REAL decode → bilinear resample →
+    * PNG re-encode; the output dims come from the resampled image
+    * itself. Non-image rows keep the deterministic byte-fold stub with
+    * the same integer target-box math. Batch shape matches a real
+    * resampler: one iterator per partition, init amortized.
     */
   def resize(media: DataFrame, maxSide: Int): Dataset[ResizedRow] = {
     implicit val inEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.product[ResizedRow]
     media.as[MediaRow].mapPartitions { rows =>
+      ImageIO.setUseCache(false)
       rows.map { r =>
-        val scale = math.min(1.0, maxSide.toDouble / math.max(r.width, r.height))
-        val (ow, oh) = (math.max(1, (r.width * scale).toInt),
-          math.max(1, (r.height * scale).toInt))
-        // ??? real resample goes here — deterministic fake keeps bytes
-        val out = if (r.payload.length <= 16) r.payload
-          else r.payload.take(16)
-        ResizedRow(r.doc_id, r.width, r.height, ow, oh, out)
+        val m = math.max(r.width, r.height)
+        val (ow, oh) =
+          if (m <= maxSide) (r.width, r.height)
+          else (math.max(1, r.width * maxSide / m),
+            math.max(1, r.height * maxSide / m))
+        if (r.media_type == "image") {
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val out = new BufferedImage(ow, oh, BufferedImage.TYPE_BYTE_GRAY)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, ow, oh, null)
+          g.dispose()
+          val bytes = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bytes)
+          ResizedRow(r.doc_id, r.width, r.height, out.getWidth, out.getHeight,
+            bytes.toByteArray)
+        } else {
+          val bytes = if (r.payload.length <= 16) r.payload else r.payload.take(16)
+          ResizedRow(r.doc_id, r.width, r.height, ow, oh, bytes)
+        }
       }
     }
   }
@@ -88,7 +177,8 @@ object Multimodal {
 
   /** Frame-sampling stage for video payloads: emits every `everyMs`
     * "frame" as its own row (one row in → many out, the real fan-out
-    * shape); frame bytes are a deterministic stub slice.
+    * shape); frame bytes are a deterministic stub slice (no video codec
+    * in this container — the one remaining stub).
     */
   def sampleFrames(media: DataFrame, durationMs: Long, everyMs: Long): Dataset[FrameRow] = {
     implicit val inEnc = Encoders.product[MediaRow]
@@ -96,7 +186,6 @@ object Multimodal {
     media.as[MediaRow].filter(_.media_type == "video").mapPartitions { rows =>
       rows.flatMap { r =>
         (0L until durationMs by everyMs).zipWithIndex.map { case (ts, i) =>
-          // ??? real frame decode goes here — stub slices the payload
           val off = (i * 4) % math.max(1, r.payload.length)
           FrameRow(r.doc_id, i, ts, r.payload.drop(off).take(8))
         }.iterator
@@ -106,9 +195,10 @@ object Multimodal {
 
   /** End-to-end pipeline: attach → repartition by media type (a real
     * cluster routes video to beefier executors) → batched decode, plus
-    * the one-to-many frame fan-out for video rows — every stage's
-    * output lands in the verified result (n_frames counts the sampled
-    * frames per video; 0 for stills/audio).
+    * the one-to-many frame fan-out for video rows. Image rows' n_bytes,
+    * checksum, f0, img_w, img_h are all functions of the DECODED pixels
+    * — the oracle recomputes them from the fixture's closed form, so a
+    * decode that returns wrong pixels fails the hash gate.
     */
   def pipeline(docs: DataFrame, id: String, text: String): DataFrame = {
     val media = attachPayloads(docs, id, text).repartition(col("media_type"))
@@ -116,7 +206,7 @@ object Multimodal {
       .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     decodeFeatures(media).toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long"),
-        col("checksum"), col("feature")(0).cast("double").as("f0"))
+        col("checksum"), col("px_mean").as("f0"), col("img_w"), col("img_h"))
       .join(frames, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_frames"))
   }

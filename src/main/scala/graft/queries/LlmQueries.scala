@@ -644,29 +644,48 @@ object LlmQueries {
       |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
-  // -- multimodal pipeline (decode stubbed, plumbing + stub oracle-checked) ---
+  // -- multimodal pipeline (REAL ImageIO decode for images; audio/video
+  // byte-decode stubbed; every checked column oracle-recomputable) ------
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
-  /** The decode stub is md5-based precisely so the oracle can recompute
-    * it: payload construction, byte length, digest, and the first
-    * feature component are all independently derivable in SQL.
+  /** Image rows carry a real PNG (gradient fixture: pixel = base+x+y,
+    * base = id%128, dims from the id) that Spark decodes with ImageIO;
+    * the oracle recomputes the decoded dims, pixel sum (closed form
+    * w*h*base + h*w(w-1)/2 + w*h(h-1)/2), the checksum md5("WxH:sum"),
+    * and the mean — so a decoder returning wrong pixels hash-fails.
+    * Audio/video stay md5-of-payload stubs, derivable in SQL as before.
     */
   val multimodalSql: String =
     """WITH m AS (
       |  SELECT doc_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+      |    CAST(doc_id % 16 + 8 AS INTEGER) AS w,
+      |    CAST((doc_id // 16) % 16 + 8 AS INTEGER) AS h,
+      |    CAST(doc_id % 128 AS INTEGER) AS base,
       |    'MEDIA:' || CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64) AS payload
-      |  FROM documents)
-      |SELECT doc_id,
-      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-      |  CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
-      |  md5(payload) AS checksum,
-      |  (CAST(strpos('0123456789abcdef', substr(md5(payload), 1, 1)) - 1 AS DOUBLE) * 16
-      |   + CAST(strpos('0123456789abcdef', substr(md5(payload), 2, 1)) - 1 AS DOUBLE)
-      |   - 128.0) / 128.0 AS f0,
+      |  FROM documents),
+      |s AS (
+      |  SELECT *,
+      |    CAST(w AS BIGINT) * h * base + CAST(h AS BIGINT) * (w * (w - 1) // 2)
+      |      + CAST(w AS BIGINT) * (h * (h - 1) // 2) AS px_sum
+      |  FROM m)
+      |SELECT doc_id, media_type,
+      |  CASE WHEN media_type = 'image' THEN CAST(w * h AS BIGINT)
+      |       ELSE CAST(octet_length(encode(payload)) AS BIGINT) END AS n_bytes,
+      |  CASE WHEN media_type = 'image'
+      |       THEN md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' || CAST(px_sum AS VARCHAR))
+      |       ELSE md5(payload) END AS checksum,
+      |  CASE WHEN media_type = 'image'
+      |       THEN CAST(px_sum AS DOUBLE) / (w * h) / 255.0
+      |       ELSE (CAST(strpos('0123456789abcdef', substr(md5(payload), 1, 1)) - 1 AS DOUBLE) * 16
+      |             + CAST(strpos('0123456789abcdef', substr(md5(payload), 2, 1)) - 1 AS DOUBLE)
+      |             - 128.0) / 128.0 END AS f0,
+      |  CASE WHEN media_type = 'image' THEN w ELSE 0 END AS img_w,
+      |  CASE WHEN media_type = 'image' THEN h ELSE 0 END AS img_h,
       |  -- video rows fan out to 4 sampled frames (0/250/500/750 ms)
       |  CASE WHEN doc_id % 3 = 2 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_frames
-      |FROM m ORDER BY doc_id""".stripMargin
+      |FROM s ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

@@ -221,6 +221,33 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() == nVideos * 4) // 0,250,500,750ms per video
   }
 
+  test("multimodal image decode is a real ImageIO PNG round-trip") {
+    val d = docs.withColumnRenamed("text", "t")
+    val media = Multimodal.attachPayloads(d, "doc_id", "t")
+    // doc_id 3 is the image row: w = 3%16+8 = 11, h = (3/16)%16+8 = 8, base = 3
+    val payload = media.filter(col("doc_id") === 3)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(payload.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) // real PNG magic
+    val img = Multimodal.decodeFeatures(media).collect()
+      .find(_.doc_id == 3L).get
+    val (w, h, base) = (11, 8, 3)
+    assert(img.img_w == w && img.img_h == h) // dims come from the decode
+    val pxSum = w.toLong * h * base + h.toLong * (w * (w - 1) / 2) +
+      w.toLong * (h * (h - 1) / 2)
+    assert(img.px_mean == pxSum.toDouble / (w * h) / 255.0)
+    assert(img.checksum == java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${w}x${h}:$pxSum".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    // resize really resamples: decode the re-encoded PNG, dims must match
+    val rs = Multimodal.resize(media.filter(col("media_type") === "image"),
+      maxSide = 4).collect()(0)
+    assert(rs.out_w == 4 && rs.out_h == 2) // 11x8 → 4x(8*4/11)
+    val rimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs.payload))
+    assert(rimg.getWidth == rs.out_w && rimg.getHeight == rs.out_h)
+  }
+
   test("multimodal pipeline decodes deterministic features per row") {
     val d = docs.withColumnRenamed("text", "t")
     val out1 = Multimodal.pipeline(d, "doc_id", "t").collect().sortBy(_.getLong(0))
