@@ -90,6 +90,12 @@ object Apply {
     * `internal/target/schemawatch` which discovers the target shape).
     * All of it is a single `select` — Catalyst prunes the parquet scan to
     * exactly the referenced source columns.
+    *
+    * Configured names go through [[Ident.parse]]
+    * (reference `internal/util/ident/parse.go:34`): unquoted names fold
+    * case (`USER_ID` hits `user_id`), quoted names (`"Order ID"`,
+    * `"ID"`) match exactly even in case-insensitive mode, and dotted
+    * qualification resolves suffix-wise (`"t"."id"` hits column `id`).
     */
   def schemaMap(
       src: DataFrame,
@@ -98,12 +104,22 @@ object Apply {
       ignore: Seq[String],
       extrasJson: Option[(String, Seq[String])],
       caseSensitive: Boolean = false): DataFrame = {
-    // identifier matching is case-insensitive by default, mirroring the
-    // reference's ident canonicalization (internal/util/ident): a config
-    // naming USER_ID must hit source column user_id. Spark's own col()
-    // resolution already folds case; this folds the kept-column filter
-    // to match.
-    def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
+    // source columns are DATA: parse leniently, never throw on a shape
+    val srcParts: Map[String, Seq[Ident.Part]] =
+      src.columns.map(c => c -> Ident.parseLenient(c)).toMap
+    // configured names are CONFIG: parse strictly (unmatched quote etc.
+    // is a user error worth failing loudly on)
+    def spec(n: String, what: String): Seq[Ident.Part] = {
+      val p = try Ident.parse(n) catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"schemaMap: cannot parse $what '$n': ${e.getMessage}")
+      }
+      if (p.isEmpty) throw new IllegalArgumentException(
+        s"schemaMap: empty $what name")
+      p
+    }
+    def hits(s: Seq[Ident.Part], c: String): Boolean =
+      Ident.suffixMatches(srcParts(c), s, caseSensitive)
     // resolve configured names to ACTUAL source columns under the
     // requested sensitivity — col("ID") would otherwise still resolve
     // `id` through Spark's case-insensitive resolver even when this
@@ -112,27 +128,29 @@ object Apply {
     // duplicate source columns (`id` AND `ID`), an exact-case match
     // wins (as SchemaWatch.align does); no exact match among several
     // fold-equal candidates is ambiguous and errors rather than
-    // silently binding to whichever column comes first.
+    // silently binding to whichever column comes first. Quoting the
+    // config name (`"ID"`) disambiguates: quoted parts match exactly.
     def actual(n: String, what: String): String = {
-      val folded = src.columns.filter(c => canon(c) == canon(n))
-      folded match {
+      val s = spec(n, what)
+      src.columns.filter(hits(s, _)) match {
         case Array() => throw new IllegalArgumentException(
           s"schemaMap: $what '$n' does not match any source column" +
             (if (caseSensitive) " (case-sensitive)" else ""))
         case Array(one) => one
-        case many => many.find(_ == n).getOrElse(
+        case many => many.find(_ == Ident.lastName(s)).getOrElse(
           throw new IllegalArgumentException(
             s"schemaMap: $what '$n' is ambiguous among case-variant " +
-              s"source columns [${many.mkString(", ")}] — name one exactly"))
+              s"source columns [${many.mkString(", ")}] — name one exactly" +
+              " (quote it to force an exact-case match)"))
       }
     }
-    val ignoreSet = ignore.map(canon).toSet
-    val renameSet = renames.map(r => canon(r._1)).toSet
-    val extrasSet = extrasJson.map(_._2.map(canon).toSet).getOrElse(Set.empty[String])
+    val ignoreSpecs = ignore.map(spec(_, "ignore"))
+    val renameSpecs = renames.map(r => spec(r._1, "rename source"))
+    val extrasSpecs = extrasJson.map(_._2.map(spec(_, "extras column"))).getOrElse(Nil)
     val kept = src.columns.filterNot(c =>
-      ignoreSet.contains(canon(c)) ||
-        renameSet.contains(canon(c)) ||
-        extrasSet.contains(canon(c)))
+      ignoreSpecs.exists(hits(_, c)) ||
+        renameSpecs.exists(hits(_, c)) ||
+        extrasSpecs.exists(hits(_, c)))
     // two kept columns folding to one name (`id` AND `ID`) would hit
     // Spark's ambiguous-resolver error at col(c) regardless of this
     // mapping's own sensitivity (name resolution is a session conf) —

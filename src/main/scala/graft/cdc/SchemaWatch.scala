@@ -26,26 +26,31 @@ object SchemaWatch {
     * Matching is CASE-INSENSITIVE by default, the reference's behavior
     * throughout (`internal/util/ident` canonicalizes identifiers, so a
     * MySQL feed emitting `USER_ID` maps onto a target `user_id` rather
-    * than silently null-padding). Quoted-identifier pipelines that
-    * genuinely distinguish case pass `caseSensitive = true`. When two
-    * batch columns fold to the same target name (`id` and `ID`), the
-    * exact-case match wins, then first-in-batch order — deterministic,
-    * like the reference's canonical-map insertion order.
+    * than silently null-padding). Both sides pass through
+    * [[Ident.parseLenient]] (reference `internal/util/ident/parse.go`),
+    * so a feed emitting quoted/qualified keys — `"User"."Order ID"` —
+    * binds to target column `Order ID` exactly (quoted parts are
+    * case-exact even in case-insensitive mode), and dotted
+    * qualification resolves suffix-wise. Quoted-identifier pipelines
+    * that distinguish case everywhere pass `caseSensitive = true`. When
+    * two batch columns resolve to the same target field (`id` and
+    * `ID`), the exact-case match wins, then first-in-batch order —
+    * deterministic, like the reference's canonical-map insertion order.
     */
   def align(batch: DataFrame, target: StructType,
       caseSensitive: Boolean = false): DataFrame = {
-    def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
     val names = batch.columns.toIndexedSeq
     // positional temp names: a batch carrying BOTH `id` and `ID` would
     // make a name-based col("id") ambiguous under Spark's (default
     // case-insensitive) resolver — selecting by position sidesteps the
     // resolver entirely, so the winner choice below is authoritative
     val tmp = batch.toDF(names.indices.map(i => s"__c$i"): _*)
-    val byCanon = names.zipWithIndex.groupBy { case (n, _) => canon(n) }
+    val batchParts = names.map(Ident.parseLenient)
     tmp.select(target.fields.toIndexedSeq.map { f =>
-      val src = byCanon.get(canon(f.name)).map { cands =>
-        cands.find(_._1 == f.name).getOrElse(cands.head)._2
-      }
+      val fp = Ident.parseLenient(f.name)
+      val cands = names.indices.filter(i =>
+        Ident.suffixMatches(batchParts(i), fp, caseSensitive))
+      val src = cands.find(names(_) == f.name).orElse(cands.headOption)
       src match {
         case Some(i) => col(s"__c$i").cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
