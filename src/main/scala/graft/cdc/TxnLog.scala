@@ -38,15 +38,15 @@ object TxnLog {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(frameSchema).json(dir)
 
-  /** One output row per ROW frame of a COMMITTED transaction, carrying
-    * its transaction's begin/commit metadata. Rolled-back and open
-    * (never-committed) transactions contribute nothing.
+  /** One row per COMMITTED transaction: (xid, commit_lsn, commit_us,
+    * begin_us). Rolled-back and open (never-committed) transactions
+    * contribute nothing.
     */
-  def committedRows(frames: DataFrame): DataFrame = {
+  def committedTxns(frames: DataFrame): DataFrame =
     // one conditional-aggregation pass builds all per-txn metadata —
     // separate filter branches would re-scan the log once per frame
     // type (4 scans of a 100 TB log instead of 2)
-    val meta = frames.filter(col("op") =!= "ROW")
+    frames.filter(col("op") =!= "ROW")
       .groupBy("xid")
       .agg(
         max(when(col("op") === "COMMIT", col("lsn"))).as("commit_lsn"),
@@ -59,10 +59,14 @@ object TxnLog {
       .filter(col("__rolled").isNull &&
         col("commit_lsn").isNotNull && col("begin_us").isNotNull)
       .drop("__rolled")
+
+  /** One output row per ROW frame of a COMMITTED transaction, carrying
+    * its transaction's begin/commit metadata.
+    */
+  def committedRows(frames: DataFrame): DataFrame =
     frames.filter(col("op") === "ROW")
       .select("lsn", "xid", "key", "data", "ts_us")
-      .join(meta, Seq("xid"))
-  }
+      .join(committedTxns(frames), Seq("xid"))
 
   /** The consistent point: the highest commit lsn — a restart replays
     * from here; uncommitted frames beyond it are re-read. One-row frame.
@@ -70,4 +74,52 @@ object TxnLog {
   def consistentPoint(frames: DataFrame): DataFrame =
     frames.filter(col("op") === "COMMIT")
       .agg(max(col("lsn")).as("consistent_lsn"))
+
+  /** GTID-SET frontier (reference `internal/source/mylogical/conn.go:149`
+    * GTIDEvent → `withMysqlGTIDSet`): each committed transaction carries
+    * (source uuid, GNO), and the consistent point is a per-source
+    * INTERVAL SET of applied GNOs — not one max value, so a hole left by
+    * an interleaved source never gets skipped on restart. Gaps-and-
+    * islands: one window (partitioned by source — no global sort) + one
+    * groupBy; output is one row per contiguous applied interval,
+    * `(source, start_gno, end_gno, n_txns)`.
+    */
+  def gtidFrontier(txns: DataFrame, source: String, gno: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(source)).orderBy(col(gno))
+    txns.select(col(source), col(gno)).distinct()
+      // consecutive gnos share (gno - rank): the island label
+      .withColumn("__grp", col(gno) - row_number().over(w))
+      .groupBy(col(source), col("__grp"))
+      .agg(min(col(gno)).as("start_gno"), max(col(gno)).as("end_gno"),
+        count(lit(1)).as("n_txns"))
+      .drop("__grp")
+  }
+
+  /** Canonical per-source GTID-set rendering, one row per source:
+    * `start-end` intervals joined with `:` in ascending order (the
+    * MySQL `uuid:1-5:7-9` shape) — this is what a checkpoint record
+    * stores and what a resumed reader parses back.
+    */
+  def gtidSet(frontier: DataFrame, source: String): DataFrame =
+    frontier.groupBy(col(source))
+      .agg(
+        concat_ws(":", transform(
+          array_sort(collect_list(struct(col("start_gno"), col("end_gno")))),
+          iv => concat(iv("start_gno").cast("string"), lit("-"),
+            iv("end_gno").cast("string")))).as("gtid_set"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("n_txns")).as("n_applied"))
+
+  /** Resume anti-join: keep only transactions whose (source, gno) is
+    * NOT covered by a frontier interval. The frontier is tiny (one row
+    * per interval) → broadcast; the transaction side never shuffles.
+    */
+  def gtidResume(txns: DataFrame, frontier: DataFrame, source: String,
+      gno: String): DataFrame = {
+    val f = broadcast(frontier.select(col(source).as("__src"),
+      col("start_gno").as("__s"), col("end_gno").as("__e")))
+    txns.join(f, txns(source) === f("__src") &&
+      txns(gno) >= f("__s") && txns(gno) <= f("__e"), "left_anti")
+  }
 }

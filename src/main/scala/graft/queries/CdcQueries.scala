@@ -401,6 +401,72 @@ object CdcQueries {
       |  CAST(SUM(n_children) OVER (ORDER BY round_start ROWS UNBOUNDED PRECEDING) AS BIGINT) AS applied_children
       |FROM r ORDER BY round_start""".stripMargin
 
+  // -- 17w2: conveyor acceptance under runtime-selected modes ---------------
+  /** One batch accepted through THREE conveyors whose configs force the
+    * three modes (reference `internal/conveyor/conveyor.go:59` factory +
+    * `:188` AcceptMultiBatch + `:256` modeSelector): the checkpoint
+    * bootstraps from a proposal log covering the first 20 days
+    * (partition = user_id % 4, group resolved = slowest partition's
+    * frontier). Immediate ignores the checkpoint; best-effort applies
+    * everything but marks state beyond the resolved frontier as
+    * speculative; consistent gates the batch at the frontier before
+    * reducing. One summary row per mode.
+    */
+  def conveyorModes(s: SparkSession, dir: String): DataFrame = {
+    val m = events(s, dir).select(col("user_id"), col("event_id"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
+      pmod(col("user_id"), lit(4L)).as("part"))
+    val cut = m.agg((min(col("nanos")) + lit(20L * 86400L * 1000000000L)).as("__cut"))
+    val proposals = m.crossJoin(broadcast(cut))
+      .filter(col("nanos") <= col("__cut"))
+    val ord = struct(col("nanos"), col("event_id"))
+    def run(cfg: Conveyor.Config, specCount: Boolean): DataFrame = {
+      val conveyor = new Conveyor.Conveyors(cfg)
+        .get("events", proposals, col("part"), col("nanos"), col("event_id"),
+          nowUs = 0L)
+      val spec =
+        if (specCount) coalesce(sum(when(col("speculative"), 1L)), lit(0L))
+        else lit(null).cast("long")
+      conveyor.accept(m, Seq("user_id"), ord, col("nanos"))
+        .agg(count(lit(1)).as("n_keys"), spec.as("n_speculative"),
+          max(col("nanos")).as("max_nanos"))
+        .select(lit(conveyor.mode.name).as("mode"),
+          col("n_keys"), col("n_speculative"), col("max_nanos"))
+    }
+    run(Conveyor.Config(immediate = true), specCount = false)
+      .unionByName(run(Conveyor.Config(bestEffortOnly = true), specCount = true))
+      .unionByName(run(Conveyor.Config(), specCount = true)) // window 0 → consistent
+      .orderBy("mode")
+  }
+
+  val conveyorModesSql: String =
+    """WITH m AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS nanos,
+      |    user_id % 4 AS part
+      |  FROM events),
+      |cut AS (SELECT MIN(nanos) + CAST(1728000000000000 AS BIGINT) AS c FROM m),
+      |f AS (SELECT part, MAX(nanos) AS fr FROM m, cut WHERE nanos <= c GROUP BY part),
+      |r AS (SELECT MIN(fr) AS resolved FROM f),
+      |latest_all AS (
+      |  SELECT user_id, nanos FROM (
+      |    SELECT user_id, nanos, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM m) WHERE rn = 1),
+      |latest_cons AS (
+      |  SELECT user_id, nanos FROM (
+      |    SELECT m.user_id, m.nanos, row_number() OVER (
+      |      PARTITION BY m.user_id ORDER BY m.nanos DESC, m.event_id DESC) AS rn
+      |    FROM m, r WHERE m.nanos <= r.resolved) WHERE rn = 1)
+      |SELECT 'best_effort' AS mode, COUNT(*) AS n_keys,
+      |  CAST(SUM(CASE WHEN la.nanos > r.resolved THEN 1 ELSE 0 END) AS BIGINT) AS n_speculative,
+      |  MAX(la.nanos) AS max_nanos
+      |FROM latest_all la, r
+      |UNION ALL
+      |SELECT 'consistent', COUNT(*), CAST(0 AS BIGINT), MAX(nanos) FROM latest_cons
+      |UNION ALL
+      |SELECT 'immediate', COUNT(*), CAST(NULL AS BIGINT), MAX(nanos) FROM latest_all
+      |ORDER BY mode""".stripMargin
+
   // -- 20: mylogical/pglogical transaction batches -------------------------
   /** Transaction-grouped apply (reference: `internal/source/mylogical` /
     * `pglogical` replay whole transactions in commit order). Events are
@@ -636,8 +702,11 @@ object CdcQueries {
     * back through [[TxnLog]]: only committed transactions produce
     * batches — xid % 17 == 0 transactions roll back and must vanish.
     */
-  def txnLog(s: SparkSession, dir: String): DataFrame = {
-    val outDir = fixture(dir, "txnlog") { p =>
+  /** Shared binlog-shaped fixture (see [[txnLog]]) — also feeds the
+    * GTID frontier query, so both parse the SAME log.
+    */
+  private def txnlogFixture(s: SparkSession, dir: String): String =
+    fixture(dir, "txnlog") { p =>
       val ev = events(s, dir)
         .withColumn("__us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("xid",
@@ -664,6 +733,9 @@ object CdcQueries {
         .drop("__rk", "__tie")
         .write.mode("overwrite").json(p)
     }
+
+  def txnLog(s: SparkSession, dir: String): DataFrame = {
+    val outDir = txnlogFixture(s, dir)
     TxnLog.committedRows(TxnLog.read(s, outDir))
       .groupBy(
         expr("xid div 100000000").as("user_id"),
@@ -687,6 +759,67 @@ object CdcQueries {
       |GROUP BY user_id, txn_id
       |HAVING (user_id * 100000000 + txn_id) % 17 <> 0
       |ORDER BY user_id, txn_id""".stripMargin
+
+  // -- 26b: MySQL GTID-set frontier + resume --------------------------------
+  /** GTID-set resume point (reference
+    * `internal/source/mylogical/conn.go:149`): the first 15 days of the
+    * txn log are applied; the frontier is each source's INTERVAL SET of
+    * applied GNOs (rolled-back transactions leave holes, so intervals —
+    * not one max — are what a restart must honor). The resumed phase
+    * anti-joins the frontier: every committed transaction the intervals
+    * don't cover is pending, nothing covered re-applies. Output per
+    * source: the rendered `start-end:start-end` GTID set, interval and
+    * txn counts, and the pending count — the oracle recomputes the
+    * islands and the anti-join complement independently.
+    */
+  def gtidFrontier(s: SparkSession, dir: String): DataFrame = {
+    val outDir = txnlogFixture(s, dir)
+    val frames = TxnLog.read(s, outDir)
+    val txns = TxnLog.committedTxns(frames).select(
+      expr("xid div 100000000").as("source"),
+      pmod(col("xid"), lit(100000000L)).as("gno"),
+      col("commit_us"))
+    val cut = frames.agg(
+      (min(col("ts_us")) + lit(15L * 86400L * 1000000L)).as("__cut"))
+    val withCut = txns.crossJoin(broadcast(cut))
+    val applied = withCut.filter(col("commit_us") <= col("__cut"))
+    val frontier = TxnLog.gtidFrontier(applied, "source", "gno")
+    val pending = TxnLog.gtidResume(withCut, frontier, "source", "gno")
+      .groupBy("source").agg(count(lit(1)).as("n_pending"))
+    TxnLog.gtidSet(frontier, "source")
+      .join(pending, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("n_intervals", "n_applied", "n_pending"))
+      .na.fill("", Seq("gtid_set"))
+      .orderBy("source")
+  }
+
+  val gtidFrontierSql: String =
+    """WITH t AS (
+      |  SELECT user_id AS source, epoch_us(ts) // 600000000 AS gno,
+      |    MAX(epoch_us(ts)) AS commit_us
+      |  FROM events
+      |  GROUP BY 1, 2
+      |  HAVING (user_id * 100000000 + gno) % 17 <> 0),
+      |cut AS (SELECT MIN(epoch_us(ts)) + CAST(1296000000000 AS BIGINT) AS c FROM events),
+      |a AS (SELECT source, gno FROM t, cut WHERE commit_us <= c),
+      |i AS (SELECT source, gno,
+      |        gno - ROW_NUMBER() OVER (PARTITION BY source ORDER BY gno) AS grp
+      |      FROM a),
+      |iv AS (SELECT source, MIN(gno) AS s, MAX(gno) AS e, COUNT(*) AS n
+      |       FROM i GROUP BY source, grp),
+      |fs AS (SELECT source,
+      |         string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR), ':' ORDER BY s) AS gtid_set,
+      |         COUNT(*) AS n_intervals, CAST(SUM(n) AS BIGINT) AS n_applied
+      |       FROM iv GROUP BY source),
+      |p AS (SELECT source, COUNT(*) AS n_pending
+      |      FROM t, cut WHERE commit_us > c GROUP BY source)
+      |SELECT COALESCE(fs.source, p.source) AS source,
+      |  COALESCE(gtid_set, '') AS gtid_set,
+      |  COALESCE(n_intervals, CAST(0 AS BIGINT)) AS n_intervals,
+      |  COALESCE(n_applied, CAST(0 AS BIGINT)) AS n_applied,
+      |  COALESCE(n_pending, CAST(0 AS BIGINT)) AS n_pending
+      |FROM fs FULL OUTER JOIN p ON fs.source = p.source
+      |ORDER BY source""".stripMargin
 
   // -- 27: schemawatch drift between batches --------------------------------
   /** Schema drift (reference `internal/target/schemawatch/watcher.go:104`
@@ -1321,6 +1454,8 @@ object CdcQueries {
     "cdc_staging_partitioned" -> (stagingPartitioned _),
     "cdc_kafka_payload" -> (kafkaPayload _),
     "cdc_txn_log" -> (txnLog _),
+    "cdc_gtid_frontier" -> (gtidFrontier _),
+    "cdc_conveyor_modes" -> (conveyorModes _),
     "cdc_schema_drift" -> (schemaDrift _),
     "cdc_merge_dlq" -> (mergeDlq _),
     "cdc_checkpoint_frontier" -> (checkpointFrontier _),
@@ -1361,6 +1496,8 @@ object CdcQueries {
     "cdc_workload_check" -> workloadCheckSql,
     "cdc_kafka_payload" -> kafkaPayloadSql,
     "cdc_txn_log" -> txnLogSql,
+    "cdc_gtid_frontier" -> gtidFrontierSql,
+    "cdc_conveyor_modes" -> conveyorModesSql,
     "cdc_schema_drift" -> schemaDriftSql,
     "cdc_merge_dlq" -> mergeDlqSql,
     "cdc_checkpoint_frontier" -> checkpointFrontierSql,

@@ -173,4 +173,27 @@ class CdcSpec extends SparkSpec {
     assert(rep.getLong(1) == 1000L)
     assert(rep.getLong(2) == 0L)
   }
+
+  test("GTID frontier: interval set with holes, rendering, resume anti-join") {
+    // source A applied 1,2,3,5,6,9 (holes at 4,7,8); source B applied 2
+    val applied = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 5L),
+      ("a", 6L), ("a", 9L), ("b", 2L)).toDF("src", "gno")
+    val frontier = TxnLog.gtidFrontier(applied, "src", "gno")
+    val ivs = frontier.orderBy("src", "start_gno").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivs.toSeq == Seq(("a", 1L, 3L, 3L), ("a", 5L, 6L, 2L),
+      ("a", 9L, 9L, 1L), ("b", 2L, 2L, 1L)))
+
+    val sets = TxnLog.gtidSet(frontier, "src").orderBy("src").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sets.toSeq == Seq(("a", "1-3:5-6:9-9", 3L, 6L), ("b", "2-2", 1L, 1L)))
+
+    // incoming log: covered gnos drop, holes and new ground survive
+    val incoming = Seq(("a", 2L), ("a", 4L), ("a", 7L), ("a", 10L),
+      ("b", 2L), ("b", 3L), ("c", 1L)).toDF("src", "gno")
+    val pending = TxnLog.gtidResume(incoming, frontier, "src", "gno")
+      .orderBy("src", "gno").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pending.toSeq == Seq(("a", 4L), ("a", 7L), ("a", 10L),
+      ("b", 3L), ("c", 1L)))
+  }
 }
