@@ -1,0 +1,119 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conveyor-level acceptance plumbing: runtime apply-mode selection per
+  * target schema plus checkpoint bootstrap, in one object.
+  *
+  * Reference: `internal/conveyor/conveyor.go:59` (Conveyors factory with
+  * a per-schema conveyor cache), `conveyor.go:188` (AcceptMultiBatch —
+  * the one acceptance entry point whose behavior is the current mode)
+  * and `conveyor.go:256` (modeSelector: Immediate and BestEffortOnly are
+  * forced; otherwise the mode follows the resolved-frontier lag with
+  * hysteresis — fall behind the BestEffortWindow and you switch to
+  * best-effort, catch up within a quarter of it and you switch back to
+  * consistent; an uninitialized conveyor defaults to best-effort so a
+  * fresh changefeed backfills fast).
+  *
+  * Spark-first: a "mode" is WHICH PLAN acceptance builds, decided once
+  * per batch at plan time — not per-row branching. Consistent gates the
+  * batch at the group-resolved frontier (broadcast one-row scalar) and
+  * reduces; best-effort reduces everything and marks what lies beyond
+  * the frontier as speculative (idempotent re-apply after a restart);
+  * immediate doesn't consult the checkpoint at all. The only driver-side
+  * value is the control-plane lag (one row), mirroring the reference
+  * reading its checkpoint table.
+  */
+object Conveyor {
+
+  sealed trait Mode { def name: String }
+  case object Immediate extends Mode { val name = "immediate" }
+  case object BestEffort extends Mode { val name = "best_effort" }
+  case object Consistent extends Mode { val name = "consistent" }
+
+  /** Reference `conveyor.Config`: forced modes + the best-effort window
+    * (µs). `bestEffortWindowUs <= 0` forces consistent mode (the
+    * reference's "Force a consistent mode" branch).
+    */
+  final case class Config(
+      immediate: Boolean = false,
+      bestEffortOnly: Boolean = false,
+      bestEffortWindowUs: Long = 0L)
+
+  /** Pure mode selection, the reference's modeSelector decision table.
+    * `current = None` means uninitialized: in the dynamic regime with no
+    * clear signal it defaults to BestEffort (optimizes the initial
+    * backfill, as the reference notes).
+    */
+  def selectMode(cfg: Config, lagUs: Long, current: Option[Mode]): Mode =
+    if (cfg.immediate) Immediate
+    else if (cfg.bestEffortOnly) BestEffort
+    else if (cfg.bestEffortWindowUs <= 0L) Consistent
+    else if (lagUs >= cfg.bestEffortWindowUs) BestEffort
+    else if (lagUs <= cfg.bestEffortWindowUs / 4) Consistent
+    else current.getOrElse(BestEffort) // hysteresis band: keep course
+
+  /** One conveyor per target schema: the selected mode, the bootstrapped
+    * per-partition checkpoint frontier, and the one-row group-resolved
+    * scalar. Acceptance dispatches on the mode.
+    */
+  final case class Conveyor(schema: String, mode: Mode,
+      frontier: DataFrame, resolved: DataFrame) {
+
+    /** AcceptMultiBatch (reference `conveyor.go:188`): reduce the batch
+      * to applied state under this conveyor's mode. Output carries a
+      * `speculative` flag column: NULL in immediate mode (no checkpoint
+      * consulted), beyond-frontier marker in best-effort, always false
+      * in consistent (the gate removed those rows before the reduce).
+      */
+    def accept(muts: DataFrame, keys: Seq[String], order: Column,
+        tsNanos: Column): DataFrame = mode match {
+      case Immediate =>
+        Msort.latestByKey(muts, keys, order)
+          .withColumn("speculative", lit(null).cast("boolean"))
+      case BestEffort =>
+        Msort.latestByKey(muts, keys, order)
+          .crossJoin(broadcast(resolved))
+          .withColumn("speculative", tsNanos > col("resolved_nanos"))
+          .drop("resolved_nanos")
+      case Consistent =>
+        val gated = muts.crossJoin(broadcast(resolved))
+          .filter(tsNanos <= col("resolved_nanos"))
+          .drop("resolved_nanos")
+        Msort.latestByKey(gated, keys, order)
+          .withColumn("speculative", lit(false))
+    }
+  }
+
+  /** The per-schema conveyor cache (reference `Conveyors.Get`,
+    * `conveyor.go:59`): get-or-create bootstraps the checkpoint
+    * frontier from the proposal log, reads the control-plane lag (one
+    * row — only when the config is in the dynamic regime), and selects
+    * the initial mode.
+    */
+  final class Conveyors(cfg: Config) {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, Conveyor]
+
+    def get(schema: String, proposals: DataFrame, partition: Column,
+        nanos: Column, arrival: Column, nowUs: => Long): Conveyor =
+      cache.getOrElseUpdate(schema, {
+        val frontier = Checkpoint.advance(proposals, partition, nanos, arrival)
+        val resolved = Checkpoint.groupResolved(frontier)
+        val dynamic = !cfg.immediate && !cfg.bestEffortOnly &&
+          cfg.bestEffortWindowUs > 0L
+        val lagUs =
+          if (!dynamic) 0L
+          else { // control-plane read: one row, like the reference's
+            // checkpoint-table query — never a data-plane collect
+            val row = resolved.collect()(0)
+            if (row.isNullAt(0)) Long.MaxValue // empty checkpoint: way behind
+            else nowUs - row.getLong(0) / 1000L
+          }
+        Conveyor(schema, selectMode(cfg, lagUs, None), frontier, resolved)
+      })
+
+    def cached(schema: String): Option[Conveyor] = cache.get(schema)
+  }
+}

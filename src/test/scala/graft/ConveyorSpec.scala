@@ -1,0 +1,75 @@
+package graft
+
+import graft.cdc.Conveyor
+import graft.cdc.Conveyor.{BestEffort, Config, Consistent, Immediate}
+import org.apache.spark.sql.functions._
+
+/** Conveyor-level acceptance: mode selection hysteresis
+  * (reference conveyor.go:256), per-schema caching (conveyor.go:59),
+  * and mode-dispatched AcceptMultiBatch semantics (conveyor.go:188).
+  */
+class ConveyorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selectMode mirrors the reference decision table with hysteresis") {
+    assert(Conveyor.selectMode(Config(immediate = true), 0L, None) == Immediate)
+    assert(Conveyor.selectMode(Config(bestEffortOnly = true), 0L, None) == BestEffort)
+    // window <= 0 forces consistent regardless of lag
+    assert(Conveyor.selectMode(Config(), Long.MaxValue, None) == Consistent)
+    val w = Config(bestEffortWindowUs = 1000L)
+    assert(Conveyor.selectMode(w, 1000L, Some(Consistent)) == BestEffort) // fell behind
+    assert(Conveyor.selectMode(w, 250L, Some(BestEffort)) == Consistent) // caught up
+    // hysteresis band (window/4, window): keep the current mode
+    assert(Conveyor.selectMode(w, 500L, Some(BestEffort)) == BestEffort)
+    assert(Conveyor.selectMode(w, 500L, Some(Consistent)) == Consistent)
+    // uninitialized in the band: default best-effort (backfill-friendly)
+    assert(Conveyor.selectMode(w, 500L, None) == BestEffort)
+  }
+
+  // key 1: muts at 100 and 300; key 2: muts at 150 only; resolved = 200
+  private def muts = Seq((1L, 10L, 100L, 0L), (1L, 11L, 300L, 0L),
+    (2L, 12L, 150L, 1L)).toDF("k", "eid", "nanos", "part")
+  private def proposals = Seq((0L, 200L, 1L), (1L, 250L, 2L))
+    .toDF("part", "nanos", "arr")
+
+  private def conveyor(cfg: Config) =
+    new Conveyor.Conveyors(cfg).get("s", proposals, col("part"),
+      col("nanos"), col("arr"), nowUs = 0L)
+
+  test("accept: immediate / best-effort / consistent plan semantics") {
+    val ord = struct(col("nanos"), col("eid"))
+    // group resolved = min(200, 250) = 200
+    val imm = conveyor(Config(immediate = true))
+      .accept(muts, Seq("k"), ord, col("nanos"))
+      .orderBy("k").collect()
+    assert(imm.map(_.getLong(2)).toSeq == Seq(300L, 150L)) // latest per key
+    assert(imm.forall(_.isNullAt(imm(0).fieldIndex("speculative"))))
+
+    val be = conveyor(Config(bestEffortOnly = true))
+      .accept(muts, Seq("k"), ord, col("nanos"))
+      .orderBy("k").collect()
+    assert(be.map(_.getLong(2)).toSeq == Seq(300L, 150L)) // applies past frontier
+    val specIdx = be(0).fieldIndex("speculative")
+    assert(be(0).getBoolean(specIdx)) // 300 > 200: speculative
+    assert(!be(1).getBoolean(specIdx)) // 150 <= 200: durable
+
+    val cons = conveyor(Config()) // window 0 → consistent
+      .accept(muts, Seq("k"), ord, col("nanos"))
+      .orderBy("k").collect()
+    // gate at 200: key 1 reduces to its 100-nanos mutation, key 2 to 150
+    assert(cons.map(_.getLong(2)).toSeq == Seq(100L, 150L))
+    assert(cons.forall(r => !r.getBoolean(specIdx)))
+  }
+
+  test("Conveyors caches per schema; empty checkpoint selects best-effort") {
+    val f = new Conveyor.Conveyors(Config(bestEffortWindowUs = 1000L))
+    val c1 = f.get("a", proposals, col("part"), col("nanos"), col("arr"), 0L)
+    assert(f.get("a", proposals.limit(0), col("part"), col("nanos"),
+      col("arr"), 0L) eq c1) // cached: second get ignores its args
+    assert(f.cached("b").isEmpty)
+    // empty proposal log → null resolved → lag = ∞ → best-effort
+    val cEmpty = f.get("b", proposals.limit(0), col("part"), col("nanos"),
+      col("arr"), 0L)
+    assert(cEmpty.mode == BestEffort)
+  }
+}
