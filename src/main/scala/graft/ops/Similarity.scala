@@ -154,6 +154,20 @@ object Similarity {
     * consumes, and a shape an exact all-pairs oracle can check at test
     * scale: with enough tables the candidate stage provably covers every
     * above-threshold pair (miss = (1−agree^nPlanes)^nTables).
+    *
+    * SCALE KNOB — pass `nPlanes <= 0` for auto bucket granularity:
+    * planes = ceil(log2(nDistinct/64)) (min 4, cap 24), holding mean
+    * bucket size ~64 as the corpus grows. Pinned planes at a growing
+    * corpus are quadratic: in-bucket candidate pairs scale as
+    * (n/2^planes)² per bucket — the 10× scale smoke measured 43× wall
+    * time at 10× data with planes pinned at 4, ~linear with auto. Costs
+    * one control-plane count() of the collapsed distinct vectors. Pass
+    * `nTables <= 0` to size tables from the recall budget too:
+    * tables = ceil(ln(1e6) / agree^planes) with
+    * agree = 1 − acos(threshold)/π, i.e. per-pair candidate-miss
+    * ≤ 1e-6 AT the threshold (pairs far above it do better). Pinned
+    * small corpora (the oracle-checked regime) are unaffected: auto
+    * never lowers planes below 4.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, nTables: Int, threshold: Double,
@@ -173,13 +187,26 @@ object Similarity {
     val members = base.join(reps, "__v")
       .select(col("__id"), col("rep_id"), col("__v"))
     val repVecs = reps.select(col("rep_id").as("vid"), col("__v").as("vec"))
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else { // control-plane count: one cheap job over distinct vectors
+        val n = repVecs.count()
+        math.min(24, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+      }
+    val tables =
+      if (nTables > 0) nTables
+      else {
+        val agree = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+        math.max(8, math.ceil(math.log(1e6) / math.pow(agree, planes)).toInt)
+      }
     // candidate generation carries ONLY (table, bucket, id) — a pair
     // colliding in many tables must not drag its vectors through the
     // join nTables times (measured 10 s → ~2 s at sf0.1). Pairs dedup
     // as bare id pairs first; each distinct pair is then scored exactly
     // once after re-attaching vectors.
     val b = repVecs.select(col("vid"),
-      posexplode(lshTableBuckets(col("vec"), nTables, nPlanes))
+      posexplode(lshTableBuckets(col("vec"), tables, planes))
         .as(Seq("table_id", "bucket")))
     val aSide = b.select(col("table_id"), col("bucket"), col("vid").as("id_a"))
     val pairs =

@@ -157,6 +157,14 @@ class OpsSpec extends SparkSpec {
         nPlanes = 2, nTables = 16, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(out.toSeq == Seq((1L, 2L))) // near pair once, orthogonal excluded
+
+    // auto granularity (nPlanes/nTables <= 0): derives planes from the
+    // corpus size and tables from the recall budget; exact verify means
+    // the output is the same pair set
+    val auto = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        nPlanes = 0, nTables = 0, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(auto.toSeq == Seq((1L, 2L)))
   }
 
   test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
