@@ -188,6 +188,53 @@ class WireFormatsSpec extends SparkSpec {
     assert(out3.toSeq == Seq(TxnBatch(10L, 2L, 100L, 105L, 6L)))
   }
 
+  test("streaming GTID frontier equals the batch parse (txn spans triggers)") {
+    import graft.streaming.StreamTxn
+    import graft.streaming.StreamTxn.{Frame, TxnBatch}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    implicit val fenc = org.apache.spark.sql.Encoders.product[Frame]
+    implicit val tenc = org.apache.spark.sql.Encoders.product[TxnBatch]
+    // xid encodes (source, gno) as source*100+gno
+    def txn(src: Long, gno: Long, lsn0: Long, commit: Boolean) = Seq(
+      Frame(lsn0, "BEGIN", src * 100 + gno, None, None, lsn0 * 10),
+      Frame(lsn0 + 1, "ROW", src * 100 + gno, Some(1L), Some("{}"), lsn0 * 10 + 1),
+      Frame(lsn0 + 2, if (commit) "COMMIT" else "ROLLBACK",
+        src * 100 + gno, None, None, lsn0 * 10 + 2))
+    val t1 = txn(1, 1, 10, commit = true) ++ txn(1, 2, 20, commit = true) ++
+      txn(2, 1, 30, commit = true) ++
+      Seq(Frame(40L, "BEGIN", 103L, None, None, 400L), // (1,3) spans triggers
+        Frame(41L, "ROW", 103L, Some(1L), Some("{}"), 401L))
+    val t2 = Seq(Frame(42L, "COMMIT", 103L, None, None, 402L)) ++
+      txn(1, 4, 50, commit = false) ++ // rollback leaves the hole at gno 4
+      txn(1, 5, 60, commit = true) ++ txn(2, 2, 70, commit = true) ++
+      Seq(Frame(80L, "BEGIN", 203L, None, None, 800L)) // (2,3) stays open
+
+    val input = MemoryStream[Frame]
+    input.addData(t1: _*)
+    input.addData(t2: _*)
+    val q = StreamTxn.assemble(input.toDS(), tombstoneTtlMs = 0L)
+      .writeStream.format("memory").queryName("gtid_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    def toSrcGno(df: org.apache.spark.sql.DataFrame) = df.select(
+      expr("xid div 100").as("source"), pmod(col("xid"), lit(100L)).as("gno"))
+    val streamed = TxnLog.gtidFrontier(toSrcGno(spark.table("gtid_stream")),
+      "source", "gno").orderBy("source", "start_gno").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // the hole (1,4) and the open (2,3) must be outside the intervals
+    assert(streamed.toSeq == Seq((1L, 1L, 3L, 3L), (1L, 5L, 5L, 1L),
+      (2L, 1L, 2L, 2L)))
+    // batch parse of the SAME frame log lands on the same frontier
+    val batch = TxnLog.gtidFrontier(
+      toSrcGno(TxnLog.committedTxns(spark.createDataset(t1 ++ t2).toDF())),
+      "source", "gno").orderBy("source", "start_gno").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
   test("PgLogical: descriptors resolve tuples as-of, re-declare, flag unknown/mismatch") {
     import graft.cdc.PgLogical
     val frames = Seq(
