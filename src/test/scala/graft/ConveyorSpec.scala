@@ -61,6 +61,55 @@ class ConveyorSpec extends SparkSpec {
     assert(cons.forall(r => !r.getBoolean(specIdx)))
   }
 
+  test("DSv2 changefeed through conveyor acceptance converges to batch state") {
+    import java.nio.file.{Files, Paths}
+    import graft.cdc.{Changefeed, Msort}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_conveyor_e2e").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ck = s"$base/ck"
+    Files.createDirectories(Paths.get(src))
+    // four time-ordered changefeed objects; keys upserted across objects
+    // (key 2's later object carries an EARLIER hlc — order must win)
+    Seq(
+      1 -> Seq("""{"after": "a1", "key": "[1]", "updated": "100.0000000000"}""",
+        """{"after": "b1", "key": "[2]", "updated": "110.0000000000"}"""),
+      2 -> Seq("""{"after": "a2", "key": "[1]", "updated": "200.0000000000"}"""),
+      3 -> Seq("""{"after": "c1", "key": "[3]", "updated": "150.0000000000"}"""),
+      4 -> Seq("""{"after": "b0", "key": "[2]", "updated": "105.0000000000"}""")
+    ).foreach { case (i, ls) =>
+      Files.write(Paths.get(f"$src/$i%06d.ndjson"),
+        ls.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val cv = conveyor(Config(immediate = true))
+    val ord = struct(col("hlc.nanos"), col("hlc.logical"))
+    def accept(muts: DataFrame): DataFrame =
+      cv.accept(muts.withColumn("nanos", col("hlc.nanos")),
+        Seq("key"), ord, col("nanos"))
+
+    val batchState = accept(Changefeed.read(spark, src))
+      .select("key", "data").collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+
+    // the reference shape: source connector → AcceptMultiBatch per
+    // micro-batch → target table; the target converges because accept
+    // is a latest-by-key reduce and the final state is the latest of
+    // per-batch latests
+    val q = Changefeed.readStream(spark, src, maxFilesPerTrigger = 1)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        accept(b).write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+
+    val streamed = Msort.latestByKey(spark.read.parquet(out), Seq("key"), ord)
+      .select("key", "data").collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    assert(streamed == batchState)
+    assert(streamed == Seq(("[1]", "a2"), ("[2]", "b1"), ("[3]", "c1")))
+  }
+
   test("Conveyors caches per schema; empty checkpoint selects best-effort") {
     val f = new Conveyor.Conveyors(Config(bestEffortWindowUs = 1000L))
     val c1 = f.get("a", proposals, col("part"), col("nanos"), col("arr"), 0L)
