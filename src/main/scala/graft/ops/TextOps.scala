@@ -48,6 +48,47 @@ object TextOps {
           + least(lit(0.5), col("stopword_ratio")))
   }
 
+  /** Gopher/C4-style rule-based document filtering (the published
+    * heuristics from the Gopher dataset card and the C4 cleaning
+    * pipeline): per-doc signals plus one boolean per rule family and a
+    * final `keep` verdict — a training pipeline's first pass drops
+    * documents, it doesn't score them. All signals are codegen'd
+    * column expressions; no per-row UDFs.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# and ...) ≤ 0.1; ≥ 80% of words
+    * contain an alphabetic character; at least 2 stopword hits; no
+    * `{` (code) and no "lorem ipsum" (boilerplate) — the C4 oddballs.
+    */
+  def gopherFilters(docs: DataFrame, text: String,
+      minWords: Long = 30L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(text)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val nWordsD = nWords.cast("double")
+    val meanLen = length(regexp_replace(t, "\\s", "")).cast("double") / nWordsD
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3))
+      .cast("long")
+    val symRatio = (nHash + nEll).cast("double") / nWordsD
+    val alphaRatio = alphaWords.cast("double") / nWordsD
+    val stopHits = size(filter(toks, tk => tk.isin(stopwords: _*))).cast("long")
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_word_ratio", symRatio)
+      .withColumn("alpha_word_ratio", alphaRatio)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("alpha_word_ratio") > 0.8 &&
+          col("stop_hits") >= 2L &&
+          !t.contains("{") && !lower(t).contains("lorem ipsum"))
+  }
+
   /** Marker-word language heuristic: deterministic, order-sensitive
     * CASE over language-specific function words.
     */

@@ -163,6 +163,41 @@ object LlmQueries {
         "stopword_ratio", "mean_token_len", "quality_score")
       .orderBy("doc_id")
 
+  // -- Gopher/C4 rule-based document filtering ------------------------------
+  def textGopherFilters(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherFilters(docs(s, dir), "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "stop_hits", "keep")
+      .orderBy("doc_id")
+
+  val textGopherFiltersSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nn
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text, nn,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+      |    CAST(len(list_filter(toks,
+      |      x -> x IN ('the','a','an','and','or','of','to','in','is','on'))) AS BIGINT) AS stop_hits,
+      |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) AS n_hash,
+      |    CAST((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS BIGINT) AS n_ell
+      |  FROM w)
+      |SELECT doc_id, n_words,
+      |  nn / n_words AS mean_word_len,
+      |  CAST(n_hash + n_ell AS DOUBLE) / n_words AS symbol_word_ratio,
+      |  CAST(alpha_words AS DOUBLE) / n_words AS alpha_word_ratio,
+      |  stop_hits,
+      |  (n_words BETWEEN 30 AND 100000) AND (nn / n_words BETWEEN 3.0 AND 10.0)
+      |    AND (CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1)
+      |    AND (CAST(alpha_words AS DOUBLE) / n_words > 0.8)
+      |    AND stop_hits >= 2
+      |    AND NOT contains(text, '{')
+      |    AND NOT contains(lower(text), 'lorem ipsum') AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val textQualitySql: String =
     """WITH q AS (
       |  SELECT doc_id,
@@ -693,6 +728,7 @@ object LlmQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_quality_score" -> (textQuality _),
+    "text_gopher_filters" -> (textGopherFilters _),
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_ngram_stats" -> (textNgramStats _),
@@ -721,6 +757,7 @@ object LlmQueries {
     "dedup_ngram_coverage" -> dedupNgramCoverageSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "text_quality_score" -> textQualitySql,
+    "text_gopher_filters" -> textGopherFiltersSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_ngram_stats" -> textNgramStatsSql,
