@@ -89,6 +89,34 @@ object TextOps {
           !t.contains("{") && !lower(t).contains("lorem ipsum"))
   }
 
+  /** PII detection + redaction patterns — kept in lockstep with the
+    * DuckDB oracle (same regex dialect subset: RE2 and java.util.regex
+    * agree on these).
+    */
+  val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+
+  /** PII scrub: count emails / phone numbers / IPv4 literals on the
+    * original text, then redact them to typed tokens (emails first —
+    * their dotted domains must not survive into the IP pass). Pure
+    * codegen'd column expressions; a training pipeline runs this over
+    * every document before anything else retains the text.
+    */
+  def piiScrub(docs: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(emailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(ipRe)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>"))
+  }
+
   /** Marker-word language heuristic: deterministic, order-sensitive
     * CASE over language-specific function words.
     */

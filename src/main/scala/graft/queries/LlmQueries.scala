@@ -198,6 +198,50 @@ object LlmQueries {
       |    AND NOT contains(lower(text), 'lorem ipsum') AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // -- PII scrub (emails / phones / IPv4 -> typed redaction tokens) --------
+  /** The corpus has no organic PII, so the fixture INJECTS deterministic
+    * PII spans (email for id%3, phone for id%5, IP for id%7 — some docs
+    * get all three) and the scrub must find and redact exactly those;
+    * the oracle re-injects and re-scrubs independently, comparing counts
+    * AND the full redacted text.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".1"))).otherwise(lit(""))).as("text"))
+    TextOps.piiScrub(injected, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "scrubbed")
+      .orderBy("doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+      |         ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '\d+\.\d+\.\d+\.\d+')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g') AS scrubbed
+      |FROM inj ORDER BY doc_id""".stripMargin
+
   val textQualitySql: String =
     """WITH q AS (
       |  SELECT doc_id,
@@ -729,6 +773,7 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_quality_score" -> (textQuality _),
     "text_gopher_filters" -> (textGopherFilters _),
+    "text_pii_scrub" -> (textPiiScrub _),
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_ngram_stats" -> (textNgramStats _),
@@ -758,6 +803,7 @@ object LlmQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "text_quality_score" -> textQualitySql,
     "text_gopher_filters" -> textGopherFiltersSql,
+    "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_ngram_stats" -> textNgramStatsSql,
