@@ -213,6 +213,34 @@ class OpsSpec extends SparkSpec {
     assert(out(3).getDouble(out(3).fieldIndex("quote_px")) == 50.0)
   }
 
+  test("gopher filters and pii scrub handle degenerate docs") {
+    val weird = Seq((1L, "   "), (2L, "### ### ###"),
+      (3L, "the of to in is on and or a an")).toDF("doc_id", "text")
+    val g = TextOps.gopherFilters(weird, "text")
+      .orderBy("doc_id").collect()
+    // no NaN/exception on empty-ish text (split of "" yields [""]), and
+    // every degenerate doc is dropped for the RIGHT reason
+    assert(g.forall(!_.getBoolean(g(0).fieldIndex("keep"))))
+    assert(g(0).getDouble(g(0).fieldIndex("mean_word_len")) == 0.0)
+    assert(g(1).getDouble(g(1).fieldIndex("symbol_word_ratio")) == 3.0)
+    assert(g(1).getDouble(g(1).fieldIndex("alpha_word_ratio")) == 0.0)
+    assert(g(2).getLong(g(2).fieldIndex("stop_hits")) == 10L) // but too short
+
+    val pii = TextOps.piiScrub(Seq(
+      (1L, "no pii here"),
+      (2L, "mail a@b.co ip 10.1.2.3 tel 123-456-7890")).toDF("doc_id", "text"),
+      "text").orderBy("doc_id").collect()
+    val (ne, np, ni, sc) = (pii(0).fieldIndex("n_emails"),
+      pii(0).fieldIndex("n_phones"), pii(0).fieldIndex("n_ips"),
+      pii(0).fieldIndex("scrubbed"))
+    assert(pii(0).getLong(ne) == 0 && pii(0).getLong(np) == 0 &&
+      pii(0).getLong(ni) == 0)
+    assert(pii(0).getString(sc) == "no pii here")
+    assert(pii(1).getLong(ne) == 1 && pii(1).getLong(np) == 1 &&
+      pii(1).getLong(ni) == 1)
+    assert(pii(1).getString(sc) == "mail <EMAIL> ip <IP> tel <PHONE>")
+  }
+
   test("multimodal resize preserves aspect ratio; frame sampling fans out") {
     val d = docs.withColumnRenamed("text", "t")
     val media = Multimodal.attachPayloads(d, "doc_id", "t")
