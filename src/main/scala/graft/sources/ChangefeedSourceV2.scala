@@ -256,22 +256,32 @@ class ChangefeedFileReader(file: String, fields: Array[String],
 object ChangefeedFiles {
   val jsonFactory = new JsonFactory()
 
-  /** Sorted listing of data files (hidden/metadata files excluded) —
-    * lexicographic order is ingest order for changefeed object names.
+  /** Sorted RECURSIVE listing of data files — changefeed buckets are
+    * typically date-partitioned (`2026-01-01/...ndjson`), and the
+    * reference objstore walks nested prefixes the same way. Any path
+    * SEGMENT starting with `_` or `.` is hidden (covers `_SUCCESS`,
+    * `_spark_metadata/...`, dotfiles). Lexicographic full-path order is
+    * ingest order for time-named objects, nested or flat alike.
     */
   def list(dir: String): Array[String] = {
     val spark = SparkSession.active
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) return Array.empty
-    fs.listStatus(path)
-      .filter((s: FileStatus) => s.isFile && s.getLen > 0)
-      .map(_.getPath.toString)
-      .filterNot { f =>
-        val base = f.substring(f.lastIndexOf('/') + 1)
-        base.startsWith("_") || base.startsWith(".")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(dir))
+    if (!fs.exists(root)) return Array.empty
+    val prefix = root.toString + "/"
+    val out = Array.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s: FileStatus = it.next()
+      if (s.isFile && s.getLen > 0) {
+        val full = s.getPath.toString
+        val rel = if (full.startsWith(prefix)) full.substring(prefix.length) else full
+        val hidden = rel.split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden) out += full
       }
-      .sorted
+    }
+    out.result().sorted
   }
 
   /** Hadoop conf for executors — broadcast once per scan so S3/HDFS

@@ -112,6 +112,42 @@ class ChangefeedSourceV2Spec extends SparkSpec {
     assert(rows.where(col("key") === "[99]").count() == 1)
   }
 
+  test("nested date-partitioned buckets list recursively; metadata dirs hide") {
+    val base = Files.createTempDirectory("graft_dsv2_nested").toString
+    def put(rel: String, line: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/$rel")
+      Files.createDirectories(p.getParent)
+      Files.write(p, (line + "\n").getBytes("UTF-8"))
+    }
+    put("2026-01-01/000001.ndjson",
+      """{"after": "d1", "key": "[1]", "updated": "1.0000000000"}""")
+    put("2026-01-01/000002.ndjson",
+      """{"after": "d2", "key": "[2]", "updated": "2.0000000000"}""")
+    put("2026-01-02/000001.ndjson",
+      """{"after": "d3", "key": "[3]", "updated": "3.0000000000"}""")
+    put("_spark_metadata/0", """{"not": "data"}""") // sink metadata: hidden
+    put("2026-01-02/_SUCCESS_like", """{"not": "data"}""")
+    put("2026-01-02/.hidden.ndjson", """{"not": "data"}""")
+
+    // date dirs sort before each other and files within — ingest order
+    val listed = graft.sources.ChangefeedFiles.list(base)
+    assert(listed.length == 3)
+    assert(listed.map(_.split('/').takeRight(2).mkString("/")).toSeq ==
+      Seq("2026-01-01/000001.ndjson", "2026-01-01/000002.ndjson",
+        "2026-01-02/000001.ndjson"))
+
+    val batch = spark.read.format("graft-changefeed").load(base)
+    assert(batch.count() == 3)
+
+    // streaming drains the nested layout under admission control too
+    val q = spark.readStream.format("graft-changefeed")
+      .option("maxFilesPerTrigger", 1).load(base)
+      .writeStream.format("memory").queryName("dsv2_nested")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.table("dsv2_nested").count() == 3)
+  }
+
   test("column pruning reaches the json decode") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_dsv2_prune"
     writeLines(dir, envelopes, 2)
