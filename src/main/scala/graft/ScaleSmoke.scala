@@ -35,7 +35,10 @@ object ScaleSmoke {
           // structure is preserved exactly, cross-replica jaccard is 0
           regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1_"), col("__r").cast("string"))).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"))
+        // n_chars re-derived from the REWRITTEN text — copying the
+        // original value through would leave a stale length column
+        .withColumn("n_chars", length(col("text")))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       Tables.embeddings(spark, base).select(col("*"), reps)

@@ -97,6 +97,15 @@ object Changefeed {
     * files (reference `internal/conveyor/conveyor.go:188`
     * AcceptMultiBatch). Shares `project` with the batch reader so
     * delete/HLC semantics can never diverge.
+    *
+    * CONTRACT: object names must be MONOTONIC — lexicographic order is
+    * ingest order (changefeed objects embed their resolved timestamp in
+    * the name, the objstore premise). That is what buys an O(1)
+    * frontier offset instead of a growing seen-file set; a producer
+    * that writes non-monotonic names (random part-file UUIDs, racing
+    * writers) would have below-frontier files silently skipped — such
+    * feeds must use [[readStreamGenericJson]], whose file-tracking
+    * source ingests any unseen file regardless of name.
     */
   def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
     project(spark.readStream

@@ -66,6 +66,13 @@ object Conveyor {
       * `speculative` flag column: NULL in immediate mode (no checkpoint
       * consulted), beyond-frontier marker in best-effort, always false
       * in consistent (the gate removed those rows before the reduce).
+      *
+      * EMPTY checkpoint (NULL group-resolved): best-effort marks EVERY
+      * row speculative (everything is beyond a frontier that doesn't
+      * exist — the NULL comparison would otherwise read as durable);
+      * consistent applies NOTHING, which is the mode's contract — no
+      * resolved timestamp has been received, so nothing may be applied
+      * (`tsNanos <= NULL` is never true, deliberately).
       */
     def accept(muts: DataFrame, keys: Seq[String], order: Column,
         tsNanos: Column): DataFrame = mode match {
@@ -75,7 +82,8 @@ object Conveyor {
       case BestEffort =>
         Msort.latestByKey(muts, keys, order)
           .crossJoin(broadcast(resolved))
-          .withColumn("speculative", tsNanos > col("resolved_nanos"))
+          .withColumn("speculative",
+            coalesce(tsNanos > col("resolved_nanos"), lit(true)))
           .drop("resolved_nanos")
       case Consistent =>
         val gated = muts.crossJoin(broadcast(resolved))
@@ -113,6 +121,34 @@ object Conveyor {
           }
         Conveyor(schema, selectMode(cfg, lagUs, None), frontier, resolved)
       })
+
+    /** Re-evaluate a cached conveyor's mode against a FRESH proposal
+      * log (the reference re-runs modeSelector as the resolving range
+      * moves, `conveyor.go:256` DoWhenChangedOrInterval) — without
+      * this, a conveyor bootstrapped consistent would stay consistent
+      * forever after falling behind. The current mode feeds the
+      * hysteresis band; the refreshed conveyor replaces the cache
+      * entry and is returned.
+      */
+    def refresh(schema: String, proposals: DataFrame, partition: Column,
+        nanos: Column, arrival: Column, nowUs: => Long): Conveyor = {
+      val current = cache.get(schema).map(_.mode)
+      val frontier = Checkpoint.advance(proposals, partition, nanos, arrival)
+      val resolved = Checkpoint.groupResolved(frontier)
+      val dynamic = !cfg.immediate && !cfg.bestEffortOnly &&
+        cfg.bestEffortWindowUs > 0L
+      val lagUs =
+        if (!dynamic) 0L
+        else {
+          val row = resolved.collect()(0)
+          if (row.isNullAt(0)) Long.MaxValue
+          else nowUs - row.getLong(0) / 1000L
+        }
+      val next = Conveyor(schema, selectMode(cfg, lagUs, current),
+        frontier, resolved)
+      cache.put(schema, next)
+      next
+    }
 
     def cached(schema: String): Option[Conveyor] = cache.get(schema)
   }

@@ -71,11 +71,18 @@ object Ident {
     parts.result()
   }
 
-  /** Lenient parse for DATA-derived names (feed keys, parquet columns):
-    * a malformed name falls back to one verbatim unquoted part instead
-    * of throwing — data shapes must never crash the mapping plan.
+  /** Lenient parse for DATA-derived names (feed keys, parquet columns).
+    * A name is only treated as quoted/qualified when it CONTAINS a
+    * quote character (`"User"."Order ID"` wire keys); a plain name —
+    * even one with dots, like a flattened nested column `address.city`
+    * — stays ONE verbatim part. SQL convention agrees: to qualify you
+    * quote, and an unquoted literal-dot column name can only come from
+    * data, never from parsed SQL. Malformed quoting falls back to the
+    * verbatim part instead of throwing — data shapes must never crash
+    * the mapping plan.
     */
   def parseLenient(s: String): Seq[Part] = {
+    if (!s.contains('"')) return Seq(Part(s, quoted = false))
     val p = try parse(s) catch {
       case _: IllegalArgumentException => Seq(Part(s, quoted = false))
     }

@@ -92,8 +92,12 @@ object Multimodal {
       ImageIO.setUseCache(false)
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        if (r.media_type == "image") {
-          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        // ImageIO.read returns NULL (not an exception) for bytes no
+        // registered reader decodes — one corrupt object must degrade
+        // to the opaque-binary path, never NPE a 100 TB job
+        val img = if (r.media_type == "image")
+          ImageIO.read(new ByteArrayInputStream(r.payload)) else null
+        if (img != null) {
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           var sum = 0L
@@ -153,8 +157,9 @@ object Multimodal {
           if (m <= maxSide) (r.width, r.height)
           else (math.max(1, r.width * maxSide / m),
             math.max(1, r.height * maxSide / m))
-        if (r.media_type == "image") {
-          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val img = if (r.media_type == "image")
+          ImageIO.read(new ByteArrayInputStream(r.payload)) else null
+        if (img != null) { // undecodable image bytes degrade to the stub
           val out = new BufferedImage(ow, oh, BufferedImage.TYPE_BYTE_GRAY)
           val g = out.createGraphics()
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

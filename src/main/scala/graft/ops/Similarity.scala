@@ -187,19 +187,30 @@ object Similarity {
     val members = base.join(reps, "__v")
       .select(col("__id"), col("rep_id"), col("__v"))
     val repVecs = reps.select(col("rep_id").as("vid"), col("__v").as("vec"))
+    // recall budget: per-pair candidate-miss <= 1e-6 AT the threshold,
+    // tables hard-capped at 512 — tables grow as 1/agree^planes, so at
+    // low thresholds an uncapped budget explodes exponentially with the
+    // plane count. When the bucket-size-driven plane count would need
+    // more than 512 tables, planes are CLAMPED down to what the table
+    // budget affords (buckets run larger; the maxBucketSize anchor
+    // valve is the documented knob for that regime — auto mode is
+    // designed for dup-grade thresholds, where the clamp never binds).
+    val agree = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val maxTables = 512
     val planes =
       if (nPlanes > 0) nPlanes
       else { // control-plane count: one cheap job over distinct vectors
         val n = repVecs.count()
-        math.min(24, math.max(4,
+        val byBucket = math.min(24, math.max(4,
           math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+        val byBudget = math.max(4,
+          (math.log(math.log(1e6) / maxTables) / math.log(agree)).toInt)
+        math.min(byBucket, byBudget)
       }
     val tables =
       if (nTables > 0) nTables
-      else {
-        val agree = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
-        math.max(8, math.ceil(math.log(1e6) / math.pow(agree, planes)).toInt)
-      }
+      else math.min(maxTables,
+        math.max(8, math.ceil(math.log(1e6) / math.pow(agree, planes)).toInt))
     // candidate generation carries ONLY (table, bucket, id) — a pair
     // colliding in many tables must not drag its vectors through the
     // join nTables times (measured 10 s → ~2 s at sf0.1). Pairs dedup

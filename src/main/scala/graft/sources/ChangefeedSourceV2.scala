@@ -90,11 +90,15 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int) extend
   override def readSchema(): StructType = readSchema0
   override def description(): String = s"graft-changefeed $dir ${readSchema0.fieldNames.mkString(",")}"
 
+  // one Hadoop-conf broadcast per SCAN — a fresh broadcast per reader
+  // factory would pile up driver-side broadcast state on a long stream
+  private lazy val conf = ChangefeedFiles.confBroadcast()
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       ChangefeedFiles.list(dir).map(f => ChangefeedFilePartition(f): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
-      new ChangefeedReaderFactory(readSchema0.fieldNames, ChangefeedFiles.confBroadcast())
+      new ChangefeedReaderFactory(readSchema0.fieldNames, conf)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -137,10 +141,17 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
   // the next run — the reference's bounded-backfill semantics)
   private var availableNowSnapshot: Option[Array[String]] = None
 
-  private def listAfter(lastFile: String): Array[String] = {
-    val all = availableNowSnapshot.getOrElse(ChangefeedFiles.list(dir))
-    all.filter(_ > lastFile)
-  }
+  // the most recent listing this trigger — latestOffset refreshes it,
+  // reportLatestOffset and planInputPartitions REUSE it, so a trigger
+  // costs ONE directory scan, not three (a listing on a bucket with
+  // millions of objects dominates trigger latency otherwise)
+  @volatile private var lastListing: Array[String] = _
+
+  private def currentListing(refresh: Boolean): Array[String] =
+    availableNowSnapshot.getOrElse {
+      if (refresh || lastListing == null) lastListing = ChangefeedFiles.list(dir)
+      lastListing
+    }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowSnapshot = Some(ChangefeedFiles.list(dir))
@@ -154,7 +165,8 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val pending = listAfter(start.asInstanceOf[ChangefeedOffset].lastFile)
+    val pending = currentListing(refresh = true)
+      .filter(_ > start.asInstanceOf[ChangefeedOffset].lastFile)
     val admitted = limit match {
       case f: ReadMaxFiles => pending.take(f.maxFiles())
       case _ => pending
@@ -163,19 +175,26 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
   }
 
   override def reportLatestOffset(): Offset = {
-    val all = ChangefeedFiles.list(dir)
+    val all = currentListing(refresh = false)
     if (all.isEmpty) null else ChangefeedOffset(all.last)
   }
 
+  /** (lo, hi] planning reuses the listing the offsets were admitted
+    * from (the AvailableNow snapshot, or this trigger's cached scan) —
+    * a replayed batch after restart re-lists, which is deterministic
+    * under the monotonic-name contract: any NEW object sorts above hi
+    * and stays out of range.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ChangefeedOffset].lastFile
     val hi = end.asInstanceOf[ChangefeedOffset].lastFile
-    ChangefeedFiles.list(dir).filter(f => f > lo && f <= hi)
+    currentListing(refresh = false).filter(f => f > lo && f <= hi)
       .map(f => ChangefeedFilePartition(f): InputPartition)
   }
 
+  private lazy val conf = ChangefeedFiles.confBroadcast()
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangefeedReaderFactory(readSchema.fieldNames, ChangefeedFiles.confBroadcast())
+    new ChangefeedReaderFactory(readSchema.fieldNames, conf)
 
   override def deserializeOffset(json: String): Offset = ChangefeedOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // frontier is the offset itself; nothing else to persist

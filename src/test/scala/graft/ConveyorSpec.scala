@@ -120,5 +120,28 @@ class ConveyorSpec extends SparkSpec {
     val cEmpty = f.get("b", proposals.limit(0), col("part"), col("nanos"),
       col("arr"), 0L)
     assert(cEmpty.mode == BestEffort)
+    // and acceptance against the EMPTY checkpoint marks EVERYTHING
+    // speculative — a NULL frontier comparison must not read as durable
+    val out = cEmpty.accept(muts, Seq("k"),
+      struct(col("nanos"), col("eid")), col("nanos")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(out(0).fieldIndex("speculative"))))
+  }
+
+  test("refresh re-selects the mode as lag evolves (hysteresis live)") {
+    val f = new Conveyor.Conveyors(Config(bestEffortWindowUs = 1000L))
+    // frontier nanos 200 → resolvedUs 0; lag == nowUs in this fixture
+    val caughtUp = f.get("s", proposals, col("part"), col("nanos"),
+      col("arr"), nowUs = 100L)
+    assert(caughtUp.mode == Consistent) // lag 100 <= window/4
+    // fall behind: refresh flips to best-effort
+    val behind = f.refresh("s", proposals, col("part"), col("nanos"),
+      col("arr"), nowUs = 5000L)
+    assert(behind.mode == BestEffort)
+    assert(f.cached("s").get.mode == BestEffort) // cache replaced
+    // in the hysteresis band: keeps the CURRENT mode, no flapping
+    val band = f.refresh("s", proposals, col("part"), col("nanos"),
+      col("arr"), nowUs = 500L)
+    assert(band.mode == BestEffort)
   }
 }

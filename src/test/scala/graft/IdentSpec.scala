@@ -30,15 +30,23 @@ class IdentSpec extends SparkSpec {
   }
 
   test("suffix matching: qualification and quoting semantics") {
-    def m(a: String, b: String, cs: Boolean = false) =
-      Ident.suffixMatches(Ident.parseLenient(a), Ident.parseLenient(b), cs)
-    assert(m("id", "t.id")) // less-qualified side tolerated
-    assert(m("a.id", "a.id"))
-    assert(!m("x.id", "a.id")) // shared qualifier must agree
+    // data side (parseLenient) vs config side (parse): config may
+    // qualify with unquoted dots; DATA names with dots stay verbatim
+    def m(data: String, config: String, cs: Boolean = false) =
+      Ident.suffixMatches(Ident.parseLenient(data), Ident.parse(config), cs)
+    assert(m("id", "t.id")) // less-qualified data side tolerated
+    assert(!m("x.id", "a.id")) // data dotted name is verbatim, no match
     assert(m("USER_ID", "user_id")) // unquoted folds case
     assert(!m("USER_ID", "user_id", cs = true))
-    assert(!m("\"ID\"", "id")) // quoted is case-exact
-    assert(m("\"Order ID\"", "\"User\".\"Order ID\""))
+    assert(!m("ID", "\"id\"")) // quoted config is case-exact
+    // flattened nested column `address.city` is ONE verbatim data part:
+    // config `city` must NOT silently hit it...
+    assert(!m("address.city", "city"))
+    assert(!m("address.city", "address.city")) // unquoted dots qualify
+    assert(m("address.city", "\"address.city\"")) // quote to name it
+    // ...while an explicitly-quoted qualified WIRE key still resolves
+    assert(Ident.suffixMatches(Ident.parseLenient("\"User\".\"Order ID\""),
+      Ident.parseLenient("Order ID"), caseSensitive = false))
   }
 
   test("schemaMap accepts quoted and qualified configured names") {

@@ -284,6 +284,17 @@ class OpsSpec extends SparkSpec {
     assert(rimg.getWidth == rs.out_w && rimg.getHeight == rs.out_h)
   }
 
+  test("corrupt image bytes degrade to the opaque-binary path, not NPE") {
+    val bad = Seq(Multimodal.MediaRow(9L, "image", 8, 8,
+      "definitely not a png".getBytes("UTF-8"))).toDF()
+    val out = Multimodal.decodeFeatures(bad).collect()
+    assert(out.length == 1)
+    assert(out(0).img_w == 0 && out(0).img_h == 0) // fell back to stub
+    assert(out(0).checksum.length == 32) // md5 of the raw bytes
+    val rs = Multimodal.resize(bad, maxSide = 4).collect()
+    assert(rs.length == 1 && rs(0).out_w == 4) // stub target box, no NPE
+  }
+
   test("multimodal pipeline decodes deterministic features per row") {
     val d = docs.withColumnRenamed("text", "t")
     val out1 = Multimodal.pipeline(d, "doc_id", "t").collect().sortBy(_.getLong(0))
