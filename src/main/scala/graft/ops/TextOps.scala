@@ -89,6 +89,30 @@ object TextOps {
           !t.contains("{") && !lower(t).contains("lorem ipsum"))
   }
 
+  /** Sliding-window chunking: split each document's token array into
+    * `chunkSize`-token windows starting every `stride` tokens (overlap
+    * = chunkSize − stride), the shape context-window-bounded embedding
+    * and training prep needs. One row in → ceil(n/stride) rows out via
+    * explode — no per-row UDF, no shuffle (chunking is embarrassingly
+    * parallel; a downstream groupBy owns any re-keying).
+    */
+  def chunks(docs: DataFrame, id: String, text: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = tokens(col(text))
+    docs
+      .select(col(id), toks.as("__toks"))
+      .select(col(id), col("__toks"),
+        explode(sequence(lit(0),
+          floor((size(col("__toks")) - 1) / lit(stride)).cast("int")))
+          .as("chunk_idx"))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+      .select(col(id), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** PII detection + redaction patterns — kept in lockstep with the
     * DuckDB oracle (same regex dialect subset: RE2 and java.util.regex
     * agree on these).

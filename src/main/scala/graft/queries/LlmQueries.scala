@@ -198,6 +198,25 @@ object LlmQueries {
       |    AND NOT contains(lower(text), 'lorem ipsum') AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // -- sliding-window chunking (context-window prep) ------------------------
+  def dataChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunks(docs(s, dir), "doc_id", "text", chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  val dataChunkOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, t,
+      |    CAST(unnest(generate_series(0,
+      |      CAST(floor((len(t) - 1) / 24.0) AS INT))) AS INTEGER) AS chunk_idx
+      |  FROM toks)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT) AS n_tokens,
+      |  array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // -- PII scrub (emails / phones / IPv4 -> typed redaction tokens) --------
   /** The corpus has no organic PII, so the fixture INJECTS deterministic
     * PII spans (email for id%3, phone for id%5, IP for id%7 — some docs
@@ -774,6 +793,7 @@ object LlmQueries {
     "text_quality_score" -> (textQuality _),
     "text_gopher_filters" -> (textGopherFilters _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "data_chunk_overlap" -> (dataChunkOverlap _),
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_ngram_stats" -> (textNgramStats _),
@@ -804,6 +824,7 @@ object LlmQueries {
     "text_quality_score" -> textQualitySql,
     "text_gopher_filters" -> textGopherFiltersSql,
     "text_pii_scrub" -> textPiiScrubSql,
+    "data_chunk_overlap" -> dataChunkOverlapSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_ngram_stats" -> textNgramStatsSql,
