@@ -63,10 +63,44 @@ object Changefeed {
       (col("after").isNull || col("after") === "null").as("is_delete"))
 
   /** Batch read of a changefeed directory → mutation DataFrame with
-    * columns (key, data, hlc, is_delete).
+    * columns (key, data, hlc, is_delete). Goes through the DSv2
+    * connector so the listing classifier applies: `*.RESOLVED` frontier
+    * markers (reference `internal/source/objstore/conn.go:41` — their
+    * body is `{"resolved":...}`, not a mutation) are never emitted as
+    * rows, and when markers are present only data files below the
+    * latest marker — the finalized prefix — are read.
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    project(spark.read.schema(envelopeSchema).json(dir))
+    project(spark.read.format("graft-changefeed").load(dir))
+
+  /** All `*.RESOLVED` frontier markers in a changefeed bucket
+    * (reference `internal/source/objstore/conn.go:96-99`): one row per
+    * marker with its file name, the resolved-timestamp string from the
+    * marker body (`{"resolved":"NNN.LLL"}`,
+    * `internal/util/cdcjson/ndjson_parser.go:76`), and the parsed HLC.
+    */
+  def resolvedMarkers(spark: SparkSession, dir: String): DataFrame = {
+    val markers = graft.sources.ChangefeedFiles.listClassified(dir)._2
+    val bodySchema = StructType(Seq(StructField("resolved", StringType)))
+    val base =
+      if (markers.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(StructField("marker_file", StringType) +: bodySchema.fields))
+      else
+        spark.read.schema(bodySchema).json(markers.toIndexedSeq: _*)
+          .withColumn("marker_file", input_file_name())
+    base.select(col("marker_file"), col("resolved"),
+      parseHlc("resolved").as("hlc"))
+  }
+
+  /** The bucket's resolved frontier: the lexicographically-last marker
+    * (0 or 1 rows). Everything named below it is finalized — the gate
+    * `read`/the DSv2 listing already apply, surfaced here for conveyor
+    * admission decisions.
+    */
+  def resolvedFrontier(spark: SparkSession, dir: String): DataFrame =
+    resolvedMarkers(spark, dir).orderBy(col("marker_file").desc).limit(1)
 
   /** Query-format changefeed payloads (reference:
     * `internal/util/cdcjson/query_payload.go` — CREATE CHANGEFEED ... AS

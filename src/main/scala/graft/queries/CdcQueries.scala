@@ -1063,6 +1063,76 @@ object CdcQueries {
       |FROM m WHERE file_no > 3 GROUP BY file_no
       |ORDER BY phase, file_no""".stripMargin
 
+  // -- 28d2: objstore .RESOLVED frontier markers ----------------------------
+  /** Cloud-storage changefeed buckets interleave `<ts>.RESOLVED` marker
+    * files with data objects (reference `internal/source/objstore/
+    * conn.go:41`, :96-99): in lexicographic name order, a marker means
+    * everything before it is finalized; files past the LAST marker must
+    * wait for the next one, and marker bodies (`{"resolved":...}`) are
+    * never mutations. The fixture writes the changefeed as 8 bucket
+    * dirs (`part=d0`..`part=d7`, bucket = user_id % 8) plus two markers:
+    * one at the end of d2 and one at the end of d4 — so exactly buckets
+    * 0–4 are finalized, the d4 marker (the later name) wins, and the
+    * d2 marker proves "latest marker" selection rather than "any
+    * marker". The check: aggregates over `Changefeed.read` must equal
+    * the same aggregates DuckDB computes over buckets 0–4 only, marker
+    * files contribute ZERO mutation rows (no phantom all-null deletes),
+    * and the frontier column comes from the d4 marker's body.
+    */
+  def objstoreResolved(s: SparkSession, dir: String): DataFrame = {
+    val outDir = fixture(dir, "objstore") { p =>
+      val env = events(s, dir).select(
+        to_json(array(col("user_id"))).as("key"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(to_json(struct(col("event_id"), cents(col("value")).as("c"))))
+          .as("after"),
+        concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"),
+          lit(".0000000000")).as("updated"),
+        concat(lit("d"), pmod(col("user_id"), lit(8L))).as("part"))
+      env.write.partitionBy("part").mode("overwrite").json(p)
+      // marker bodies carry the max HLC of their finalized prefix, as a
+      // changefeed sink would; names sort after the bucket's part-files
+      def frontierNanos(maxBucket: Int): Long = {
+        val ds = events(s, dir)
+          .filter(pmod(col("user_id"), lit(8L)) <= maxBucket)
+          .agg(max(unix_micros(col("ts").cast("timestamp")) * 1000))
+        ds.collect()(0).getLong(0) // fixture-build only, 1-row control read
+      }
+      def writeMarker(bucket: Int, nanos: Long): Unit = {
+        val f = new java.io.File(s"$p/part=d$bucket", s"zzz$nanos.RESOLVED")
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.print(s"""{"resolved":"$nanos.0000000000"}""") finally w.close()
+      }
+      writeMarker(2, frontierNanos(2))
+      writeMarker(4, frontierNanos(4))
+    }
+    val muts = Changefeed.read(s, outDir) // listing gate: buckets 0-4 only
+    val markerAgg = Changefeed.resolvedMarkers(s, outDir)
+      .agg(count(lit(1)).as("n_markers"),
+        max(col("hlc.nanos")).as("frontier_nanos"))
+    muts.agg(
+      count(lit(1)).as("n_muts"),
+      sum(when(col("is_delete"), 1L).otherwise(0L)).as("n_deletes"),
+      sum(get_json_object(col("data"), "$.c").cast("long")).as("c_sum"),
+      max(col("hlc.nanos")).as("max_nanos"))
+      .crossJoin(broadcast(markerAgg)) // 1-row × 1-row
+  }
+
+  val objstoreResolvedSql: String =
+    """WITH m AS (
+      |  SELECT user_id % 8 AS b, event_type,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+      |    epoch_us(ts) * 1000 AS nanos
+      |  FROM events),
+      |fin AS (SELECT * FROM m WHERE b <= 4)
+      |SELECT COUNT(*) AS n_muts,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |  CAST(SUM(CASE WHEN event_type <> 'error' THEN c END) AS BIGINT) AS c_sum,
+      |  MAX(nanos) AS max_nanos,
+      |  CAST(2 AS BIGINT) AS n_markers,
+      |  (SELECT MAX(nanos) FROM fin) AS frontier_nanos
+      |FROM fin""".stripMargin
+
   // -- 28e: pglogical relation descriptors + positional tuples --------------
   /** Reference `internal/source/pglogical/conn.go`: RELATION messages
     * declare each relation id's column layout (re-sent on schema
@@ -1464,6 +1534,7 @@ object CdcQueries {
     "cdc_userscript_emit" -> (userscriptEmit _),
     "cdc_route_configs" -> (routeConfigs _),
     "cdc_changefeed_resume" -> (changefeedResume _),
+    "cdc_objstore_resolved" -> (objstoreResolved _),
     "cdc_pglogical_frames" -> (pglogicalFrames _),
     "q_range_join" -> (rangeJoinCampaigns _))
 
@@ -1506,6 +1577,7 @@ object CdcQueries {
     "cdc_userscript_emit" -> userscriptEmitSql,
     "cdc_route_configs" -> routeConfigsSql,
     "cdc_changefeed_resume" -> changefeedResumeSql,
+    "cdc_objstore_resolved" -> objstoreResolvedSql,
     "cdc_pglogical_frames" -> pglogicalFramesSql,
     "q_range_join" -> rangeJoinCampaignsSql)
 }

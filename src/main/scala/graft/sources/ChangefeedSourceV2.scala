@@ -164,9 +164,25 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
+  // monotonic-name contract check: the count of listed files at or
+  // below the committed frontier can only grow if a producer wrote a
+  // NEW object that sorts below an already-committed name — such a file
+  // is silently skipped by the frontier offset, so surface it loudly
+  // instead of losing data quietly (cheap: one count per trigger).
+  @volatile private var belowFrontierCount = -1
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val pending = currentListing(refresh = true)
-      .filter(_ > start.asInstanceOf[ChangefeedOffset].lastFile)
+    val startFile = start.asInstanceOf[ChangefeedOffset].lastFile
+    val listing = currentListing(refresh = true)
+    val below = listing.count(_ <= startFile)
+    if (belowFrontierCount >= 0 && below > belowFrontierCount)
+      ChangefeedMicroBatchStream.log.warn(
+        s"${below - belowFrontierCount} newly listed file(s) in $dir sort at or below the " +
+        s"committed offset '$startFile' — the monotonic-object-name contract is violated " +
+        "and these files will be SKIPPED. Use Changefeed.readStreamGenericJson for feeds " +
+        "with non-monotonic names.")
+    belowFrontierCount = below
+    val pending = listing.filter(_ > startFile)
     val admitted = limit match {
       case f: ReadMaxFiles => pending.take(f.maxFiles())
       case _ => pending
@@ -199,6 +215,10 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
   override def deserializeOffset(json: String): Offset = ChangefeedOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // frontier is the offset itself; nothing else to persist
   override def stop(): Unit = ()
+}
+
+object ChangefeedMicroBatchStream {
+  private[sources] val log = org.slf4j.LoggerFactory.getLogger(classOf[ChangefeedMicroBatchStream])
 }
 
 case class ChangefeedFilePartition(file: String) extends InputPartition
@@ -275,20 +295,29 @@ class ChangefeedFileReader(file: String, fields: Array[String],
 object ChangefeedFiles {
   val jsonFactory = new JsonFactory()
 
-  /** Sorted RECURSIVE listing of data files — changefeed buckets are
-    * typically date-partitioned (`2026-01-01/...ndjson`), and the
-    * reference objstore walks nested prefixes the same way. Any path
-    * SEGMENT starting with `_` or `.` is hidden (covers `_SUCCESS`,
-    * `_spark_metadata/...`, dotfiles). Lexicographic full-path order is
-    * ingest order for time-named objects, nested or flat alike.
+  /** Changefeed cloud-storage sinks write `<timestamp>.RESOLVED` marker
+    * files (reference `internal/source/objstore/conn.go:41`): in
+    * lexicographic filename order, any RESOLVED marker means everything
+    * before it is finalized. Markers are NOT data — their body is
+    * `{"resolved":"NNN.LLL"}`, which the mutation parser would turn into
+    * an all-null phantom row — so the listing classifies them out.
     */
-  def list(dir: String): Array[String] = {
+  def isResolvedMarker(path: String): Boolean = path.endsWith(".RESOLVED")
+
+  /** Sorted recursive listing, classified into (data files, RESOLVED
+    * markers) in one pass. Any path SEGMENT starting with `_` or `.` is
+    * hidden (covers `_SUCCESS`, `_spark_metadata/...`, dotfiles).
+    * Lexicographic full-path order is ingest order for time-named
+    * objects, nested or flat alike.
+    */
+  def listClassified(dir: String): (Array[String], Array[String]) = {
     val spark = SparkSession.active
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(new Path(dir))
-    if (!fs.exists(root)) return Array.empty
+    if (!fs.exists(root)) return (Array.empty, Array.empty)
     val prefix = root.toString + "/"
-    val out = Array.newBuilder[String]
+    val data = Array.newBuilder[String]
+    val markers = Array.newBuilder[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val s: FileStatus = it.next()
@@ -297,10 +326,26 @@ object ChangefeedFiles {
         val rel = if (full.startsWith(prefix)) full.substring(prefix.length) else full
         val hidden = rel.split('/')
           .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-        if (!hidden) out += full
+        if (!hidden) { if (isResolvedMarker(full)) markers += full else data += full }
       }
     }
-    out.result().sorted
+    (data.result().sorted, markers.result().sorted)
+  }
+
+  /** Data files visible to a reader of `dir`, honoring the resolved
+    * frontier: when the bucket contains RESOLVED markers, only data
+    * files lexicographically BELOW the latest marker are finalized
+    * (reference objstore processes ranges between consecutive markers
+    * and never reads past the last one); files past it wait for the
+    * next marker. A directory with no markers is a plain feed — every
+    * data file is visible (the reference would idle forever on such a
+    * bucket; a marker-less directory here means a non-bucket layout,
+    * e.g. a test fixture or an export, where the finalized-prefix
+    * contract doesn't apply).
+    */
+  def list(dir: String): Array[String] = {
+    val (data, markers) = listClassified(dir)
+    if (markers.isEmpty) data else data.filter(_ < markers.last)
   }
 
   /** Hadoop conf for executors — broadcast once per scan so S3/HDFS

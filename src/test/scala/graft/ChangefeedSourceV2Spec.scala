@@ -148,6 +148,51 @@ class ChangefeedSourceV2Spec extends SparkSpec {
     assert(spark.table("dsv2_nested").count() == 3)
   }
 
+  test(".RESOLVED markers gate the listing and never emit phantom rows") {
+    val base = Files.createTempDirectory("graft_dsv2_resolved").toString
+    def put(rel: String, line: String): Unit =
+      Files.write(java.nio.file.Paths.get(s"$base/$rel"), (line + "\n").getBytes("UTF-8"))
+    // a bucket in lexicographic ingest order: data, marker, data, marker, data
+    put("202601010000.ndjson", """{"after": "a", "key": "[1]", "updated": "100.0000000000"}""")
+    put("202601010005.ndjson", """{"after": "b", "key": "[2]", "updated": "200.0000000000"}""")
+    put("202601010010.RESOLVED", """{"resolved": "250.0000000000"}""")
+    put("202601010015.ndjson", """{"after": "c", "key": "[3]", "updated": "300.0000000000"}""")
+    put("202601010020.RESOLVED", """{"resolved": "350.0000000000"}""")
+    put("202601010025.ndjson", """{"after": "late", "key": "[4]", "updated": "400.0000000000"}""")
+
+    val (data, markers) = graft.sources.ChangefeedFiles.listClassified(base)
+    assert(data.length == 4 && markers.length == 2)
+    // the visible listing stops at the LAST marker: the late file waits
+    val visible = graft.sources.ChangefeedFiles.list(base)
+    assert(visible.map(_.split('/').last).toSeq ==
+      Seq("202601010000.ndjson", "202601010005.ndjson", "202601010015.ndjson"))
+
+    // batch read: finalized rows only, and NO phantom all-null delete
+    // from a marker body parsed as a mutation (the r6 latent bug)
+    val batch = Changefeed.read(spark, base)
+    assert(batch.count() == 3)
+    assert(batch.where(col("key").isNull).count() == 0)
+    assert(batch.where(col("is_delete")).count() == 0)
+
+    // marker bodies surface as the resolved frontier, not as mutations
+    val frontier = Changefeed.resolvedFrontier(spark, base).collect()
+    assert(frontier.length == 1)
+    assert(frontier(0).getAs[String]("resolved") == "350.0000000000")
+    assert(Changefeed.resolvedMarkers(spark, base).count() == 2)
+
+    // streaming respects the same gate; a NEW marker admits the late file
+    def drainedKeys(name: String): Set[String] = {
+      val q = Changefeed.readStream(spark, base, maxFilesPerTrigger = 1)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+      spark.table(name).collect().map(_.getString(0)).toSet
+    }
+    assert(drainedKeys("dsv2_res1") == Set("[1]", "[2]", "[3]"))
+    put("202601010030.RESOLVED", """{"resolved": "450.0000000000"}""")
+    assert(drainedKeys("dsv2_res2") == Set("[1]", "[2]", "[3]", "[4]"))
+  }
+
   test("column pruning reaches the json decode") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_dsv2_prune"
     writeLines(dir, envelopes, 2)
