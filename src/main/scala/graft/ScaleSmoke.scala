@@ -72,6 +72,18 @@ object ScaleSmoke {
     import graft.queries.{CdcQueries, LlmQueries}
     val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "cdc_gtid_frontier" -> (CdcQueries.gtidFrontier _),
+      // the worst-case GTID shape: ONE source uuid (the common
+      // single-primary deployment), dense GNO history with sparse
+      // rollback holes. Pre-band-bucketing this sorted the whole
+      // history in one task; the banded islands keep it parallel.
+      // Synthesized directly (2e6 vs 2e7 gnos) — dir only picks size.
+      "gtid_islands_single_source" -> ((s: SparkSession, dir: String) => {
+        val n = if (dir == base) 2000000L else 20000000L
+        val txns = s.range(n)
+          .select(lit("uuid-1").as("source"), col("id").as("gno"))
+          .filter(pmod(col("gno"), lit(997L)) =!= 0) // rollback holes
+        graft.cdc.TxnLog.gtidFrontier(txns, "source", "gno")
+      }),
       "cdc_txn_batches" -> (CdcQueries.txnBatches _),
       "q_sessionize" -> (graft.queries.Analytics.sessionize _),
       "dedup_minhash_lsh" -> (LlmQueries.dedupMinhashLsh _),

@@ -79,21 +79,51 @@ object TxnLog {
     * GTIDEvent → `withMysqlGTIDSet`): each committed transaction carries
     * (source uuid, GNO), and the consistent point is a per-source
     * INTERVAL SET of applied GNOs — not one max value, so a hole left by
-    * an interleaved source never gets skipped on restart. Gaps-and-
-    * islands: one window (partitioned by source — no global sort) + one
-    * groupBy; output is one row per contiguous applied interval,
+    * an interleaved source never gets skipped on restart. Output is one
+    * row per contiguous applied interval,
     * `(source, start_gno, end_gno, n_txns)`.
+    *
+    * Scale shape: the common deployment is ONE primary = one uuid, so a
+    * window partitioned by source alone sorts the whole GNO history in
+    * one task — a 10⁹-txn log would hit a single-partition global sort.
+    * Instead, gaps-and-islands runs per (source, gno-BAND) — fixed
+    * 2^bandBits-wide buckets, so the sort parallelizes across bands —
+    * and islands that touch a band edge (at most two per band) are
+    * chain-merged with one second-level pass over that tiny set. A
+    * dense 10⁹-txn single-source log becomes ~1000 full-band islands
+    * merged in one 1000-row task instead of one 10⁹-row sort.
     */
-  def gtidFrontier(txns: DataFrame, source: String, gno: String): DataFrame = {
+  def gtidFrontier(txns: DataFrame, source: String, gno: String,
+      bandBits: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(source)).orderBy(col(gno))
-    txns.select(col(source), col(gno)).distinct()
+    val bandWidth = 1L << bandBits
+    val w = Window.partitionBy(col(source), col("__band")).orderBy(col(gno))
+    val bandIslands = txns.select(col(source), col(gno)).distinct()
+      .withColumn("__band", shiftright(col(gno), bandBits)) // exact integral div
       // consecutive gnos share (gno - rank): the island label
       .withColumn("__grp", col(gno) - row_number().over(w))
-      .groupBy(col(source), col("__grp"))
+      .groupBy(col(source), col("__band"), col("__grp"))
       .agg(min(col(gno)).as("start_gno"), max(col(gno)).as("end_gno"),
         count(lit(1)).as("n_txns"))
-      .drop("__grp")
+      .drop("__band", "__grp")
+    // only islands touching a band edge can continue in a neighbor band
+    val touching = pmod(col("start_gno"), lit(bandWidth)) === 0 ||
+      pmod(col("end_gno") + 1, lit(bandWidth)) === 0
+    val chainW = Window.partitionBy(col(source)).orderBy(col("start_gno"))
+    val merged = bandIslands.filter(touching)
+      // a chain breaks where the previous edge-island isn't exactly
+      // adjacent; cumulative sum of breaks labels each chain
+      .withColumn("__new",
+        when(lag(col("end_gno"), 1).over(chainW) + 1 === col("start_gno"), 0L)
+          .otherwise(1L))
+      .withColumn("__chain", sum(col("__new"))
+        .over(chainW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(source), col("__chain"))
+      .agg(min(col("start_gno")).as("start_gno"),
+        max(col("end_gno")).as("end_gno"),
+        sum(col("n_txns")).as("n_txns"))
+      .drop("__chain")
+    bandIslands.filter(!touching).unionByName(merged)
   }
 
   /** Canonical per-source GTID-set rendering, one row per source:
@@ -110,6 +140,24 @@ object TxnLog {
             iv("end_gno").cast("string")))).as("gtid_set"),
         count(lit(1)).as("n_intervals"),
         sum(col("n_txns")).as("n_applied"))
+
+  /** Inverse of [[gtidSet]]: parse rendered `start-end:start-end`
+    * strings back into frontier interval rows, so a resumed reader can
+    * seed [[gtidResume]] from a checkpoint RECORD — a stored string,
+    * not a live frontier DataFrame (reference
+    * `internal/source/mylogical/conn.go:149` resumes from the persisted
+    * GTID-set string). Islands are contiguous by construction, so
+    * `n_txns = end - start + 1` reconstructs exactly; empty strings
+    * (a source with nothing applied) yield no intervals. Round-trip
+    * `gtidSetParse(gtidSet(f))` ≡ `f`.
+    */
+  def gtidSetParse(sets: DataFrame, source: String, setCol: String): DataFrame =
+    sets.select(col(source), explode(split(col(setCol), ":")).as("__iv"))
+      .filter(length(col("__iv")) > 0)
+      .select(col(source),
+        split(col("__iv"), "-").getItem(0).cast("long").as("start_gno"),
+        split(col("__iv"), "-").getItem(1).cast("long").as("end_gno"))
+      .withColumn("n_txns", col("end_gno") - col("start_gno") + 1)
 
   /** Resume anti-join: keep only transactions whose (source, gno) is
     * NOT covered by a frontier interval. The frontier is tiny (one row

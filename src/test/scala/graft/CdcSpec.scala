@@ -196,4 +196,53 @@ class CdcSpec extends SparkSpec {
     assert(pending.toSeq == Seq(("a", 4L), ("a", 7L), ("a", 10L),
       ("b", 3L), ("c", 1L)))
   }
+
+  test("GTID islands merge across gno bands; band split ≡ global islands") {
+    def ivs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src", "start_gno").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // bandBits = 2 (width 4): an island spanning three full bands, one
+    // breaking exactly at a band edge, and band-internal holes
+    val gnos = (0L to 11L) ++ Seq(16L, 17L, 18L, 19L, 20L) ++ Seq(26L, 27L)
+    val txns = gnos.toDF("gno").select(lit("a").as("src"), col("gno"))
+    assert(ivs(TxnLog.gtidFrontier(txns, "src", "gno", bandBits = 2)) ==
+      Seq(("a", 0L, 11L, 12L), ("a", 16L, 20L, 5L), ("a", 26L, 27L, 2L)))
+
+    // right-touching island whose successor band is MISSING must not
+    // merge with the next touching island (21-23 touches band edge;
+    // 28 starts a band; 24-27 absent)
+    val txns2 = (Seq(21L, 22L, 23L) ++ Seq(28L, 29L)).toDF("gno")
+      .select(lit("a").as("src"), col("gno"))
+    assert(ivs(TxnLog.gtidFrontier(txns2, "src", "gno", bandBits = 2)) ==
+      Seq(("a", 21L, 23L, 3L), ("a", 28L, 29L, 2L)))
+
+    // randomized equivalence: tiny bands ≡ one-giant-band (global sort)
+    val rnd = new scala.util.Random(7)
+    val randomTxns = Seq.fill(400)(
+      (if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(200).toLong))
+      .toDF("src", "gno")
+    assert(ivs(TxnLog.gtidFrontier(randomTxns, "src", "gno", bandBits = 2)) ==
+      ivs(TxnLog.gtidFrontier(randomTxns, "src", "gno", bandBits = 40)))
+  }
+
+  test("GTID set string round-trips: render → parse → resume ≡ live frontier") {
+    val applied = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 5L),
+      ("a", 6L), ("a", 9L), ("b", 2L)).toDF("src", "gno")
+    val frontier = TxnLog.gtidFrontier(applied, "src", "gno")
+    val parsed = TxnLog.gtidSetParse(
+      TxnLog.gtidSet(frontier, "src").select("src", "gtid_set"), "src", "gtid_set")
+    def ivs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src", "start_gno").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ivs(parsed) == ivs(frontier))
+
+    // a checkpoint-seeded resume admits exactly what the live one does
+    val incoming = Seq(("a", 2L), ("a", 4L), ("a", 7L), ("a", 10L),
+      ("b", 2L), ("b", 3L), ("c", 1L)).toDF("src", "gno")
+    def resumed(f: org.apache.spark.sql.DataFrame) =
+      TxnLog.gtidResume(incoming, f, "src", "gno")
+        .orderBy("src", "gno").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(resumed(parsed) == resumed(frontier))
+  }
 }
