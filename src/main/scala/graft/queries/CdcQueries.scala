@@ -966,6 +966,122 @@ object CdcQueries {
       |  MIN(user_id) AS min_key, MAX(user_id) AS max_key
       |FROM e GROUP BY route ORDER BY route""".stripMargin
 
+  // -- 28b2: userscript custom merge function -------------------------------
+  /** Reference `internal/script/script.go:641` (bindMerge): a
+    * user-provided merge function is a first-class alternative to
+    * standard three-way merge — `api.standardMerge(fallback)` runs the
+    * standard rules and hands remaining conflicts to user code. The
+    * fixture: per user, the target table holds the latest EVEN event's
+    * cents; the feed proposes the latest ODD event's cents with a
+    * before-image that is STALE for every third user (their previous
+    * odd value), so those rows conflict under standard rules. The user
+    * script resolves conflicts for EVEN user ids with a
+    * highest-value-wins expression over (target_v, proposed_v) and
+    * declines (NULL) for odd user ids, whose rows fall to the `dlq`
+    * fallback — custom resolution demonstrably beats standard
+    * three-way (which would DLQ all conflicts), unresolvable still
+    * dead-letters.
+    */
+  def userscriptMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000).as("nanos"),
+      cents(col("value")).as("c"))
+    val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    val even = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val tgt = even.groupBy("user_id")
+      .agg(max_by(col("c"), struct(col("nanos"), col("event_id"))).as("target_c"))
+    val wOdd = Window.partitionBy("user_id").orderBy("nanos", "event_id")
+    val latest = odd
+      .withColumn("prev_odd_c", lag(col("c"), 1).over(wOdd))
+      .groupBy("user_id")
+      .agg(max_by(struct(col("c"), col("prev_odd_c")),
+        struct(col("nanos"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.c").as("proposed_c"),
+        col("m.prev_odd_c").as("prev_odd_c"))
+    val bags = latest.join(tgt, Seq("user_id"), "left")
+      .withColumn("before_c",
+        when(pmod(col("user_id"), lit(3)) === 0, col("prev_odd_c"))
+          .otherwise(col("target_c")))
+      .select(col("user_id"),
+        when(col("before_c").isNotNull,
+          map(lit("c"), col("before_c").cast("string"))).as("before_bag"),
+        map(lit("c"), col("proposed_c").cast("string")).as("proposed_bag"),
+        when(col("target_c").isNotNull,
+          map(lit("c"), col("target_c").cast("string"))).as("target_bag"))
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |  {"op": "merge",
+        |   "before": "before_bag", "proposed": "proposed_bag", "target": "target_bag",
+        |   "resolve": {"c": "case when user_id % 2 = 0 then cast(greatest(cast(target_v as bigint), cast(proposed_v as bigint)) as string) end"},
+        |   "fallback": "dlq"}]}""".stripMargin)
+    script(bags)
+      .select(col("user_id"),
+        try_element_at(col("target_bag"), lit("c")).as("target_c"),
+        try_element_at(col("before_bag"), lit("c")).as("before_c"),
+        try_element_at(col("proposed_bag"), lit("c")).as("proposed_c"),
+        try_element_at(col("merged"), lit("c")).as("merged_c"),
+        array_join(col("unmerged"), ",").as("unmerged"),
+        col("is_dlq"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle: rebuild the bag decision table from events, then overlay
+    * the user resolution (even users: GREATEST(target, proposed); odd
+    * users: unresolved → DLQ) on exactly the standard-rule conflicts.
+    */
+  val userscriptMergeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS nanos,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |tgt AS (
+      |  SELECT user_id, c AS target_c FROM (
+      |    SELECT user_id, c, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+      |ob AS (
+      |  SELECT user_id, event_id, nanos, c,
+      |    LAG(c) OVER (PARTITION BY user_id ORDER BY nanos, event_id) AS prev_odd_c
+      |  FROM e WHERE event_id % 2 = 1),
+      |latest AS (
+      |  SELECT user_id, c AS proposed, prev_odd_c FROM (
+      |    SELECT ob.*, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM ob) WHERE rn = 1),
+      |m AS (
+      |  SELECT l.user_id, t.target_c,
+      |    CASE WHEN l.user_id % 3 = 0 THEN l.prev_odd_c ELSE t.target_c END AS before_c,
+      |    l.proposed,
+      |    (t.user_id IS NULL) AS no_target
+      |  FROM latest l LEFT JOIN tgt t USING (user_id)),
+      |cls AS (
+      |  SELECT user_id, target_c, before_c, proposed, no_target,
+      |    CASE
+      |      WHEN no_target THEN proposed
+      |      WHEN before_c IS NOT NULL AND before_c = proposed THEN target_c
+      |      WHEN target_c = proposed THEN proposed
+      |      WHEN before_c IS NOT NULL AND target_c = before_c THEN proposed
+      |      ELSE target_c END AS std_merged,
+      |    (NOT no_target
+      |      AND NOT (before_c IS NOT NULL AND before_c = proposed)
+      |      AND NOT (target_c = proposed)
+      |      AND NOT (before_c IS NOT NULL AND target_c = before_c)) AS conflict
+      |  FROM m),
+      |res AS (
+      |  SELECT user_id, target_c, before_c, proposed,
+      |    CASE WHEN conflict AND user_id % 2 = 0
+      |         THEN GREATEST(target_c, proposed) ELSE std_merged END AS merged_c_num,
+      |    (conflict AND user_id % 2 = 1) AS is_dlq
+      |  FROM cls)
+      |SELECT user_id,
+      |  CAST(target_c AS VARCHAR) AS target_c,
+      |  CAST(before_c AS VARCHAR) AS before_c,
+      |  CAST(proposed AS VARCHAR) AS proposed_c,
+      |  CAST(merged_c_num AS VARCHAR) AS merged_c,
+      |  CASE WHEN is_dlq THEN 'c' ELSE '' END AS unmerged,
+      |  is_dlq
+      |FROM res ORDER BY user_id""".stripMargin
+
   // -- 28c: per-route apply configurations ----------------------------------
   /** Reference `internal/util/applycfg/conf.go:52` + `internal/target/
     * apply`: dispatch hands each target table its OWN apply config. One
@@ -1532,6 +1648,7 @@ object CdcQueries {
     "cdc_userscript_dsl" -> (userscriptDsl _),
     "cdc_merge_wire_before" -> (mergeWireBefore _),
     "cdc_userscript_emit" -> (userscriptEmit _),
+    "cdc_userscript_merge" -> (userscriptMerge _),
     "cdc_route_configs" -> (routeConfigs _),
     "cdc_changefeed_resume" -> (changefeedResume _),
     "cdc_objstore_resolved" -> (objstoreResolved _),
@@ -1575,6 +1692,7 @@ object CdcQueries {
     "cdc_userscript_dsl" -> userscriptDslSql,
     "cdc_merge_wire_before" -> mergeWireBeforeSql,
     "cdc_userscript_emit" -> userscriptEmitSql,
+    "cdc_userscript_merge" -> userscriptMergeSql,
     "cdc_route_configs" -> routeConfigsSql,
     "cdc_changefeed_resume" -> changefeedResumeSql,
     "cdc_objstore_resolved" -> objstoreResolvedSql,

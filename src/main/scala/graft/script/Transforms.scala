@@ -74,6 +74,69 @@ object Transforms {
     }
   }
 
+  /** `merge` — per-table CUSTOM merge function (reference:
+    * `internal/script/script.go:641` bindMerge — a user-provided merge
+    * fn is a first-class alternative to standard three-way merge, and
+    * `api.standardMerge(fallback)` runs the standard rules first, then
+    * hands REMAINING conflicts to the user fn). Declarative equivalent:
+    * standard [[graft.cdc.MergeOps.mergeBags]] classifies every
+    * property; for properties it leaves in `unmerged`, the user's
+    * per-property SQL resolution expression runs with `target_v` /
+    * `proposed_v` / `before_v` bound to that property's three values
+    * (plus every input column in scope — resolution may consult the
+    * row). A NULL resolution means "cannot resolve"; whatever is STILL
+    * unmerged then hits the fallback: `dlq` (flag the row), `theirs`
+    * (take proposed), or `ours` (keep target). Adds `merged` (bag),
+    * `unmerged` (array), `is_dlq` columns.
+    */
+  final case class Merge(before: Column, proposed: Column, target: Column,
+      resolve: Seq[(String, Column)], fallback: String) extends Step {
+    def apply(df: DataFrame): DataFrame = {
+      val reserved = Seq("target_v", "proposed_v", "before_v", "__std", "__res")
+      val clash = reserved.filter(df.columns.contains)
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"merge: input column name(s) ${clash.mkString(", ")} are reserved")
+      var d = df.withColumn("__std",
+        graft.cdc.MergeOps.mergeBags(before, proposed, target))
+      for ((prop, e) <- resolve) {
+        d = d
+          .withColumn("target_v", try_element_at(target, lit(prop)))
+          .withColumn("proposed_v", try_element_at(proposed, lit(prop)))
+          .withColumn("before_v", try_element_at(before, lit(prop)))
+          // only a property the STANDARD rules could not settle reaches
+          // the user's resolution — api.standardMerge(fallback) order
+          .withColumn("__res",
+            when(array_contains(col("__std.unmerged"), prop), e.cast("string")))
+          .withColumn("__std",
+            when(col("__res").isNotNull, struct(
+              transform_values(col("__std.merged"),
+                (k, v) => when(k === prop, col("__res")).otherwise(v)).as("merged"),
+              array_remove(col("__std.unmerged"), prop).as("unmerged")))
+              .otherwise(col("__std")))
+      }
+      d = d.drop("target_v", "proposed_v", "before_v", "__res")
+      val out = fallback match {
+        case "dlq" => d
+          .withColumn("merged", col("__std.merged"))
+          .withColumn("unmerged", col("__std.unmerged"))
+          .withColumn("is_dlq", size(col("__std.unmerged")) > 0)
+        case "theirs" => d
+          .withColumn("merged", transform_values(col("__std.merged"),
+            (k, v) => when(array_contains(col("__std.unmerged"), k),
+              try_element_at(proposed, k)).otherwise(v)))
+          .withColumn("unmerged", array().cast("array<string>"))
+          .withColumn("is_dlq", lit(false))
+        case "ours" => d
+          .withColumn("merged", col("__std.merged"))
+          .withColumn("unmerged", array().cast("array<string>"))
+          .withColumn("is_dlq", lit(false))
+        case other => throw new IllegalArgumentException(
+          s"merge: unknown fallback '$other' (expected dlq | theirs | ours)")
+      }
+      out.drop("__std")
+    }
+  }
+
   /** A pipeline of steps applied in order. */
   final case class Pipeline(steps: Step*) {
     def apply(df: DataFrame): DataFrame = steps.foldLeft(df)((d, s) => s(d))

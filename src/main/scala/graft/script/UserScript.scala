@@ -118,6 +118,25 @@ object UserScript {
           // 1→N fan-out with key rewrite: rows is an array<struct<...>>
           // user expression, one output mutation per element
           Transforms.Emit(safeExpr(req(st, "rows", s"$ctx (emit)").asText(), s"$ctx (emit)"))
+        case "merge" =>
+          // per-route custom merge (reference script.go:641 bindMerge):
+          // standard three-way first, then per-property user resolution
+          // expressions over target_v/proposed_v/before_v, then fallback
+          val mctx = s"$ctx (merge)"
+          val resolve = Option(st.get("resolve")).filterNot(_.isNull)
+            .map(_.properties().asScala.toSeq.map(e =>
+              e.getKey -> safeExpr(e.getValue.asText(), s"$mctx resolve '${e.getKey}'")))
+            .getOrElse(Seq.empty)
+          val fallback = Option(st.get("fallback")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse("dlq")
+          if (!Set("dlq", "theirs", "ours").contains(fallback))
+            throw new IllegalArgumentException(
+              s"user script: $mctx has unknown fallback '$fallback' (dlq | theirs | ours)")
+          Transforms.Merge(
+            safeExpr(req(st, "before", mctx).asText(), s"$mctx 'before'"),
+            safeExpr(req(st, "proposed", mctx).asText(), s"$mctx 'proposed'"),
+            safeExpr(req(st, "target", mctx).asText(), s"$mctx 'target'"),
+            resolve, fallback)
         case other =>
           throw new IllegalArgumentException(s"user script: unknown op '$other' in $ctx")
       }

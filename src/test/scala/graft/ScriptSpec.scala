@@ -66,6 +66,56 @@ class ScriptSpec extends SparkSpec {
     assert(e3.getMessage.contains("__emit"))
   }
 
+  test("merge verb: user resolution on standard-rule conflicts, fallbacks") {
+    // key 1: clean (before = target)  key 2: conflict, user resolves
+    // key 3: conflict, user declines (NULL) → fallback
+    // key 4: no target → proposed applies as-is
+    val df = Seq(
+      (1L, Map("c" -> "10"), Map("c" -> "20"), Map("c" -> "10")),
+      (2L, Map("c" -> "10"), Map("c" -> "20"), Map("c" -> "99")),
+      (3L, Map("c" -> "10"), Map("c" -> "20"), Map("c" -> "55")),
+      (4L, Map("c" -> "10"), Map("c" -> "20"), null.asInstanceOf[Map[String, String]]))
+      .toDF("id", "before_bag", "proposed_bag", "target_bag")
+    def run(resolveAndFallback: String) = graft.script.UserScript.compile(
+      s"""{"stages": [{"op": "merge",
+         |  "before": "before_bag", "proposed": "proposed_bag", "target": "target_bag",
+         |  $resolveAndFallback}]}""".stripMargin)(df)
+      .select("id", "merged", "unmerged", "is_dlq").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getMap[String, String](1).get("c"),
+        r.getSeq[String](2).toSeq, r.getBoolean(3))).toSeq
+
+    // dlq fallback: 2 resolves to max(target, proposed)=99, 3 declines
+    val dlq = run(
+      """"resolve": {"c": "case when id % 2 = 0 then greatest(cast(target_v as bigint), cast(proposed_v as bigint)) end"},
+        |"fallback": "dlq"""".stripMargin)
+    assert(dlq == Seq(
+      (1L, Some("20"), Seq(), false),
+      (2L, Some("99"), Seq(), false),
+      (3L, Some("55"), Seq("c"), true),
+      (4L, Some("20"), Seq(), false)))
+
+    // theirs: the declined conflict takes proposed instead of dead-lettering
+    val theirs = run(""""fallback": "theirs"""")
+    assert(theirs.map(t => (t._1, t._2, t._4)) == Seq(
+      (1L, Some("20"), false), (2L, Some("20"), false),
+      (3L, Some("20"), false), (4L, Some("20"), false)))
+
+    // ours: conflicts keep the target value
+    val ours = run(""""fallback": "ours"""")
+    assert(ours.map(t => (t._1, t._2, t._4)) == Seq(
+      (1L, Some("20"), false), (2L, Some("99"), false),
+      (3L, Some("55"), false), (4L, Some("20"), false)))
+
+    // unknown fallback and reserved columns are compile/plan-time errors
+    val bad = intercept[IllegalArgumentException](graft.script.UserScript.compile(
+      """{"stages": [{"op": "merge", "before": "b", "proposed": "p", "target": "t", "fallback": "explode"}]}"""))
+    assert(bad.getMessage.contains("fallback"))
+    val clash = intercept[IllegalArgumentException](
+      graft.script.Transforms.Merge(col("b"), col("p"), col("t"), Seq.empty, "dlq")(
+        df.withColumn("target_v", lit(1))))
+    assert(clash.getMessage.contains("reserved"))
+  }
+
   test("userscript rejects reflection-escape functions at compile time") {
     // expr() admits reflect()/java_method() — arbitrary static-method
     // invocation, wider than the reference's sandboxed VM. The compile
