@@ -74,8 +74,10 @@ class ChangefeedTable(tableSchema: StructType, props: util.Map[String, String])
 }
 
 class ChangefeedScanBuilder(fullSchema: StructType, dir: String, maxFiles: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   // column pruning reaches the JSON decoder: unused envelope fields are
   // skipped with Jackson's skipChildren, never materialized
@@ -83,12 +85,31 @@ class ChangefeedScanBuilder(fullSchema: StructType, dir: String, maxFiles: Int)
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new ChangefeedScan(required, dir, maxFiles)
+  /** File pruning from `updated` bounds: comparison filters on the HLC
+    * string are retained for LISTING-time object skipping (the
+    * name-embedded-timestamp contract — see
+    * [[ChangefeedFiles.pruneByUpdated]]). EVERY filter is also returned
+    * as a residual for Spark to re-evaluate row-by-row: pruning is a
+    * whole-object shortcut, never the row-level truth, so a producer
+    * that only honors the ordering contract approximately still gets
+    * exact query results for the files that are read.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(ChangefeedFiles.prunable)
+    filters // all residual: the source only uses them to skip whole files
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new ChangefeedScan(required, dir, maxFiles, pushed)
 }
 
-class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int) extends Scan {
+class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
+    bounds: Array[org.apache.spark.sql.sources.Filter] = Array.empty) extends Scan {
   override def readSchema(): StructType = readSchema0
-  override def description(): String = s"graft-changefeed $dir ${readSchema0.fieldNames.mkString(",")}"
+  override def description(): String =
+    s"graft-changefeed $dir ${readSchema0.fieldNames.mkString(",")}" +
+      (if (bounds.isEmpty) "" else s" PrunedBy: ${bounds.mkString(", ")}")
 
   // one Hadoop-conf broadcast per SCAN — a fresh broadcast per reader
   // factory would pile up driver-side broadcast state on a long stream
@@ -96,13 +117,14 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int) extend
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ChangefeedFiles.list(dir).map(f => ChangefeedFilePartition(f): InputPartition)
+      ChangefeedFiles.pruneByUpdated(ChangefeedFiles.list(dir), bounds)
+        .map(f => ChangefeedFilePartition(f): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
       new ChangefeedReaderFactory(readSchema0.fieldNames, conf)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangefeedMicroBatchStream(readSchema0, dir, maxFiles)
+    new ChangefeedMicroBatchStream(readSchema0, dir, maxFiles, bounds)
 }
 
 /** Streaming offset = the lexicographically-largest admitted file name
@@ -133,7 +155,8 @@ object ChangefeedOffset {
   }
 }
 
-class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPerTrigger: Int)
+class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPerTrigger: Int,
+    bounds: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: snapshot the listing once, then drain exactly
@@ -204,7 +227,11 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ChangefeedOffset].lastFile
     val hi = end.asInstanceOf[ChangefeedOffset].lastFile
-    currentListing(refresh = false).filter(f => f > lo && f <= hi)
+    // offsets ADVANCE over every admitted file (the frontier must pass
+    // skipped objects), but pruned files are never opened — a catch-up
+    // stream with an `updated >= X` bound skips the old backlog's bytes
+    ChangefeedFiles.pruneByUpdated(
+        currentListing(refresh = false).filter(f => f > lo && f <= hi), bounds)
       .map(f => ChangefeedFilePartition(f): InputPartition)
   }
 
@@ -346,6 +373,93 @@ object ChangefeedFiles {
   def list(dir: String): Array[String] = {
     val (data, markers) = listClassified(dir)
     if (markers.isEmpty) data else data.filter(_ < markers.last)
+  }
+
+  /** The name-embedded timestamp of a changefeed object: the first
+    * maximal digit run (≥ 6 digits — real changefeed names embed full
+    * HLC wall times; the floor keeps incidental short runs like Spark's
+    * `part-00000` counters from masquerading as timestamps) in the BASE
+    * name. None ⇒ the file never participates in pruning.
+    */
+  private[sources] def embeddedTs(path: String): Option[String] = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    "[0-9]{6,}".r.findFirstIn(base)
+  }
+
+  private def nanosOf(v: String): Option[String] = {
+    val digits = v.takeWhile(_.isDigit)
+    if (digits.nonEmpty) Some(digits) else None
+  }
+
+  /** Is this pushed filter usable for listing-time file pruning? Only
+    * comparison bounds on the `updated` HLC string with a numeric
+    * wall-time prefix qualify.
+    */
+  def prunable(f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case GreaterThan("updated", v: String) => nanosOf(v).isDefined
+      case GreaterThanOrEqual("updated", v: String) => nanosOf(v).isDefined
+      case LessThan("updated", v: String) => nanosOf(v).isDefined
+      case LessThanOrEqual("updated", v: String) => nanosOf(v).isDefined
+      case EqualTo("updated", v: String) => nanosOf(v).isDefined
+      case _ => false
+    }
+  }
+
+  /** Skip whole objects using `updated` bounds and the name-embedded
+    * timestamp contract — the SAME ordering premise the streaming
+    * offsets rely on, one step stronger at row level: an object named
+    * with timestamp T holds only mutations whose wall nanos lie in
+    * [T, T_next] where T_next is the next data object's timestamp (a
+    * changefeed sink flushes in time order, so a file's rows are
+    * bracketed by its own and its successor's flush stamps). At 100 TB
+    * this is the difference between a bounded catch-up scan and a
+    * full-bucket read: a backfill with `updated >= X` opens none of
+    * the months of objects below the bound.
+    *
+    * Comparisons happen on DIGIT STRINGS and only when this file's
+    * stamp, the successor's stamp, and the bound's wall prefix have
+    * equal digit length — for equal-length runs string order IS
+    * numeric order, and the bracketing stamps pin every row's digit
+    * count, so the skip decision is exact under the string comparison
+    * semantics the query actually uses (epoch-nanos stamps are all 19
+    * digits in practice, so the guard almost never disables pruning).
+    * Files without a parsable stamp, and the LAST file (no successor
+    * to bracket its rows), are always kept. Every pushed filter is
+    * re-evaluated row-by-row by Spark regardless — pruning can only
+    * skip files whose rows provably fail the filter.
+    */
+  def pruneByUpdated(files: Array[String],
+      bounds: Array[org.apache.spark.sql.sources.Filter]): Array[String] = {
+    import org.apache.spark.sql.sources._
+    if (bounds.isEmpty || files.isEmpty) return files
+    val lowers = bounds.toSeq.collect {
+      case GreaterThan("updated", v: String) => nanosOf(v)
+      case GreaterThanOrEqual("updated", v: String) => nanosOf(v)
+      case EqualTo("updated", v: String) => nanosOf(v)
+    }.flatten
+    val uppers = bounds.toSeq.collect {
+      case LessThan("updated", v: String) => nanosOf(v)
+      case LessThanOrEqual("updated", v: String) => nanosOf(v)
+      case EqualTo("updated", v: String) => nanosOf(v)
+    }.flatten
+    if (lowers.isEmpty && uppers.isEmpty) return files
+    val ts = files.map(embeddedTs)
+    files.indices.filter { i =>
+      val bracket = for {
+        t <- ts(i)
+        tn <- if (i + 1 < files.length) ts(i + 1) else None
+        if t.length == tn.length
+      } yield (t, tn)
+      val belowLower = bracket.exists { case (_, tn) =>
+        lowers.exists(nx => tn.length == nx.length && tn < nx) // rows ≤ tn < bound
+      }
+      val aboveUpper = bracket.exists { case (t, tn) =>
+        uppers.exists(nx => tn.length == nx.length && t > nx) // rows ≥ t > bound
+      }
+      !belowLower && !aboveUpper
+    }.map(files).toArray
   }
 
   /** Hadoop conf for executors — broadcast once per scan so S3/HDFS

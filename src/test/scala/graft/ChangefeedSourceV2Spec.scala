@@ -193,6 +193,62 @@ class ChangefeedSourceV2Spec extends SparkSpec {
     assert(drainedKeys("dsv2_res2") == Set("[1]", "[2]", "[3]", "[4]"))
   }
 
+  test("updated bounds prune whole objects at listing time") {
+    val base = Files.createTempDirectory("graft_dsv2_prunefiles").toString
+    def put(name: String, stamps: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$base/$name"),
+        stamps.map(t => s"""{"after": "v", "key": "[$t]", "updated": "$t.0000000000"}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // contract: a file named T holds rows with nanos in [T, T_next]
+    put("100000.ndjson", Seq("100000", "120000"))
+    put("200000.ndjson", Seq("200000", "250000"))
+    put("300000.ndjson", Seq("300000", "350000"))
+    put("400000.ndjson", Seq("400000"))
+
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[graft.sources.ChangefeedScan]
+          .toBatch.planInputPartitions().length
+      }.get
+
+    // catch-up bound: files provably below it are never opened. File 2
+    // (rows bracketed by [200000, 300000]) may contain a row EQUAL to
+    // the bound, so it must survive; file 1 is skipped.
+    val lo = spark.read.format("graft-changefeed").load(base)
+      .where(col("updated") >= "300000.0000000000")
+    assert(plannedFiles(lo) == 3)
+    assert(lo.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("[300000]", "[350000]", "[400000]"))
+
+    // upper bound: file 3 (rows ≥ 300000) skips; the LAST file has no
+    // successor to bracket its rows and is conservatively kept
+    val hi = spark.read.format("graft-changefeed").load(base)
+      .where(col("updated") < "200000.0000000000")
+    assert(plannedFiles(hi) == 3)
+    assert(hi.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("[100000]", "[120000]"))
+
+    // digit-length mismatch (string vs numeric order can diverge) and
+    // unstamped names disable pruning rather than risk wrong skips
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val files = graft.sources.ChangefeedFiles.list(base)
+    assert(graft.sources.ChangefeedFiles.pruneByUpdated(files,
+      Array(GreaterThanOrEqual("updated", "99999999.0"))).length == 4)
+    assert(graft.sources.ChangefeedFiles.pruneByUpdated(
+      Array(s"$base/part-00000-aa.json", s"$base/part-00001-bb.json"),
+      Array(GreaterThanOrEqual("updated", "300000.0"))).length == 2)
+
+    // a streaming catch-up with the same bound skips the old backlog's
+    // bytes while the offset frontier still advances past every file
+    val q = Changefeed.readStream(spark, base, maxFilesPerTrigger = 2)
+      .where(col("hlc.nanos") >= 300000L)
+      .writeStream.format("memory").queryName("dsv2_prune_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+    assert(spark.table("dsv2_prune_stream").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("[300000]", "[350000]", "[400000]"))
+  }
+
   test("column pruning reaches the json decode") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_dsv2_prune"
     writeLines(dir, envelopes, 2)
