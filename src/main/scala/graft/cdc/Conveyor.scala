@@ -104,23 +104,36 @@ object Conveyor {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[String, Conveyor]
 
+    /** Shared bootstrap: frontier + group-resolved scalar from the
+      * proposal log, control-plane lag read (one row, like the
+      * reference's checkpoint-table query — never a data-plane
+      * collect; only in the dynamic regime), mode selection against
+      * `current`.
+      */
+    private def bootstrap(schema: String, proposals: DataFrame,
+        partition: Column, nanos: Column, arrival: Column, nowUs: => Long,
+        current: Option[Mode]): Conveyor = {
+      val frontier = Checkpoint.advance(proposals, partition, nanos, arrival)
+      val resolved = Checkpoint.groupResolved(frontier)
+      val dynamic = !cfg.immediate && !cfg.bestEffortOnly &&
+        cfg.bestEffortWindowUs > 0L
+      val lagUs =
+        if (!dynamic) 0L
+        else {
+          val row = resolved.collect()(0)
+          if (row.isNullAt(0)) Long.MaxValue // empty checkpoint: way behind
+          else nowUs - row.getLong(0) / 1000L
+        }
+      Conveyor(schema, selectMode(cfg, lagUs, current), frontier, resolved)
+    }
+
+    // getOrElseUpdate may evaluate the thunk more than once under a
+    // concurrent get() for the same schema — harmless (bootstrap is
+    // read-only; one winner lands in the cache)
     def get(schema: String, proposals: DataFrame, partition: Column,
         nanos: Column, arrival: Column, nowUs: => Long): Conveyor =
-      cache.getOrElseUpdate(schema, {
-        val frontier = Checkpoint.advance(proposals, partition, nanos, arrival)
-        val resolved = Checkpoint.groupResolved(frontier)
-        val dynamic = !cfg.immediate && !cfg.bestEffortOnly &&
-          cfg.bestEffortWindowUs > 0L
-        val lagUs =
-          if (!dynamic) 0L
-          else { // control-plane read: one row, like the reference's
-            // checkpoint-table query — never a data-plane collect
-            val row = resolved.collect()(0)
-            if (row.isNullAt(0)) Long.MaxValue // empty checkpoint: way behind
-            else nowUs - row.getLong(0) / 1000L
-          }
-        Conveyor(schema, selectMode(cfg, lagUs, None), frontier, resolved)
-      })
+      cache.getOrElseUpdate(schema,
+        bootstrap(schema, proposals, partition, nanos, arrival, nowUs, None))
 
     /** Re-evaluate a cached conveyor's mode against a FRESH proposal
       * log (the reference re-runs modeSelector as the resolving range
@@ -132,24 +145,36 @@ object Conveyor {
       */
     def refresh(schema: String, proposals: DataFrame, partition: Column,
         nanos: Column, arrival: Column, nowUs: => Long): Conveyor = {
-      val current = cache.get(schema).map(_.mode)
-      val frontier = Checkpoint.advance(proposals, partition, nanos, arrival)
-      val resolved = Checkpoint.groupResolved(frontier)
-      val dynamic = !cfg.immediate && !cfg.bestEffortOnly &&
-        cfg.bestEffortWindowUs > 0L
-      val lagUs =
-        if (!dynamic) 0L
-        else {
-          val row = resolved.collect()(0)
-          if (row.isNullAt(0)) Long.MaxValue
-          else nowUs - row.getLong(0) / 1000L
-        }
-      val next = Conveyor(schema, selectMode(cfg, lagUs, current),
-        frontier, resolved)
+      val next = bootstrap(schema, proposals, partition, nanos, arrival,
+        nowUs, cache.get(schema).map(_.mode))
       cache.put(schema, next)
       next
     }
 
     def cached(schema: String): Option[Conveyor] = cache.get(schema)
+
+    /** Wire mode re-selection into a STREAMING query: returns a
+      * `foreachBatch` function that, per trigger, rebuilds the proposal
+      * log (`proposalsOf(batch, batchId)` — typically the accumulated
+      * checkpoint state including this batch's resolved events),
+      * re-runs the mode selector with hysteresis via [[refresh]], then
+      * accepts the micro-batch under the refreshed mode and hands
+      * `(accepted, mode, batchId)` to the sink. This is the reference's
+      * `DoWhenChangedOrInterval(modeSelector)` loop
+      * (`internal/conveyor/conveyor.go:256`): the selector re-fires as
+      * the resolved range moves, so a conveyor that bootstrapped
+      * best-effort during backfill flips to consistent when the
+      * frontier catches up — per trigger, not once at bootstrap.
+      */
+    def foreachBatchAccept(schema: String,
+        proposalsOf: (DataFrame, Long) => DataFrame,
+        partition: Column, nanos: Column, arrival: Column, nowUs: () => Long,
+        keys: Seq[String], order: Column, tsNanos: Column)(
+        sink: (DataFrame, Mode, Long) => Unit): (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        val c = refresh(schema, proposalsOf(batch, batchId),
+          partition, nanos, arrival, nowUs())
+        sink(c.accept(batch, keys, order, tsNanos), c.mode, batchId)
+      }
   }
 }

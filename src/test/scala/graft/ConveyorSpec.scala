@@ -128,6 +128,61 @@ class ConveyorSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(out(0).fieldIndex("speculative"))))
   }
 
+  test("streaming loop re-selects the mode per trigger (foreachBatchAccept)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val f = new Conveyor.Conveyors(Config(bestEffortWindowUs = 1000L))
+    // the checkpoint frontier advances across triggers: lag 1000µs
+    // (behind) → 500µs (hysteresis band) → 100µs (caught up)
+    val propsByPhase = Map(
+      1L -> Seq((0L, 0L, 1L)),
+      2L -> Seq((0L, 500000L, 2L)),
+      3L -> Seq((0L, 900000L, 3L)))
+    @volatile var lastPhase = 1L
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[(Long, Long, Option[Boolean])])]
+    val fn = f.foreachBatchAccept("s",
+      proposalsOf = (batch, _) => {
+        // phase keyed off batch content: robust to zero-data batches
+        val ids = batch.select(max(col("eid"))).collect()
+        if (!ids(0).isNullAt(0)) lastPhase = math.min(ids(0).getLong(0), 3L)
+        propsByPhase(lastPhase).toDF("part", "nanos", "arr")
+      },
+      partition = col("part"), nanos = col("nanos"), arrival = col("arr"),
+      nowUs = () => 1000L,
+      keys = Seq("k"), order = struct(col("nanos"), col("eid")),
+      tsNanos = col("nanos")) { (out, mode, _) =>
+      val rows = out.orderBy("k").collect().map { r =>
+        val si = r.fieldIndex("speculative")
+        (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(si)) None else Some(r.getBoolean(si)))
+      }.toSeq
+      if (rows.nonEmpty) seen += ((mode.name, rows))
+      ()
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDF().toDF("k", "eid", "nanos")
+      .writeStream.foreachBatch((b: DataFrame, id: Long) => { fn(b, id); () })
+      .start()
+    try {
+      in.addData((1L, 1L, 100L)); q.processAllAvailable()
+      in.addData((2L, 2L, 400000L)); q.processAllAvailable()
+      in.addData((3L, 3L, 950000L), (4L, 3L, 800000L)); q.processAllAvailable()
+    } finally q.stop()
+
+    // lagging stream starts best-effort, HOLDS through the hysteresis
+    // band, flips to consistent once the frontier catches up
+    assert(seen.map(_._1).toSeq == Seq("best_effort", "best_effort", "consistent"))
+    // per-mode acceptance: behind-frontier row is speculative; band row
+    // durable; consistent trigger gates the beyond-frontier row out
+    assert(seen(0)._2 == Seq((1L, 100L, Some(true))))
+    assert(seen(1)._2 == Seq((2L, 400000L, Some(false))))
+    assert(seen(2)._2 == Seq((4L, 800000L, Some(false))))
+    // and the cache holds the refreshed conveyor after the run
+    assert(f.cached("s").get.mode == Consistent)
+  }
+
   test("refresh re-selects the mode as lag evolves (hysteresis live)") {
     val f = new Conveyor.Conveyors(Config(bestEffortWindowUs = 1000L))
     // frontier nanos 200 → resolvedUs 0; lag == nowUs in this fixture
