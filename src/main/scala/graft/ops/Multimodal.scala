@@ -10,17 +10,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * with a partition-batched decode/feature-extract stage.
   *
-  * Image decode and resize are REAL (`javax.imageio` PNG round-trip —
-  * ships with every JDK, no external codec): image rows carry actual
-  * PNG bytes rendered from a deterministic gradient fixture, the decode
-  * stage parses them with `ImageIO.read` and derives every checked
-  * column (dims, checksum, mean) from the decoded raster. Audio/video
-  * byte decode stays a deterministic md5 stub (no codecs in this
-  * container), but the Spark-side shape — binary column schema,
-  * metadata struct, typed `mapPartitions` batching (the Scala analogue
-  * of `mapInPandas`: one iterator per partition so codec/model init
-  * amortizes, exactly how a GPU feature extractor is wired), and the
-  * per-media-type partitioning contract — is identical for all three.
+  * Image decode/resize are REAL (`javax.imageio` PNG round-trip) and so
+  * is audio decode (`javax.sound.sampled` WAV/PCM — both ship with
+  * every JDK, no external codec): image rows carry actual PNG bytes
+  * rendered from a deterministic gradient fixture, audio rows carry a
+  * real RIFF/WAVE file wrapping a deterministic 8-bit PCM ramp, and the
+  * decode stage parses them with `ImageIO.read` /
+  * `AudioSystem.getAudioInputStream`, deriving every checked column
+  * (dims, sample count, checksum, mean) from the decoded raster or PCM
+  * frames. Video byte decode stays a deterministic md5 stub (no video
+  * codec exists in the JDK), but the Spark-side shape — binary column
+  * schema, metadata struct, typed `mapPartitions` batching (the Scala
+  * analogue of `mapInPandas`: one iterator per partition so codec/model
+  * init amortizes, exactly how a GPU feature extractor is wired), and
+  * the per-media-type partitioning contract — is identical for all
+  * three.
   */
 object Multimodal {
 
@@ -32,11 +36,11 @@ object Multimodal {
       feature: Array[Float])
 
   /** Attach a binary payload + metadata to each document. Image rows
-    * get a REAL PNG (rendered per partition — stands in for fetching
-    * image bytes from object storage); audio/video rows get synthetic
-    * bytes derived from the doc id and text. Fixture dims and pixel
-    * content are pure functions of the id, so an oracle can predict
-    * what a correct decode must recover.
+    * get a REAL PNG, audio rows a REAL WAV (rendered per partition —
+    * stands in for fetching media bytes from object storage); video
+    * rows get synthetic bytes derived from the doc id and text.
+    * Fixture dims and pixel/sample content are pure functions of the
+    * id, so an oracle can predict what a correct decode must recover.
     */
   def attachPayloads(docs: DataFrame, id: String, text: String): DataFrame = {
     val meta = docs.select(
@@ -51,9 +55,11 @@ object Multimodal {
     meta.as[MediaRow].mapPartitions { rows =>
       ImageIO.setUseCache(false) // no temp-file cache inside tasks
       rows.map { r =>
-        if (r.media_type == "image")
-          r.copy(payload = renderPng(r.doc_id, r.width, r.height))
-        else r
+        r.media_type match {
+          case "image" => r.copy(payload = renderPng(r.doc_id, r.width, r.height))
+          case "audio" => r.copy(payload = renderWav(r.doc_id, r.width, r.height))
+          case _ => r
+        }
       }
     }.toDF()
   }
@@ -78,10 +84,35 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic PCM ramp fixture wrapped in a REAL RIFF/WAVE file
+    * (`javax.sound.sampled` writes and reads WAV in every JDK): 8-bit
+    * unsigned mono at 8 kHz, `n = w*h*4` samples, sample(i) =
+    * base + (i % 13) with base = id % 128. The sample sum has the
+    * closed form `base*n + 78*(n/13) + r*(r-1)/2` (r = n mod 13), so
+    * SQL can verify a decode.
+    */
+  private def renderWav(docId: Long, w: Int, h: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val base = (docId % 128).toInt
+    val n = w * h * 4
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = (base + (i % 13)).toByte; i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Partition-batched decode: iterate once per partition, REAL
-    * `ImageIO.read` for image rows — dims, checksum and mean all come
-    * from the decoded raster, so a broken decoder fails the oracle.
-    * Audio/video fall back to the md5 stub (independently computable).
+    * `ImageIO.read` for image rows and a real `AudioSystem` WAV parse
+    * for audio rows — dims, sample counts, checksum and mean all come
+    * from the decoded raster/frames, so a broken decoder fails the
+    * oracle. Video (and any undecodable payload) falls back to the md5
+    * stub (independently computable).
     */
   def decodeFeatures(media: DataFrame, featureDim: Int = 8): Dataset[DecodedRow] = {
     implicit val inEnc = Encoders.product[MediaRow]
@@ -91,13 +122,49 @@ object Multimodal {
       // same place a real decoder amortizes model/codec setup
       ImageIO.setUseCache(false)
       val digest = java.security.MessageDigest.getInstance("MD5")
+
+      // a real WAV parse; None for bytes the JDK's reader rejects — one
+      // corrupt object must degrade to the opaque path, never fail a
+      // 100 TB job
+      def decodeAudio(r: MediaRow): Option[DecodedRow] =
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          val pcm = try ais.readAllBytes() finally ais.close()
+          val n = pcm.length
+          if (n == 0) None
+          else {
+            var sum = 0L
+            val bandSum = new Array[Long](featureDim)
+            val bandN = new Array[Long](featureDim)
+            var i = 0
+            while (i < n) {
+              val v = pcm(i) & 0xff // 8-bit unsigned PCM
+              sum += v; val b = i * featureDim / n
+              bandSum(b) += v; bandN(b) += 1
+              i += 1
+            }
+            val checksum = hex(digest.digest(s"pcm:$n:$sum".getBytes("UTF-8")))
+            val feature = Array.tabulate(featureDim) { i =>
+              if (bandN(i) == 0) 0f
+              else (bandSum(i).toDouble / bandN(i) / 255.0).toFloat
+            }
+            Some(DecodedRow(r.doc_id, r.media_type, n, checksum,
+              sum.toDouble / n / 255.0, 0, 0, feature))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+
       rows.map { r =>
         // ImageIO.read returns NULL (not an exception) for bytes no
-        // registered reader decodes — one corrupt object must degrade
-        // to the opaque-binary path, never NPE a 100 TB job
+        // registered reader decodes — same degrade-to-opaque contract
         val img = if (r.media_type == "image")
           ImageIO.read(new ByteArrayInputStream(r.payload)) else null
-        if (img != null) {
+        val audio = if (r.media_type == "audio") decodeAudio(r) else None
+        if (audio.isDefined) audio.get
+        else if (img != null) {
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           var sum = 0L

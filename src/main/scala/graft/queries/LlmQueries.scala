@@ -742,8 +742,9 @@ object LlmQueries {
       |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
-  // -- multimodal pipeline (REAL ImageIO decode for images; audio/video
-  // byte-decode stubbed; every checked column oracle-recomputable) ------
+  // -- multimodal pipeline (REAL ImageIO decode for images, REAL WAV
+  // decode for audio; video byte-decode stubbed; every checked column
+  // oracle-recomputable) -------------------------------------------------
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
@@ -752,7 +753,11 @@ object LlmQueries {
     * the oracle recomputes the decoded dims, pixel sum (closed form
     * w*h*base + h*w(w-1)/2 + w*h(h-1)/2), the checksum md5("WxH:sum"),
     * and the mean — so a decoder returning wrong pixels hash-fails.
-    * Audio/video stay md5-of-payload stubs, derivable in SQL as before.
+    * Audio rows carry a real WAV (PCM ramp: sample(i) = base + i%13,
+    * n = w*h*4 samples) decoded with javax.sound.sampled; the oracle
+    * recomputes the sample sum in closed form (base*n + 78*(n//13) +
+    * r*(r-1)/2), the md5("pcm:n:sum") checksum, and the mean. Video
+    * stays the md5-of-payload stub (no JDK video codec).
     */
   val multimodalSql: String =
     """WITH m AS (
@@ -766,16 +771,26 @@ object LlmQueries {
       |s AS (
       |  SELECT *,
       |    CAST(w AS BIGINT) * h * base + CAST(h AS BIGINT) * (w * (w - 1) // 2)
-      |      + CAST(w AS BIGINT) * (h * (h - 1) // 2) AS px_sum
+      |      + CAST(w AS BIGINT) * (h * (h - 1) // 2) AS px_sum,
+      |    CAST(w AS BIGINT) * h * 4 AS a_n,
+      |    CAST(base AS BIGINT) * (CAST(w AS BIGINT) * h * 4)
+      |      + 78 * (CAST(w AS BIGINT) * h * 4 // 13)
+      |      + ((CAST(w AS BIGINT) * h * 4 % 13) * (CAST(w AS BIGINT) * h * 4 % 13 - 1)) // 2
+      |      AS a_sum
       |  FROM m)
       |SELECT doc_id, media_type,
       |  CASE WHEN media_type = 'image' THEN CAST(w * h AS BIGINT)
+      |       WHEN media_type = 'audio' THEN a_n
       |       ELSE CAST(octet_length(encode(payload)) AS BIGINT) END AS n_bytes,
       |  CASE WHEN media_type = 'image'
       |       THEN md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' || CAST(px_sum AS VARCHAR))
+      |       WHEN media_type = 'audio'
+      |       THEN md5('pcm:' || CAST(a_n AS VARCHAR) || ':' || CAST(a_sum AS VARCHAR))
       |       ELSE md5(payload) END AS checksum,
       |  CASE WHEN media_type = 'image'
       |       THEN CAST(px_sum AS DOUBLE) / (w * h) / 255.0
+      |       WHEN media_type = 'audio'
+      |       THEN CAST(a_sum AS DOUBLE) / a_n / 255.0
       |       ELSE (CAST(strpos('0123456789abcdef', substr(md5(payload), 1, 1)) - 1 AS DOUBLE) * 16
       |             + CAST(strpos('0123456789abcdef', substr(md5(payload), 2, 1)) - 1 AS DOUBLE)
       |             - 128.0) / 128.0 END AS f0,

@@ -284,6 +284,39 @@ class OpsSpec extends SparkSpec {
     assert(rimg.getWidth == rs.out_w && rimg.getHeight == rs.out_h)
   }
 
+  test("multimodal audio decode is a real javax.sound WAV round-trip") {
+    val d = docs.withColumnRenamed("text", "t")
+    val media = Multimodal.attachPayloads(d, "doc_id", "t")
+    // doc_id 4 is the audio row: w = 4%16+8 = 12, h = (4/16)%16+8 = 8, base = 4
+    val payload = media.filter(col("doc_id") === 4)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF") // real WAV header
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+
+    val audio = Multimodal.decodeFeatures(media).collect()
+      .find(_.doc_id == 4L).get
+    val (w, h, base) = (12, 8, 4)
+    val n = w * h * 4 // 384 samples; decode must recover the count
+    assert(audio.n_bytes == n)
+    // closed-form PCM ramp sum: base*n + 78*(n/13) + r*(r-1)/2
+    val r = n % 13
+    val pcmSum = base.toLong * n + 78L * (n / 13) + r.toLong * (r - 1) / 2
+    assert(audio.px_mean == pcmSum.toDouble / n / 255.0)
+    assert(audio.checksum == java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pcm:$n:$pcmSum".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    // band features are per-segment means of the ramp — all near base+6
+    assert(audio.feature.length == 8)
+    assert(audio.feature.forall(f => math.abs(f - (base + 6) / 255.0) < 0.03))
+
+    // corrupt audio bytes degrade to the opaque path, never throw
+    val bad = Seq(Multimodal.MediaRow(7L, "audio", 8, 8,
+      "definitely not a wav".getBytes("UTF-8"))).toDF()
+    val out = Multimodal.decodeFeatures(bad).collect()
+    assert(out.length == 1 && out(0).checksum.length == 32)
+    assert(out(0).n_bytes == 20) // stub path: raw payload length
+  }
+
   test("corrupt image bytes degrade to the opaque-binary path, not NPE") {
     val bad = Seq(Multimodal.MediaRow(9L, "image", 8, 8,
       "definitely not a png".getBytes("UTF-8"))).toDF()
