@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   * a shuffle-once `max_by`, which is what survives a 100 TB replay.
   */
 object Apply {
+  private[cdc] val log = org.slf4j.LoggerFactory.getLogger(Apply.getClass)
 
   /** Materialize current state from an upsert/delete mutation stream:
     * last-one-wins per key, then drop keys whose final op is a delete
@@ -145,6 +146,17 @@ object Apply {
       }
     }
     val ignoreSpecs = ignore.map(spec(_, "ignore"))
+    // renames/extras resolve through actual() and fail loudly on a miss;
+    // an ignore that matches nothing is SILENT — the column flows to the
+    // target unignored. Common cause: an unquoted name with a literal
+    // dot ('address.city') now parses as a qualified name. Warn with the
+    // quoted form as the migration path instead of losing the intent.
+    ignore.zip(ignoreSpecs).foreach { case (n, s) =>
+      if (!src.columns.exists(hits(s, _)))
+        Apply.log.warn(s"schemaMap: ignore '$n' matches NO source column — " +
+          "the column (if any) will flow to the target. A literal dot in " +
+          "the name must be quoted: ignore \"" + n + "\" (quoted form).")
+    }
     val renameSpecs = renames.map(r => spec(r._1, "rename source"))
     val extrasSpecs = extrasJson.map(_._2.map(spec(_, "extras column"))).getOrElse(Nil)
     val kept = src.columns.filterNot(c =>

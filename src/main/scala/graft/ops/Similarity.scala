@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   * the bucket join shuffles each vector once to its bucket.
   */
 object Similarity {
+  private val log = org.slf4j.LoggerFactory.getLogger(Similarity.getClass)
 
   /** Elementwise double-precision dot product of two float-array cols. */
   def dot(a: Column, b: Column): Column =
@@ -200,6 +201,8 @@ object Similarity {
     val planes =
       if (nPlanes > 0) nPlanes
       else { // control-plane count: one cheap job over distinct vectors
+        // (the one blocking extra job per call — acceptable because it
+        // is a count over the collapsed reps, not the full corpus)
         val n = repVecs.count()
         val byBucket = math.min(24, math.max(4,
           math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
@@ -211,6 +214,19 @@ object Similarity {
       if (nTables > 0) nTables
       else math.min(maxTables,
         math.max(8, math.ceil(math.log(1e6) / math.pow(agree, planes)).toInt))
+    // when the 512-table cap binds, the 1e-6 recall budget is NOT met —
+    // say so (with the effective per-pair miss at the threshold) instead
+    // of silently degrading at exploratory thresholds
+    if (nPlanes <= 0 || nTables <= 0) {
+      val missProb = math.pow(1.0 - math.pow(agree, planes), tables)
+      if (missProb > 1e-6)
+        Similarity.log.warn(f"embeddingNearDups auto-sizing: planes=$planes " +
+          f"tables=$tables (cap $maxTables) gives per-pair candidate-miss " +
+          f"$missProb%.2e AT threshold $threshold%.2f — above the 1e-6 budget. " +
+          "Auto mode is tuned for dup-grade thresholds (>= ~0.7); for " +
+          "exploratory thresholds set nPlanes/nTables explicitly or accept " +
+          "the reduced recall.")
+    }
     // candidate generation carries ONLY (table, bucket, id) — a pair
     // colliding in many tables must not drag its vectors through the
     // join nTables times (measured 10 s → ~2 s at sf0.1). Pairs dedup
