@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Head-to-head micro-bench: the first-class DSv2 changefeed connector
+  * vs Spark's generic json file stream over the SAME changefeed
+  * directory, swept across `maxFilesPerTrigger`.
+  *
+  * What it isolates: per-trigger fixed costs. The DSv2 source does ONE
+  * directory listing per trigger (cached across latestOffset /
+  * reportLatestOffset / planInputPartitions) and keeps O(1) offset
+  * state (one file name), while the generic file source re-lists and
+  * carries a seen-file map that grows with the backlog — at a small
+  * files-per-trigger (the latency-sensitive regime) the fixed cost
+  * dominates and the connector's listing reuse shows up directly.
+  *
+  * Output: one JSON line per (path, maxFilesPerTrigger) with total
+  * drain seconds, trigger count, mean trigger ms, and rows (both paths
+  * must agree). Results recorded in SCALE.md.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nFiles = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // changefeed envelope fixture: events as ndjson, 64 objects
+    val dir = s"/tmp/graft_streambench/src_${nFiles}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      Tables.events(spark, base).select(
+        to_json(array(col("user_id"))).as("key"),
+        to_json(struct(col("event_id"), col("value"))).as("after"),
+        concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"),
+          lit(".0000000000")).as("updated"))
+        .repartition(nFiles)
+        .write.mode("overwrite").json(dir)
+    }
+
+    def drain(name: String, mft: Int, reader: => DataFrame): (Double, Int, Long) = {
+      val ck = java.nio.file.Files.createTempDirectory("graft_sb_ck").toString
+      var rows = 0L
+      val t0 = System.nanoTime()
+      val q = reader
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          rows += b.count(); ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(600000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val triggers = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (sec, triggers, rows)
+    }
+
+    // warmup both paths once (JIT + codegen), not reported
+    drain("warmup_v2", 32, graft.cdc.Changefeed.readStream(spark, dir, 32))
+    drain("warmup_json", 32, graft.cdc.Changefeed.readStreamGenericJson(spark, dir, 32))
+
+    val out = for {
+      mft <- Seq(1, 4, 16)
+      (name, reader) <- Seq(
+        "dsv2" -> (() => graft.cdc.Changefeed.readStream(spark, dir, mft)),
+        "generic_json" -> (() => graft.cdc.Changefeed.readStreamGenericJson(spark, dir, mft)))
+    } yield {
+      val (sec, triggers, rows) = drain(name, mft, reader())
+      val perTrigger = if (triggers == 0) 0.0 else sec * 1000.0 / triggers
+      println(f"$name%-14s mft=$mft%-3d total ${sec}%6.2f s  " +
+        f"triggers $triggers%3d  mean ${perTrigger}%7.1f ms/trigger  rows $rows")
+      f"""{"path": "$name", "mft": $mft, "total_sec": $sec%.2f, "triggers": $triggers, "ms_per_trigger": $perTrigger%.1f, "rows": $rows}"""
+    }
+    println("STREAMBENCH [\n" + out.mkString(",\n") + "\n]")
+    spark.stop()
+  }
+}
