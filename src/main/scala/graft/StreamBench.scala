@@ -34,8 +34,14 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // changefeed envelope fixture: events as ndjson, 64 objects
-    val dir = s"/tmp/graft_streambench/src_${nFiles}"
+    // changefeed envelope fixture: events as ndjson, 64 objects.
+    // Content-keyed dir (source path + length + mtime, as
+    // CdcQueries.fixture does) — a bare count key would silently reuse
+    // a stale fixture from a DIFFERENT dataset
+    val srcFile = new java.io.File(s"$base/events.parquet")
+    val tag = base.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${srcFile.length()}_${srcFile.lastModified()}"
+    val dir = s"/tmp/graft_streambench/src_${nFiles}_$tag"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       Tables.events(spark, base).select(
         to_json(array(col("user_id"))).as("key"),
@@ -46,7 +52,7 @@ object StreamBench {
         .write.mode("overwrite").json(dir)
     }
 
-    def drain(name: String, mft: Int, reader: => DataFrame): (Double, Int, Long) = {
+    def drain(mft: Int, reader: => DataFrame): (Double, Int, Long) = {
       val ck = java.nio.file.Files.createTempDirectory("graft_sb_ck").toString
       var rows = 0L
       val t0 = System.nanoTime()
@@ -64,8 +70,8 @@ object StreamBench {
     }
 
     // warmup both paths once (JIT + codegen), not reported
-    drain("warmup_v2", 32, graft.cdc.Changefeed.readStream(spark, dir, 32))
-    drain("warmup_json", 32, graft.cdc.Changefeed.readStreamGenericJson(spark, dir, 32))
+    drain(32, graft.cdc.Changefeed.readStream(spark, dir, 32))
+    drain(32, graft.cdc.Changefeed.readStreamGenericJson(spark, dir, 32))
 
     val out = for {
       mft <- Seq(1, 4, 16)
@@ -73,7 +79,7 @@ object StreamBench {
         "dsv2" -> (() => graft.cdc.Changefeed.readStream(spark, dir, mft)),
         "generic_json" -> (() => graft.cdc.Changefeed.readStreamGenericJson(spark, dir, mft)))
     } yield {
-      val (sec, triggers, rows) = drain(name, mft, reader())
+      val (sec, triggers, rows) = drain(mft, reader())
       val perTrigger = if (triggers == 0) 0.0 else sec * 1000.0 / triggers
       println(f"$name%-14s mft=$mft%-3d total ${sec}%6.2f s  " +
         f"triggers $triggers%3d  mean ${perTrigger}%7.1f ms/trigger  rows $rows")

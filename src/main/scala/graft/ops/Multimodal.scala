@@ -140,7 +140,10 @@ object Multimodal {
             var i = 0
             while (i < n) {
               val v = pcm(i) & 0xff // 8-bit unsigned PCM
-              sum += v; val b = i * featureDim / n
+              // long math: i * featureDim overflows Int past ~268 MB of
+              // PCM, and an AIOOBE here would escape the decode-failure
+              // catch and kill the job
+              sum += v; val b = (i.toLong * featureDim / n).toInt
               bandSum(b) += v; bandN(b) += 1
               i += 1
             }
@@ -172,7 +175,7 @@ object Multimodal {
           val bandN = new Array[Long](featureDim)
           var y = 0
           while (y < h) {
-            val band = y * featureDim / h
+            val band = (y.toLong * featureDim / h).toInt // long math, as decodeAudio
             var x = 0
             while (x < w) {
               val v = raster.getSample(x, y, 0)

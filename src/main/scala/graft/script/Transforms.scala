@@ -92,7 +92,10 @@ object Transforms {
   final case class Merge(before: Column, proposed: Column, target: Column,
       resolve: Seq[(String, Column)], fallback: String) extends Step {
     def apply(df: DataFrame): DataFrame = {
-      val reserved = Seq("target_v", "proposed_v", "before_v", "__std", "__res")
+      // scratch names AND output names: a pre-existing `merged`/`is_dlq`
+      // column would be silently overwritten by withColumn otherwise
+      val reserved = Seq("target_v", "proposed_v", "before_v", "__std", "__res",
+        "merged", "unmerged", "is_dlq")
       val clash = reserved.filter(df.columns.contains)
       if (clash.nonEmpty) throw new IllegalArgumentException(
         s"merge: input column name(s) ${clash.mkString(", ")} are reserved")

@@ -187,30 +187,38 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  // monotonic-name contract check: the count of listed files at or
-  // below the committed frontier can only grow if a producer wrote a
-  // NEW object that sorts below an already-committed name — such a file
-  // is silently skipped by the frontier offset, so surface it loudly
-  // instead of losing data quietly (cheap: one count per trigger).
-  @volatile private var belowFrontierCount = -1
+  // monotonic-name contract check: when we admit an offset S we know
+  // exactly how many listed files sort ≤ S; if a LATER listing shows
+  // more files ≤ that same S, a producer wrote a new object below an
+  // already-committed name — such a file is silently skipped by the
+  // frontier offset, so surface it loudly instead of losing data
+  // quietly (cheap: one count per trigger, compared at the SAME
+  // frontier so normal progress never false-positives).
+  @volatile private var expectedBelow: (String, Int) = ("", 0)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startFile = start.asInstanceOf[ChangefeedOffset].lastFile
     val listing = currentListing(refresh = true)
     val below = listing.count(_ <= startFile)
-    if (belowFrontierCount >= 0 && below > belowFrontierCount)
-      ChangefeedMicroBatchStream.log.warn(
-        s"${below - belowFrontierCount} newly listed file(s) in $dir sort at or below the " +
-        s"committed offset '$startFile' — the monotonic-object-name contract is violated " +
-        "and these files will be SKIPPED. Use Changefeed.readStreamGenericJson for feeds " +
-        "with non-monotonic names.")
-    belowFrontierCount = below
+    expectedBelow match {
+      case (`startFile`, expected) if below > expected =>
+        ChangefeedMicroBatchStream.log.warn(
+          s"${below - expected} newly listed file(s) in $dir sort at or below the " +
+          s"committed offset '$startFile' — the monotonic-object-name contract is violated " +
+          "and these files will be SKIPPED. Use Changefeed.readStreamGenericJson for feeds " +
+          "with non-monotonic names.")
+      case _ => ()
+    }
     val pending = listing.filter(_ > startFile)
     val admitted = limit match {
       case f: ReadMaxFiles => pending.take(f.maxFiles())
       case _ => pending
     }
-    if (admitted.isEmpty) start else ChangefeedOffset(admitted.last)
+    // pending is sorted ascending, so files ≤ the new offset are
+    // exactly below + admitted.length — the baseline the next trigger
+    // checks against
+    if (admitted.isEmpty) { expectedBelow = (startFile, below); start }
+    else { expectedBelow = (admitted.last, below + admitted.length); ChangefeedOffset(admitted.last) }
   }
 
   override def reportLatestOffset(): Offset = {
@@ -270,7 +278,16 @@ class ChangefeedFileReader(file: String, fields: Array[String],
     hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   private val path = new Path(file)
-  private val in = path.getFileSystem(hadoopConf).open(path)
+  // honor Hadoop compression codecs by extension (.gz/.bz2/...) — the
+  // changefeed sink's compression option, and what the generic json
+  // reader does; raw bytes through the line parser would turn every
+  // compressed object into all-null PERMISSIVE phantom rows
+  private val in: java.io.InputStream = {
+    val raw = path.getFileSystem(hadoopConf).open(path)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(hadoopConf)
+      .getCodec(path)
+    if (codec == null) raw else codec.createInputStream(raw)
+  }
   private val lines = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
   private var row: InternalRow = _
 
@@ -334,27 +351,42 @@ object ChangefeedFiles {
   /** Sorted recursive listing, classified into (data files, RESOLVED
     * markers) in one pass. Any path SEGMENT starting with `_` or `.` is
     * hidden (covers `_SUCCESS`, `_spark_metadata/...`, dotfiles).
+    * Glob patterns expand via Hadoop `globStatus` (parity with the
+    * generic json reader's path handling); matched directories recurse.
     * Lexicographic full-path order is ingest order for time-named
     * objects, nested or flat alike.
     */
   def listClassified(dir: String): (Array[String], Array[String]) = {
     val spark = SparkSession.active
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val root = fs.makeQualified(new Path(dir))
-    if (!fs.exists(root)) return (Array.empty, Array.empty)
-    val prefix = root.toString + "/"
+    val p0 = new Path(dir)
+    val fs = p0.getFileSystem(spark.sessionState.newHadoopConf())
     val data = Array.newBuilder[String]
     val markers = Array.newBuilder[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val s: FileStatus = it.next()
-      if (s.isFile && s.getLen > 0) {
-        val full = s.getPath.toString
-        val rel = if (full.startsWith(prefix)) full.substring(prefix.length) else full
-        val hidden = rel.split('/')
-          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-        if (!hidden) { if (isResolvedMarker(full)) markers += full else data += full }
+    def add(full: String, rel: String): Unit = {
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) { if (isResolvedMarker(full)) markers += full else data += full }
+    }
+    def walk(root: Path): Unit = {
+      val rootQ = fs.makeQualified(root)
+      val prefix = rootQ.toString + "/"
+      val it = fs.listFiles(rootQ, true)
+      while (it.hasNext) {
+        val s: FileStatus = it.next()
+        if (s.isFile && s.getLen > 0) {
+          val full = s.getPath.toString
+          add(full, if (full.startsWith(prefix)) full.substring(prefix.length) else full)
+        }
       }
+    }
+    if (dir.exists(c => "{}[]*?".contains(c))) {
+      Option(fs.globStatus(p0)).getOrElse(Array.empty[FileStatus]).foreach { st =>
+        if (st.isFile && st.getLen > 0) add(st.getPath.toString, st.getPath.getName)
+        else if (st.isDirectory) walk(st.getPath)
+      }
+    } else {
+      if (!fs.exists(p0)) return (Array.empty, Array.empty)
+      walk(p0)
     }
     (data.result().sorted, markers.result().sorted)
   }
@@ -375,15 +407,18 @@ object ChangefeedFiles {
     if (markers.isEmpty) data else data.filter(_ < markers.last)
   }
 
-  /** The name-embedded timestamp of a changefeed object: the first
-    * maximal digit run (≥ 6 digits — real changefeed names embed full
-    * HLC wall times; the floor keeps incidental short runs like Spark's
-    * `part-00000` counters from masquerading as timestamps) in the BASE
-    * name. None ⇒ the file never participates in pruning.
+  /** The name-embedded timestamp of a changefeed object: a ≥ 6-digit
+    * run at the START of the base name — the changefeed sink naming
+    * shape (`<timestamp>-<uniquer>-...`), which is also what makes
+    * lexicographic name order time order in the first place. Anchoring
+    * at the start (plus the length floor) keeps incidental digit runs
+    * — Spark's `part-00000` counters, uuid fragments mid-name — from
+    * masquerading as timestamps and driving a wrong skip. None ⇒ the
+    * file never participates in pruning.
     */
   private[sources] def embeddedTs(path: String): Option[String] = {
     val base = path.substring(path.lastIndexOf('/') + 1)
-    "[0-9]{6,}".r.findFirstIn(base)
+    "^[0-9]{6,}".r.findFirstIn(base)
   }
 
   private def nanosOf(v: String): Option[String] = {

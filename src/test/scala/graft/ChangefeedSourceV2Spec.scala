@@ -249,6 +249,45 @@ class ChangefeedSourceV2Spec extends SparkSpec {
       Seq("[300000]", "[350000]", "[400000]"))
   }
 
+  test("compressed objects and glob paths keep parity with the json reader") {
+    val base = Files.createTempDirectory("graft_dsv2_gz").toString
+    def putGz(rel: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/$rel")
+      Files.createDirectories(p.getParent)
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(p))
+      out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+    }
+    putGz("2026-01-01/100000.ndjson.gz",
+      Seq("""{"after": "g1", "key": "[1]", "updated": "100.0000000000"}""",
+        """{"after": "g2", "key": "[2]", "updated": "200.0000000000"}"""))
+    putGz("2026-01-02/200000.ndjson.gz",
+      Seq("""{"after": "g3", "key": "[3]", "updated": "300.0000000000"}"""))
+
+    // the changefeed sink's compression option: .gz objects must decode
+    // through the Hadoop codec, not parse as raw bytes → phantom nulls
+    val v2 = spark.read.format("graft-changefeed").load(base)
+    val generic = spark.read.schema(Changefeed.envelopeSchema)
+      .option("recursiveFileLookup", "true").json(base)
+    assert(v2.count() == 3)
+    assert(v2.where(col("key").isNull).count() == 0)
+    assert(v2.collect().map(_.getString(1)).sorted.toSeq ==
+      generic.collect().map(_.getString(1)).sorted.toSeq)
+
+    // glob paths expand like the generic reader's path handling
+    val globbed = spark.read.format("graft-changefeed").load(s"$base/2026-01-0[12]")
+    assert(globbed.count() == 3)
+    assert(spark.read.format("graft-changefeed").load(s"$base/2026-01-01").count() == 2)
+
+    // pruning stamps anchor at the basename START: mid-name digit runs
+    // (uuid fragments, 6+ digits) never masquerade as timestamps, so
+    // these files are never pruned no matter the bound
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    assert(graft.sources.ChangefeedFiles.pruneByUpdated(
+      Array("/d/data-214509-aa.json", "/d/data-830764-bb.json", "/d/data-999999-cc.json"),
+      Array(GreaterThanOrEqual("updated", "500000.0"))).length == 3)
+  }
+
   test("column pruning reaches the json decode") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_dsv2_prune"
     writeLines(dir, envelopes, 2)
