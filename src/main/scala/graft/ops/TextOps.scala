@@ -179,4 +179,30 @@ object TextOps {
       .withColumn("fp_head", md5(substring(n, 1, 32)))
       .withColumn("fp_tail", md5(substring(reverse(n), 1, 32)))
   }
+
+  /** Corpus-frequency token statistics — the integer-exact core of a
+    * CCNet-style LM-quality filter: a document dense in corpus-RARE
+    * tokens is exactly the one a perplexity filter flags, and rare-token
+    * counts capture that signal with NO floating-point log-sums (whose
+    * reduction order would differ between engines). Two shuffles: one
+    * map-side-combined groupBy building the vocabulary frequency table,
+    * one token-keyed join back (head tokens skew that join's partitions
+    * — AQE skew-join splits them; each row still matches exactly one
+    * frequency row). Output per doc: token count, distinct tokens,
+    * rare-token count (corpus freq ≤ rareMax), min/sum of corpus
+    * frequencies.
+    */
+  def tokenFrequencyStats(docs: DataFrame, id: String, text: String,
+      rareMax: Long = 2L): DataFrame = {
+    val tok = docs.select(col(id), explode(tokens(col(text))).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val freq = tok.groupBy("__t").agg(count(lit(1)).as("__f"))
+    tok.join(freq, "__t")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("__t")).as("n_distinct"),
+        sum(when(col("__f") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        min(col("__f")).as("min_freq"),
+        sum(col("__f")).as("sum_freq"))
+  }
 }

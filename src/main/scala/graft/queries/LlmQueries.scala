@@ -594,6 +594,29 @@ object LlmQueries {
       |ORDER BY doc_freq DESC, bigram
       |LIMIT 50""".stripMargin
 
+  // -- corpus-frequency rare-token stats (CCNet-style quality proxy) --------
+  /** Per-doc rare-token statistics against the corpus vocabulary: the
+    * quality signal a perplexity filter computes, kept integer-exact
+    * (token counts and corpus frequencies, no float log-sums) so the
+    * oracle hash-matches. Docs dense in corpus-rare tokens are the
+    * flag-worthy ones.
+    */
+  def textRareTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenFrequencyStats(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val textRareTokensSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |tk AS (SELECT * FROM tok WHERE length(t) > 0),
+      |freq AS (SELECT t, COUNT(*) AS f FROM tk GROUP BY t)
+      |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_distinct,
+      |  CAST(SUM(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  MIN(f) AS min_freq, CAST(SUM(f) AS BIGINT) AS sum_freq
+      |FROM tk JOIN freq USING (t)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -- fingerprints ----------------------------------------------------------
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(docs(s, dir), "text")
@@ -812,6 +835,7 @@ object LlmQueries {
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_ngram_stats" -> (textNgramStats _),
+    "text_rare_token_stats" -> (textRareTokens _),
     "data_split_stratified" -> (dataSplitStratified _),
     "data_decontamination" -> (dataDecontamination _),
     "data_sample_by_source" -> (dataSampleBySource _),
@@ -843,6 +867,7 @@ object LlmQueries {
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_ngram_stats" -> textNgramStatsSql,
+    "text_rare_token_stats" -> textRareTokensSql,
     "data_split_stratified" -> dataSplitSql,
     "data_decontamination" -> dataDecontaminationSql,
     "data_sample_by_source" -> dataSampleBySourceSql,

@@ -102,6 +102,18 @@ class OpsSpec extends SparkSpec {
       f.filter(col("doc_id") === 2).select("fp").as[String].head())
   }
 
+  test("tokenFrequencyStats counts corpus-rare tokens per doc") {
+    val out = TextOps.tokenFrequencyStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // corpus freqs: the=6, quick/brown/fox/over/lazy/dog=3, jumps=2,
+    // leaps=1, doc-4 tokens all 1
+    assert(out(0) == (1L, 9L, 8L, 1L, 2L, 32L)) // rare: 'jumps' (f=2)
+    assert(out(2) == (3L, 9L, 8L, 1L, 1L, 31L)) // rare: 'leaps' (f=1)
+    assert(out(3) == (4L, 8L, 8L, 8L, 1L, 8L)) // every token corpus-unique
+  }
+
   test("langGuess picks marker languages deterministically") {
     val d = Seq((1L, "hola el mundo bueno"), (2L, "bonjour le monde"),
       (3L, "hello world again")).toDF("doc_id", "text")
