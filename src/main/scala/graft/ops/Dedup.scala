@@ -163,10 +163,16 @@ object Dedup {
     * cluster through shared anchors — what dedup clustering consumes);
     * the default is uncapped, for exhaustive-pair-list semantics.
     */
-  def lshCandidates(sigs: DataFrame, id: String,
-      bands: Int = 16, rowsPerBand: Int = 4,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded = sigs.select(
+  /** (band_id, bucket, id) band-bucket frame over signatures — the
+    * persistable LSH index unit: write it to parquet after a full pass
+    * and an INCREMENTAL pass joins new docs' bands against it instead
+    * of re-banding the corpus. Band parameters must match between the
+    * index build and any later probe (the bucket hash is seeded by
+    * band position over `rowsPerBand`-wide signature slices).
+    */
+  def bandFrame(sigs: DataFrame, id: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
       col(id),
       posexplode(
         transform(
@@ -174,6 +180,11 @@ object Dedup {
           b => xxhash64(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
+
+  def lshCandidates(sigs: DataFrame, id: String,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = bandFrame(sigs, id, bands, rowsPerBand)
     val a = banded.select(col("band_id"), col("bucket"), col(id).as("id_a"))
     if (maxBucketSize == Int.MaxValue) {
       val b = banded.select(col("band_id"), col("bucket"), col(id).as("id_b"))
@@ -367,6 +378,64 @@ object Dedup {
     val repSizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
       .select(col(id).as("rep_id"), col("n"))
     expandVerified(repPairs, members, repSizes, id)
+  }
+
+  /** Persistable dedup index over a corpus: the LSH band-bucket frame
+    * plus the shingle frame (needed for exact verification of future
+    * probes). A full-corpus pass writes both to parquet; the nightly
+    * incremental pass reads them back — the corpus is never
+    * re-shingled or re-banded. Pass the SAME numHashes/bands/k to
+    * [[incrementalDupPairs]].
+    */
+  def buildDedupIndex(docs: DataFrame, id: String, text: String,
+      numHashes: Int = 64, bands: Int = 32, k: Int = 3): (DataFrame, DataFrame) = {
+    val sh = shingleHashes(docs, id, text, k)
+    (bandFrame(minhashFromShingles(sh, id, numHashes), id, bands, numHashes / bands), sh)
+  }
+
+  /** Incremental near-dup pass: every verified pair TOUCHING the new
+    * batch — new-vs-new (the full collapse → LSH → verify pipeline)
+    * plus new-vs-corpus (new docs' bands probe the PREBUILT index;
+    * verification joins the new shingles against the index's shingle
+    * frame). Corpus-vs-corpus pairs are the previous run's output and
+    * are never recomputed — at 100 TB this is the difference between a
+    * daily pass costing O(batch × corpus-bucket-overlap) and
+    * re-deduplicating the world. Recall matches the full pipeline: the
+    * banding is identical, so candidate coverage of above-threshold
+    * pairs carries the same (1−J^r)^b bound. CONTRACT: ids are
+    * disjoint between `newDocs` and the index (shingle frames union
+    * for verification, so a shared id would merge two documents).
+    */
+  def incrementalDupPairs(newDocs: DataFrame, indexBands: DataFrame,
+      indexShingles: DataFrame, id: String, text: String, threshold: Double,
+      numHashes: Int = 64, bands: Int = 32, k: Int = 3,
+      eagerCheckpoint: Boolean = true): DataFrame = {
+    val newVsNew = verifiedDupPairs(newDocs, id, text, threshold,
+      numHashes, bands, eagerCheckpoint = eagerCheckpoint)
+    // new-vs-corpus: collapse the batch (a re-crawl is dup-heavy), band
+    // one representative per distinct text, probe the index
+    val (members, repDocs) = collapseExact(newDocs, id, text, eagerCheckpoint)
+    val shNew = maybeCheckpoint(shingleHashes(repDocs, id, text, k), eagerCheckpoint)
+    val newBands = bandFrame(minhashFromShingles(shNew, id, numHashes),
+      id, bands, numHashes / bands)
+    val cands = newBands.select(col("band_id"), col("bucket"), col(id).as("id_a"))
+      .join(indexBands.select(col("band_id"), col("bucket"), col(id).as("id_b")),
+        Seq("band_id", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val repPairs = jaccardFromShingles(shNew.unionByName(indexShingles), id, cands)
+      .filter(col("jaccard") >= threshold)
+    // expand new reps to their identical members (same shingle set ⇒
+    // same stats), re-orienting id_a < id_b with the stats following
+    val swapped = col("__m") > col("id_b")
+    val expanded = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col(id).as("__m")), "id_a")
+      .select(
+        least(col("__m"), col("id_b")).as("id_a"),
+        greatest(col("__m"), col("id_b")).as("id_b"),
+        when(swapped, col("n_b")).otherwise(col("n_a")).as("n_a"),
+        when(swapped, col("n_a")).otherwise(col("n_b")).as("n_b"),
+        col("n_inter"), col("jaccard"))
+    newVsNew.unionByName(expanded)
   }
 
   /** LINEAR edge set for dup CLUSTERING: verified representative pairs

@@ -67,6 +67,32 @@ object LlmQueries {
       |SELECT id_a, id_b, n_a, n_b, n_inter, jaccard FROM jac
       |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  // -- incremental dedup: new batch vs a prebuilt corpus index ---------------
+  /** The daily-increment contract: docs with doc_id % 4 = 0 are the NEW
+    * batch, the rest are the already-indexed corpus. The index (band
+    * frame + shingle frame) is built once from the corpus; the
+    * incremental pass finds every verified pair touching the new batch
+    * (new-vs-new and new-vs-corpus) WITHOUT re-banding the corpus —
+    * corpus-vs-corpus pairs are the previous run's output. The oracle
+    * is the exhaustive all-pairs Jaccard filtered to pairs touching a
+    * new doc: same recall guarantee as the full pipeline, since the
+    * banding is identical.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val newBatch = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val corpus = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val (idxBands, idxSh) = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    Dedup.incrementalDupPairs(newBatch, idxBands, idxSh, "doc_id", "text",
+      threshold = 0.8).orderBy("id_a", "id_b")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $allPairsJaccardCte
+      |SELECT id_a, id_b, n_a, n_b, n_inter, jaccard FROM jac
+      |WHERE jaccard >= 0.8 AND (id_a % 4 = 0 OR id_b % 4 = 0)
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -- RefinedWeb-style n-gram coverage dedup ---------------------------------
   /** For every doc: what fraction of its 3-gram shingles already
     * exists elsewhere in the corpus (document frequency > 1)? Catches
@@ -826,6 +852,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_quality_score" -> (textQuality _),
@@ -855,6 +882,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -102,6 +102,38 @@ class OpsSpec extends SparkSpec {
       f.filter(col("doc_id") === 2).select("fp").as[String].head())
   }
 
+  test("incremental dedup against a prebuilt index ≡ full pass filtered") {
+    // corpus: 1 and 3 near-dup, 5 unrelated. new batch: 2 (exact dup of
+    // corpus 1), 4 (near dup of corpus 3), 6 (exact dup of new 2), 7
+    // (unrelated) — exercises new-vs-corpus, new-vs-new, and collapse
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (5L, "completely different content about spark engines and shuffles"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "a quick brown fox leaps over the lazy dog"),
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "unrelated words about streaming watermark state stores")
+    ).toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") % 2 === 1)
+    val newBatch = all.filter(col("doc_id") % 2 === 0)
+    val (idxBands, idxSh) = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
+
+    val inc = pairs(Dedup.incrementalDupPairs(newBatch, idxBands, idxSh,
+      "doc_id", "text", threshold = 0.5))
+    val full = pairs(Dedup.verifiedDupPairs(all, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") % 2 === 0 || col("id_b") % 2 === 0))
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    // exact new-vs-corpus dup found at jaccard 1 through the index
+    assert(inc.contains((1L, 2L, 1000000000L)))
+    // corpus-vs-corpus pairs are NOT recomputed
+    assert(!inc.exists(p => p._1 % 2 == 1 && p._2 % 2 == 1))
+  }
+
   test("tokenFrequencyStats counts corpus-rare tokens per doc") {
     val out = TextOps.tokenFrequencyStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
