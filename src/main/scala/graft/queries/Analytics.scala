@@ -675,7 +675,71 @@ object Analytics {
       |                  AND o.o_orderpriority = '1-URGENT')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- TPC-H Q13-shaped customer order distribution ---------------------------
+  /** Order-count histogram over customers, INCLUDING zero-order
+    * customers (the left join is the point of Q13 — an inner join
+    * silently loses them). The synthetic schema carries no o_comment,
+    * so the classic comment-exclusion filter is omitted; the shape —
+    * left join, per-customer count, count-of-counts — is the query.
+    * Two shuffles (join + first groupBy); the histogram re-agg is tiny.
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count")) // count() skips NULLs → 0
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // -- TPC-H Q15-shaped top supplier ------------------------------------------
+  /** Highest-revenue supplier over the feed's first quarter. Revenue
+    * sums are DECIMAL(28,6) (exact, associative), so the `= max` gate
+    * is an exact comparison — the double-rounding tie risk the classic
+    * Q15 view has is absent. Both scalar gates (window start, max
+    * revenue) are 1-row broadcasts, never correlated subqueries.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val cut = l.agg(min(col("l_shipdate")).as("__start"))
+    val rev = l.crossJoin(broadcast(cut))
+      .filter(col("l_shipdate") < col("__start") + expr("INTERVAL 3 MONTH"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+        .as("__rev"))
+    val maxRev = rev.agg(max(col("__rev")).as("__max"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("__rev") === col("__max"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate < (SELECT MIN(l_shipdate) FROM lineitem) + INTERVAL 3 MONTH
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE r = (SELECT MAX(r) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q16_supplier_count" -> (q16SupplierCount _),
@@ -698,6 +762,8 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q13_customer_distribution" -> q13Sql,
+    "q15_top_supplier" -> q15Sql,
     "q7_volume_shipping" -> q7Sql,
     "q9_product_profit" -> q9Sql,
     "q16_supplier_count" -> q16Sql,
