@@ -737,7 +737,65 @@ object Analytics {
       |WHERE r = (SELECT MAX(r) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  // -- TPC-H Q8-shaped national market share ----------------------------------
+  /** NATION_7's share of PROMO-part revenue among ASIA customers, per
+    * order year. All dims broadcast (region-filtered customers, PROMO
+    * parts, supplier→nation); the only shuffle join is
+    * lineitem⋈orders on orderkey. Numerator and denominator are
+    * DECIMAL(28,6) sums in ONE aggregation pass (a separate
+    * numerator query would re-scan lineitem); the share is a single
+    * double division, same order both engines.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nCust = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("__cn"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nCust), col("c_nationkey") === col("__cn"))
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey")
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", vol)
+          .otherwise(lit(0.0).cast(dec))).as("__num"),
+        sum(vol).as("__den"))
+      .select(col("o_year"),
+        (col("__num").cast("double") / col("__den").cast("double")).as("mkt_share"),
+        col("__den").cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_7'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_volume
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -762,6 +820,7 @@ object Analytics {
     "q_event_funnel" -> (eventFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8Sql,
     "q13_customer_distribution" -> q13Sql,
     "q15_top_supplier" -> q15Sql,
     "q7_volume_shipping" -> q7Sql,
