@@ -147,22 +147,6 @@ object Dedup {
         col("n_shingles"))
   }
 
-  /** LSH banding: split each signature into `bands` bands of
-    * `rowsPerBand`, hash each band → (band_id, bucket) keys. Documents
-    * sharing any bucket become candidate pairs — the ONLY pair source,
-    * so candidate count is bounded by bucket occupancy, not n².
-    *
-    * `maxBucketSize` is the residual hot-bucket valve for what
-    * [[exactMembership]] collapse can't remove (near-identical
-    * templated docs): a bucket above the cap pairs each member only
-    * with the cap's hash-smallest members (its ANCHORS) instead of all
-    * members, so per-bucket candidates are occupancy × cap — linear,
-    * never quadratic. Below the cap, output is identical to the
-    * uncapped join (anchors = the whole bucket). A binding cap trades
-    * pair-COMPLETENESS for the bound (members still connect to the
-    * cluster through shared anchors — what dedup clustering consumes);
-    * the default is uncapped, for exhaustive-pair-list semantics.
-    */
   /** (band_id, bucket, id) band-bucket frame over signatures — the
     * persistable LSH index unit: write it to parquet after a full pass
     * and an INCREMENTAL pass joins new docs' bands against it instead
@@ -181,6 +165,21 @@ object Dedup {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
 
+  /** LSH banding candidates: documents sharing any [[bandFrame]]
+    * bucket become candidate pairs — the ONLY pair source, so
+    * candidate count is bounded by bucket occupancy, not n².
+    *
+    * `maxBucketSize` is the residual hot-bucket valve for what
+    * [[exactMembership]] collapse can't remove (near-identical
+    * templated docs): a bucket above the cap pairs each member only
+    * with the cap's hash-smallest members (its ANCHORS) instead of all
+    * members, so per-bucket candidates are occupancy × cap — linear,
+    * never quadratic. Below the cap, output is identical to the
+    * uncapped join (anchors = the whole bucket). A binding cap trades
+    * pair-COMPLETENESS for the bound (members still connect to the
+    * cluster through shared anchors — what dedup clustering consumes);
+    * the default is uncapped, for exhaustive-pair-list semantics.
+    */
   def lshCandidates(sigs: DataFrame, id: String,
       bands: Int = 16, rowsPerBand: Int = 4,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
@@ -334,7 +333,8 @@ object Dedup {
     */
   private def repDupPairs(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int, bands: Int,
-      maxBucketSize: Int, eagerCheckpoint: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      maxBucketSize: Int, eagerCheckpoint: Boolean,
+      k: Int = 3): (DataFrame, DataFrame, DataFrame) = {
     val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
     // the banding default is rows-per-band = 2: candidate recall at the
     // THRESHOLD (not just at dup-grade J) is what makes the verified
@@ -342,7 +342,7 @@ object Dedup {
     // where r = 4 banding would miss ≈ 2e-4 of borderline pairs.
     // The shingle frame is built once and shared by the signature and
     // verification stages (eagerly checkpointed — it is read 3×).
-    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text), eagerCheckpoint)
+    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text, k), eagerCheckpoint)
     val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
       bands, numHashes / bands, maxBucketSize)
     val repPairs = jaccardFromShingles(sh, id, cands)
@@ -372,66 +372,86 @@ object Dedup {
   def verifiedDupPairs(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       maxBucketSize: Int = Int.MaxValue,
-      eagerCheckpoint: Boolean = true): DataFrame = {
+      eagerCheckpoint: Boolean = true, k: Int = 3): DataFrame = {
     val (members, sh, repPairs) = repDupPairs(docs, id, text, threshold,
-      numHashes, bands, maxBucketSize, eagerCheckpoint)
+      numHashes, bands, maxBucketSize, eagerCheckpoint, k)
     val repSizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
       .select(col(id).as("rep_id"), col("n"))
     expandVerified(repPairs, members, repSizes, id)
   }
 
-  /** Persistable dedup index over a corpus: the LSH band-bucket frame
-    * plus the shingle frame (needed for exact verification of future
-    * probes). A full-corpus pass writes both to parquet; the nightly
-    * incremental pass reads them back — the corpus is never
-    * re-shingled or re-banded. Pass the SAME numHashes/bands/k to
-    * [[incrementalDupPairs]].
+  /** Persistable dedup index over a corpus: COLLAPSED band-bucket
+    * frame, representative shingle frame, and the exact-identity
+    * membership map. The collapse is the same scale gate every LSH
+    * stage gets ([[collapseExact]]) — an uncollapsed index would hold
+    * every member of a 10⁴-identical boilerplate cluster in every
+    * band bucket, fanning one matching probe into 10⁴ re-verifications
+    * of the same shingle set. A full-corpus pass writes all three
+    * frames to parquet; the nightly incremental pass reads them back —
+    * the corpus is never re-shingled or re-banded. Pass the SAME
+    * numHashes/bands/k to [[incrementalDupPairs]].
     */
+  final case class DedupIndex(bands: DataFrame, shingles: DataFrame,
+      members: DataFrame)
+
   def buildDedupIndex(docs: DataFrame, id: String, text: String,
-      numHashes: Int = 64, bands: Int = 32, k: Int = 3): (DataFrame, DataFrame) = {
-    val sh = shingleHashes(docs, id, text, k)
-    (bandFrame(minhashFromShingles(sh, id, numHashes), id, bands, numHashes / bands), sh)
+      numHashes: Int = 64, bands: Int = 32, k: Int = 3,
+      eagerCheckpoint: Boolean = true): DedupIndex = {
+    val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
+    val sh = shingleHashes(repDocs, id, text, k)
+    DedupIndex(
+      bandFrame(minhashFromShingles(sh, id, numHashes), id, bands, numHashes / bands),
+      sh, members)
   }
 
   /** Incremental near-dup pass: every verified pair TOUCHING the new
     * batch — new-vs-new (the full collapse → LSH → verify pipeline)
-    * plus new-vs-corpus (new docs' bands probe the PREBUILT index;
-    * verification joins the new shingles against the index's shingle
-    * frame). Corpus-vs-corpus pairs are the previous run's output and
-    * are never recomputed — at 100 TB this is the difference between a
-    * daily pass costing O(batch × corpus-bucket-overlap) and
-    * re-deduplicating the world. Recall matches the full pipeline: the
+    * plus new-vs-corpus (new representatives' bands probe the PREBUILT
+    * index). The batch is collapsed/shingled/banded ONCE and shared by
+    * both legs; the index side restricts to candidate-TOUCHED
+    * representatives (left-semi) before verification, so a nightly run
+    * costs O(batch × bucket-overlap), never a full corpus-shingle
+    * scan. Corpus-vs-corpus pairs are the previous run's output and
+    * are never recomputed. Recall matches the full pipeline: the
     * banding is identical, so candidate coverage of above-threshold
     * pairs carries the same (1−J^r)^b bound. CONTRACT: ids are
     * disjoint between `newDocs` and the index (shingle frames union
     * for verification, so a shared id would merge two documents).
     */
-  def incrementalDupPairs(newDocs: DataFrame, indexBands: DataFrame,
-      indexShingles: DataFrame, id: String, text: String, threshold: Double,
+  def incrementalDupPairs(newDocs: DataFrame, index: DedupIndex,
+      id: String, text: String, threshold: Double,
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true): DataFrame = {
-    val newVsNew = verifiedDupPairs(newDocs, id, text, threshold,
-      numHashes, bands, eagerCheckpoint = eagerCheckpoint)
-    // new-vs-corpus: collapse the batch (a re-crawl is dup-heavy), band
-    // one representative per distinct text, probe the index
-    val (members, repDocs) = collapseExact(newDocs, id, text, eagerCheckpoint)
-    val shNew = maybeCheckpoint(shingleHashes(repDocs, id, text, k), eagerCheckpoint)
+    // ONE collapse + shingle + signature pass over the batch, shared by
+    // the new-vs-new pipeline and the index probe
+    val (members, shNew, repPairsNew) = repDupPairs(newDocs, id, text,
+      threshold, numHashes, bands, Int.MaxValue, eagerCheckpoint, k)
+    val repSizes = shNew.groupBy(col(id)).agg(count(lit(1)).as("n"))
+      .select(col(id).as("rep_id"), col("n"))
+    val newVsNew = expandVerified(repPairsNew, members, repSizes, id)
+
     val newBands = bandFrame(minhashFromShingles(shNew, id, numHashes),
       id, bands, numHashes / bands)
     val cands = newBands.select(col("band_id"), col("bucket"), col(id).as("id_a"))
-      .join(indexBands.select(col("band_id"), col("bucket"), col(id).as("id_b")),
+      .join(index.bands.select(col("band_id"), col("bucket"), col(id).as("id_b")),
         Seq("band_id", "bucket"))
       .select("id_a", "id_b").distinct()
-    val repPairs = jaccardFromShingles(shNew.unionByName(indexShingles), id, cands)
+    // verification reads only the TOUCHED index representatives — the
+    // semi-join keeps per-run cost proportional to the probe, not the
+    // corpus (sizes stay exact: all shingles of a kept doc survive)
+    val touched = index.shingles
+      .join(cands.select(col("id_b").as(id)).distinct(), Seq(id), "left_semi")
+    val repPairs = jaccardFromShingles(shNew.unionByName(touched), id, cands)
       .filter(col("jaccard") >= threshold)
-    // expand new reps to their identical members (same shingle set ⇒
+    // expand BOTH reps to their identical members (same shingle set ⇒
     // same stats), re-orienting id_a < id_b with the stats following
-    val swapped = col("__m") > col("id_b")
+    val swapped = col("__ma") > col("__mb")
     val expanded = repPairs
-      .join(members.select(col("rep_id").as("id_a"), col(id).as("__m")), "id_a")
+      .join(members.select(col("rep_id").as("id_a"), col(id).as("__ma")), "id_a")
+      .join(index.members.select(col("rep_id").as("id_b"), col(id).as("__mb")), "id_b")
       .select(
-        least(col("__m"), col("id_b")).as("id_a"),
-        greatest(col("__m"), col("id_b")).as("id_b"),
+        least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
         when(swapped, col("n_b")).otherwise(col("n_a")).as("n_a"),
         when(swapped, col("n_a")).otherwise(col("n_b")).as("n_b"),
         col("n_inter"), col("jaccard"))
@@ -449,9 +469,9 @@ object Dedup {
   def verifiedDupEdges(docs: DataFrame, id: String, text: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 32,
       maxBucketSize: Int = Int.MaxValue,
-      eagerCheckpoint: Boolean = true): DataFrame = {
+      eagerCheckpoint: Boolean = true, k: Int = 3): DataFrame = {
     val (members, _, repPairs) = repDupPairs(docs, id, text, threshold,
-      numHashes, bands, maxBucketSize, eagerCheckpoint)
+      numHashes, bands, maxBucketSize, eagerCheckpoint, k)
     // rep = min id of its group, so star edges keep the id_a < id_b
     // orientation the pair convention uses
     val star = members.filter(col(id) =!= col("rep_id"))

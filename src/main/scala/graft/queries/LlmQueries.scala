@@ -82,8 +82,8 @@ object LlmQueries {
     val d = docs(s, dir)
     val newBatch = d.filter(pmod(col("doc_id"), lit(4)) === 0)
     val corpus = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
-    val (idxBands, idxSh) = Dedup.buildDedupIndex(corpus, "doc_id", "text")
-    Dedup.incrementalDupPairs(newBatch, idxBands, idxSh, "doc_id", "text",
+    val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    Dedup.incrementalDupPairs(newBatch, index, "doc_id", "text",
       threshold = 0.8).orderBy("id_a", "id_b")
   }
 

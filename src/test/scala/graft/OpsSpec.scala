@@ -117,12 +117,12 @@ class OpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val corpus = all.filter(col("doc_id") % 2 === 1)
     val newBatch = all.filter(col("doc_id") % 2 === 0)
-    val (idxBands, idxSh) = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSeq
 
-    val inc = pairs(Dedup.incrementalDupPairs(newBatch, idxBands, idxSh,
+    val inc = pairs(Dedup.incrementalDupPairs(newBatch, index,
       "doc_id", "text", threshold = 0.5))
     val full = pairs(Dedup.verifiedDupPairs(all, "doc_id", "text", threshold = 0.5)
       .filter(col("id_a") % 2 === 0 || col("id_b") % 2 === 0))
