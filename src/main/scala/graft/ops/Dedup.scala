@@ -404,6 +404,25 @@ object Dedup {
       sh, members)
   }
 
+  /** Fold a processed batch into the index so the NEXT batch sees it:
+    * the streaming-ingest loop is `pairs = incrementalDupPairs(batch,
+    * index); index = extendIndex(index, batch)` — each pair is found
+    * exactly once, when its later member arrives, so the union of
+    * per-batch outputs equals one full-corpus pass (spec-proven).
+    * Batch collapse is per-batch only: a doc identical to an EARLIER
+    * batch's doc stays its own representative, which is correct — the
+    * cross-batch pair is found through banding (identical signatures
+    * share every bucket) at Jaccard 1.
+    */
+  def extendIndex(index: DedupIndex, newDocs: DataFrame, id: String,
+      text: String, numHashes: Int = 64, bands: Int = 32, k: Int = 3,
+      eagerCheckpoint: Boolean = true): DedupIndex = {
+    val b = buildDedupIndex(newDocs, id, text, numHashes, bands, k, eagerCheckpoint)
+    DedupIndex(index.bands.unionByName(b.bands),
+      index.shingles.unionByName(b.shingles),
+      index.members.unionByName(b.members))
+  }
+
   /** Incremental near-dup pass: every verified pair TOUCHING the new
     * batch — new-vs-new (the full collapse → LSH → verify pipeline)
     * plus new-vs-corpus (new representatives' bands probe the PREBUILT

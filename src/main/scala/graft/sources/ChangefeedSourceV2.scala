@@ -105,11 +105,30 @@ class ChangefeedScanBuilder(fullSchema: StructType, dir: String, maxFiles: Int)
 }
 
 class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
-    bounds: Array[org.apache.spark.sql.sources.Filter] = Array.empty) extends Scan {
+    bounds: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
     s"graft-changefeed $dir ${readSchema0.fieldNames.mkString(",")}" +
       (if (bounds.isEmpty) "" else s" PrunedBy: ${bounds.mkString(", ")}")
+
+  /** Post-pruning byte size from the listing (row count unknown — the
+    * source would have to open objects to count lines). Accurate size
+    * lets AQE/the planner treat a small changefeed side as
+    * broadcastable instead of assuming an unknown-size scan; pruning
+    * is reflected, so a bounded catch-up reads AND plans small.
+    */
+  override def estimateStatistics(): Statistics = {
+    val (sized, markers) = ChangefeedFiles.listClassifiedSized(dir)
+    val visible = if (markers.isEmpty) sized else sized.filter(_._1 < markers.last)
+    val byName = visible.toMap
+    val kept = ChangefeedFiles.pruneByUpdated(visible.map(_._1), bounds)
+    val total = kept.map(byName).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   // one Hadoop-conf broadcast per SCAN — a fresh broadcast per reader
   // factory would pile up driver-side broadcast state on a long stream
@@ -357,15 +376,25 @@ object ChangefeedFiles {
     * objects, nested or flat alike.
     */
   def listClassified(dir: String): (Array[String], Array[String]) = {
+    val (data, markers) = listClassifiedSized(dir)
+    (data.map(_._1), markers)
+  }
+
+  /** [[listClassified]] with data-file byte sizes — one listing serves
+    * both partition planning and scan-statistics estimation
+    * ([[ChangefeedScan.estimateStatistics]] feeds AQE's broadcast
+    * decisions without a second directory walk).
+    */
+  def listClassifiedSized(dir: String): (Array[(String, Long)], Array[String]) = {
     val spark = SparkSession.active
     val p0 = new Path(dir)
     val fs = p0.getFileSystem(spark.sessionState.newHadoopConf())
-    val data = Array.newBuilder[String]
+    val data = Array.newBuilder[(String, Long)]
     val markers = Array.newBuilder[String]
-    def add(full: String, rel: String): Unit = {
+    def add(full: String, rel: String, len: Long): Unit = {
       val hidden = rel.split('/')
         .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden) { if (isResolvedMarker(full)) markers += full else data += full }
+      if (!hidden) { if (isResolvedMarker(full)) markers += full else data += ((full, len)) }
     }
     def walk(root: Path): Unit = {
       val rootQ = fs.makeQualified(root)
@@ -375,20 +404,21 @@ object ChangefeedFiles {
         val s: FileStatus = it.next()
         if (s.isFile && s.getLen > 0) {
           val full = s.getPath.toString
-          add(full, if (full.startsWith(prefix)) full.substring(prefix.length) else full)
+          add(full, if (full.startsWith(prefix)) full.substring(prefix.length) else full,
+            s.getLen)
         }
       }
     }
     if (dir.exists(c => "{}[]*?".contains(c))) {
       Option(fs.globStatus(p0)).getOrElse(Array.empty[FileStatus]).foreach { st =>
-        if (st.isFile && st.getLen > 0) add(st.getPath.toString, st.getPath.getName)
+        if (st.isFile && st.getLen > 0) add(st.getPath.toString, st.getPath.getName, st.getLen)
         else if (st.isDirectory) walk(st.getPath)
       }
     } else {
       if (!fs.exists(p0)) return (Array.empty, Array.empty)
       walk(p0)
     }
-    (data.result().sorted, markers.result().sorted)
+    (data.result().sortBy(_._1), markers.result().sorted)
   }
 
   /** Data files visible to a reader of `dir`, honoring the resolved

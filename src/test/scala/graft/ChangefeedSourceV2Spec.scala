@@ -228,6 +228,19 @@ class ChangefeedSourceV2Spec extends SparkSpec {
     assert(hi.select("key").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("[100000]", "[120000]"))
 
+    // reported statistics reflect pruning: the planner sees the bytes
+    // the scan will actually read, not the whole directory
+    def statBytes(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan.asInstanceOf[graft.sources.ChangefeedScan]
+          .estimateStatistics().sizeInBytes().getAsLong
+      }.get
+    val allBytes = statBytes(spark.read.format("graft-changefeed").load(base))
+    val expectedKept = Seq("200000.ndjson", "300000.ndjson", "400000.ndjson")
+      .map(n => new java.io.File(s"$base/$n").length()).sum
+    assert(statBytes(lo) == expectedKept)
+    assert(statBytes(lo) < allBytes)
+
     // digit-length mismatch (string vs numeric order can diverge) and
     // unstamped names disable pruning rather than risk wrong skips
     import org.apache.spark.sql.sources.GreaterThanOrEqual

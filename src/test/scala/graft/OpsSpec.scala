@@ -134,6 +134,39 @@ class OpsSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 % 2 == 1 && p._2 % 2 == 1))
   }
 
+  test("streaming-ingest dedup: per-batch probe + extendIndex ≡ one full pass") {
+    // batches arrive over time; each probes the index then folds into
+    // it — every pair must surface exactly once, when its later member
+    // lands, so the union of per-batch outputs is the full-corpus pass
+    val batches = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different content about spark engines and shuffles")),
+      Seq((2L, "the quick brown fox jumps over the lazy dog"), // dup of b1's 1
+        (4L, "the quick brown fox leaps over the lazy dog")), // near dup of 1
+      Seq((5L, "the quick brown fox jumps over the lazy dog"), // dup of 1 AND 2
+        (6L, "totally novel text with no relatives anywhere here"))
+    ).map(_.toDF("doc_id", "text"))
+    var index = Dedup.buildDedupIndex(batches.head, "doc_id", "text")
+    val perBatch = batches.tail.map { b =>
+      val pairs = Dedup.incrementalDupPairs(b, index, "doc_id", "text", threshold = 0.5)
+      index = Dedup.extendIndex(index, b, "doc_id", "text")
+      pairs
+    }
+    def normPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .sorted.toSeq
+    val streamed = normPairs(perBatch.reduce(_ unionByName _))
+    val full = normPairs(Dedup.verifiedDupPairs(
+      batches.reduce(_ unionByName _), "doc_id", "text", threshold = 0.5)
+      // batch 1's internal pairs (none here) belong to the initial
+      // index build, not the incremental stream
+      .filter(!(col("id_a").isin(1L, 3L) && col("id_b").isin(1L, 3L))))
+    assert(streamed == full)
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1000000000L))
+    assert(streamed.count { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 5L)) } == 3)
+  }
+
   test("tokenFrequencyStats counts corpus-rare tokens per doc") {
     val out = TextOps.tokenFrequencyStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
