@@ -620,6 +620,48 @@ object LlmQueries {
       |ORDER BY doc_freq DESC, bigram
       |LIMIT 50""".stripMargin
 
+  // -- temperature-weighted source mixture (multilingual-sampling style) ----
+  /** Per-source sampling weights under temperature τ = 1/2 — the
+    * standard p^τ reweighting that upsamples small sources (the
+    * multilingual/domain-mixing recipe). Numeric determinism: sqrt is
+    * correctly-rounded IEEE in both engines, the weight is then FIXED
+    * POINT (floor(sqrt(n)·10⁶) as BIGINT) so the total is an exact
+    * integer sum, and the share/expected-docs are single-division /
+    * single-multiply double chains in identical order. One tiny
+    * aggregate + a 1-row broadcast for the totals — no shuffle beyond
+    * the groupBy.
+    */
+  def dataMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .withColumn("weight_fixed",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = per.agg(sum(col("weight_fixed")).as("__tw"),
+      sum(col("n_docs")).as("__td"))
+    per.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("share",
+        col("weight_fixed").cast("double") / col("__tw").cast("double"))
+      .withColumn("expected_per_epoch",
+        floor(col("share") * col("__td").cast("double")).cast("long"))
+      .drop("__tw", "__td")
+      .orderBy("source")
+  }
+
+  val dataMixWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_fixed
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(weight_fixed) AS BIGINT) AS tw,
+      |               CAST(SUM(n_docs) AS BIGINT) AS td FROM per)
+      |SELECT source, n_docs, n_tokens, weight_fixed,
+      |  CAST(weight_fixed AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+      |  CAST(FLOOR((CAST(weight_fixed AS DOUBLE) / CAST(tw AS DOUBLE))
+      |    * CAST(td AS DOUBLE)) AS BIGINT) AS expected_per_epoch
+      |FROM per, tot ORDER BY source""".stripMargin
+
   // -- corpus-frequency rare-token stats (CCNet-style quality proxy) --------
   /** Per-doc rare-token statistics against the corpus vocabulary: the
     * quality signal a perplexity filter computes, kept integer-exact
@@ -866,6 +908,7 @@ object LlmQueries {
     "data_split_stratified" -> (dataSplitStratified _),
     "data_decontamination" -> (dataDecontamination _),
     "data_sample_by_source" -> (dataSampleBySource _),
+    "data_mix_weights" -> (dataMixWeights _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
     "text_repetition" -> (textRepetition _),
@@ -899,6 +942,7 @@ object LlmQueries {
     "data_split_stratified" -> dataSplitSql,
     "data_decontamination" -> dataDecontaminationSql,
     "data_sample_by_source" -> dataSampleBySourceSql,
+    "data_mix_weights" -> dataMixWeightsSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     "data_contamination_ngram" -> dataContaminationNgramSql,
     "text_repetition" -> textRepetitionSql,
