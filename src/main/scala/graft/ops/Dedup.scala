@@ -404,15 +404,14 @@ object Dedup {
       sh, members)
   }
 
-  /** Fold a processed batch into the index so the NEXT batch sees it:
-    * the streaming-ingest loop is `pairs = incrementalDupPairs(batch,
-    * index); index = extendIndex(index, batch)` — each pair is found
-    * exactly once, when its later member arrives, so the union of
-    * per-batch outputs equals one full-corpus pass (spec-proven).
-    * Batch collapse is per-batch only: a doc identical to an EARLIER
-    * batch's doc stays its own representative, which is correct — the
-    * cross-batch pair is found through banding (identical signatures
-    * share every bucket) at Jaccard 1.
+  /** Fold a processed batch into the index so the NEXT batch sees it.
+    * Nightly-parquet users call this with the raw batch; the STREAMING
+    * loop should use [[probeAndExtend]] instead, which reuses the probe
+    * pass's already-computed batch artifacts rather than rebuilding
+    * them. Batch collapse is per-batch only: a doc identical to an
+    * EARLIER batch's doc stays its own representative, which is
+    * correct — the cross-batch pair is found through banding
+    * (identical signatures share every bucket) at Jaccard 1.
     */
   def extendIndex(index: DedupIndex, newDocs: DataFrame, id: String,
       text: String, numHashes: Int = 64, bands: Int = 32, k: Int = 3,
@@ -421,6 +420,30 @@ object Dedup {
     DedupIndex(index.bands.unionByName(b.bands),
       index.shingles.unionByName(b.shingles),
       index.members.unionByName(b.members))
+  }
+
+  /** The streaming-ingest step: probe the index with a batch AND fold
+    * the batch in, computing the batch's collapse/shingles/signatures
+    * ONCE for both. Returns (pairs touching the batch, extended
+    * index). Each pair surfaces exactly once — when its later member
+    * arrives — so the union of per-step pair outputs equals one
+    * full-corpus pass (spec-proven). With `eagerCheckpoint` on, every
+    * union arm of the growing index is a materialized localCheckpoint,
+    * so later probes reuse results instead of recomputing N batches of
+    * lineage; plan size still grows with batch count — a long-lived
+    * stream should periodically compact the index to parquet (the
+    * nightly [[buildDedupIndex]] path) and resume from the compacted
+    * frames.
+    */
+  def probeAndExtend(index: DedupIndex, newDocs: DataFrame, id: String,
+      text: String, threshold: Double,
+      numHashes: Int = 64, bands: Int = 32, k: Int = 3,
+      eagerCheckpoint: Boolean = true): (DataFrame, DedupIndex) = {
+    val (pairs, batch) = incrementalCore(newDocs, index, id, text, threshold,
+      numHashes, bands, k, eagerCheckpoint)
+    (pairs, DedupIndex(index.bands.unionByName(batch.bands),
+      index.shingles.unionByName(batch.shingles),
+      index.members.unionByName(batch.members)))
   }
 
   /** Incremental near-dup pass: every verified pair TOUCHING the new
@@ -440,7 +463,18 @@ object Dedup {
   def incrementalDupPairs(newDocs: DataFrame, index: DedupIndex,
       id: String, text: String, threshold: Double,
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
-      eagerCheckpoint: Boolean = true): DataFrame = {
+      eagerCheckpoint: Boolean = true): DataFrame =
+    incrementalCore(newDocs, index, id, text, threshold,
+      numHashes, bands, k, eagerCheckpoint)._1
+
+  /** Shared probe core: (pairs touching the batch, the batch's own
+    * index artifacts) — [[probeAndExtend]] reuses the artifacts so the
+    * streaming loop never computes a batch twice.
+    */
+  private def incrementalCore(newDocs: DataFrame, index: DedupIndex,
+      id: String, text: String, threshold: Double,
+      numHashes: Int, bands: Int, k: Int,
+      eagerCheckpoint: Boolean): (DataFrame, DedupIndex) = {
     // ONE collapse + shingle + signature pass over the batch, shared by
     // the new-vs-new pipeline and the index probe
     val (members, shNew, repPairsNew) = repDupPairs(newDocs, id, text,
@@ -449,8 +483,11 @@ object Dedup {
       .select(col(id).as("rep_id"), col("n"))
     val newVsNew = expandVerified(repPairsNew, members, repSizes, id)
 
-    val newBands = bandFrame(minhashFromShingles(shNew, id, numHashes),
-      id, bands, numHashes / bands)
+    // checkpointed so a growing extended index holds MATERIALIZED band
+    // arms — later probes reuse them instead of re-deriving N batches
+    val newBands = maybeCheckpoint(
+      bandFrame(minhashFromShingles(shNew, id, numHashes),
+        id, bands, numHashes / bands), eagerCheckpoint)
     val cands = newBands.select(col("band_id"), col("bucket"), col(id).as("id_a"))
       .join(index.bands.select(col("band_id"), col("bucket"), col(id).as("id_b")),
         Seq("band_id", "bucket"))
@@ -474,7 +511,7 @@ object Dedup {
         when(swapped, col("n_b")).otherwise(col("n_a")).as("n_a"),
         when(swapped, col("n_a")).otherwise(col("n_b")).as("n_b"),
         col("n_inter"), col("jaccard"))
-    newVsNew.unionByName(expanded)
+    (newVsNew.unionByName(expanded), DedupIndex(newBands, shNew, members))
   }
 
   /** LINEAR edge set for dup CLUSTERING: verified representative pairs

@@ -112,17 +112,25 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
     s"graft-changefeed $dir ${readSchema0.fieldNames.mkString(",")}" +
       (if (bounds.isEmpty) "" else s" PrunedBy: ${bounds.mkString(", ")}")
 
-  /** Post-pruning byte size from the listing (row count unknown — the
-    * source would have to open objects to count lines). Accurate size
-    * lets AQE/the planner treat a small changefeed side as
+  // ONE sized listing per scan lifetime serves batch partition
+  // planning and statistics (streaming planInputPartitions keeps its
+  // own per-trigger cache in the MicroBatchStream). Lazy + cached:
+  // Spark's streaming planner calls estimateStatistics() on EVERY
+  // micro-batch plan, and re-walking a million-object bucket per
+  // trigger would defeat the cached-listing design — a scan-lifetime
+  // estimate is what a planner statistic is for.
+  private lazy val sizedListing: Array[(String, Long)] =
+    ChangefeedFiles.visibleSized(dir)
+
+  /** Post-pruning byte size from the cached listing (row count unknown
+    * — the source would have to open objects to count lines). Accurate
+    * size lets AQE/the planner treat a small changefeed side as
     * broadcastable instead of assuming an unknown-size scan; pruning
     * is reflected, so a bounded catch-up reads AND plans small.
     */
   override def estimateStatistics(): Statistics = {
-    val (sized, markers) = ChangefeedFiles.listClassifiedSized(dir)
-    val visible = if (markers.isEmpty) sized else sized.filter(_._1 < markers.last)
-    val byName = visible.toMap
-    val kept = ChangefeedFiles.pruneByUpdated(visible.map(_._1), bounds)
+    val byName = sizedListing.toMap
+    val kept = ChangefeedFiles.pruneByUpdated(sizedListing.map(_._1), bounds)
     val total = kept.map(byName).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
@@ -136,7 +144,7 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ChangefeedFiles.pruneByUpdated(ChangefeedFiles.list(dir), bounds)
+      ChangefeedFiles.pruneByUpdated(sizedListing.map(_._1), bounds)
         .map(f => ChangefeedFilePartition(f): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
       new ChangefeedReaderFactory(readSchema0.fieldNames, conf)
@@ -432,9 +440,16 @@ object ChangefeedFiles {
     * e.g. a test fixture or an export, where the finalized-prefix
     * contract doesn't apply).
     */
-  def list(dir: String): Array[String] = {
-    val (data, markers) = listClassified(dir)
-    if (markers.isEmpty) data else data.filter(_ < markers.last)
+  def list(dir: String): Array[String] = visibleSized(dir).map(_._1)
+
+  /** The ONE visibility rule, with sizes: data files below the latest
+    * RESOLVED marker (or all of them in a marker-less directory).
+    * `list`, batch partition planning, and scan statistics all derive
+    * from this so they can never disagree about what is readable.
+    */
+  def visibleSized(dir: String): Array[(String, Long)] = {
+    val (data, markers) = listClassifiedSized(dir)
+    if (markers.isEmpty) data else data.filter(_._1 < markers.last)
   }
 
   /** The name-embedded timestamp of a changefeed object: a ≥ 6-digit

@@ -138,18 +138,24 @@ class OpsSpec extends SparkSpec {
     // batches arrive over time; each probes the index then folds into
     // it — every pair must surface exactly once, when its later member
     // lands, so the union of per-batch outputs is the full-corpus pass
+    // 12-token sentence, one-word edit ⇒ 7 shared of 13 union shingles:
+    // J = 7/13 ≈ 0.538 — a genuine cross-batch NEAR dup the 0.5
+    // threshold keeps (not only identical J=1 pairs)
+    val s1 = "the quick brown fox jumps over the lazy dog near the river"
+    val s4 = "the quick brown fox leaps over the lazy dog near the river"
     val batches = Seq(
-      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      Seq((1L, s1),
         (3L, "completely different content about spark engines and shuffles")),
-      Seq((2L, "the quick brown fox jumps over the lazy dog"), // dup of b1's 1
-        (4L, "the quick brown fox leaps over the lazy dog")), // near dup of 1
-      Seq((5L, "the quick brown fox jumps over the lazy dog"), // dup of 1 AND 2
+      Seq((2L, s1), // exact dup of b1's 1
+        (4L, s4)), // near dup of 1 (cross-batch, sub-1.0)
+      Seq((5L, s1), // dup of 1 AND 2
         (6L, "totally novel text with no relatives anywhere here"))
     ).map(_.toDF("doc_id", "text"))
     var index = Dedup.buildDedupIndex(batches.head, "doc_id", "text")
     val perBatch = batches.tail.map { b =>
-      val pairs = Dedup.incrementalDupPairs(b, index, "doc_id", "text", threshold = 0.5)
-      index = Dedup.extendIndex(index, b, "doc_id", "text")
+      val (pairs, next) = Dedup.probeAndExtend(index, b, "doc_id", "text",
+        threshold = 0.5)
+      index = next
       pairs
     }
     def normPairs(df: org.apache.spark.sql.DataFrame) =
@@ -164,6 +170,10 @@ class OpsSpec extends SparkSpec {
       .filter(!(col("id_a").isin(1L, 3L) && col("id_b").isin(1L, 3L))))
     assert(streamed == full)
     assert(streamed.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1000000000L))
+    // the cross-batch NEAR dup survives with its exact sub-1.0 jaccard
+    // (7/13): a broken index-probe leg could pass on J=1 pairs alone
+    assert(streamed.contains((1L, 4L, math.round(7.0 / 13.0 * 1e9))))
+    assert(streamed.contains((4L, 5L, math.round(7.0 / 13.0 * 1e9)))) // later batch vs 4
     assert(streamed.count { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 5L)) } == 3)
   }
 
