@@ -149,14 +149,21 @@ object TxnLog {
     * GTID-set string). Islands are contiguous by construction, so
     * `n_txns = end - start + 1` reconstructs exactly; empty strings
     * (a source with nothing applied) yield no intervals. Round-trip
-    * `gtidSetParse(gtidSet(f))` ≡ `f`.
+    * `gtidSetParse(gtidSet(f))` ≡ `f`. MySQL renders a singleton
+    * interval as a bare GNO (`uuid:1-5:7`), so a missing `-end` half
+    * parses as `end = start` — otherwise a resumed reader would get
+    * NULL end_gno and its anti-join condition would re-admit already
+    * applied transactions.
     */
   def gtidSetParse(sets: DataFrame, source: String, setCol: String): DataFrame =
     sets.select(col(source), explode(split(col(setCol), ":")).as("__iv"))
       .filter(length(col("__iv")) > 0)
       .select(col(source),
         split(col("__iv"), "-").getItem(0).cast("long").as("start_gno"),
-        split(col("__iv"), "-").getItem(1).cast("long").as("end_gno"))
+        // try_element_at, not getItem: ANSI mode throws on a missing
+        // index, and a singleton interval has no second half
+        coalesce(try_element_at(split(col("__iv"), "-"), lit(2)),
+          split(col("__iv"), "-").getItem(0)).cast("long").as("end_gno"))
       .withColumn("n_txns", col("end_gno") - col("start_gno") + 1)
 
   /** Resume anti-join: keep only transactions whose (source, gno) is

@@ -124,9 +124,13 @@ object Transforms {
           .withColumn("unmerged", col("__std.unmerged"))
           .withColumn("is_dlq", size(col("__std.unmerged")) > 0)
         case "theirs" => d
-          .withColumn("merged", transform_values(col("__std.merged"),
+          // drop NULL values after the overlay: an unmerged property
+          // ABSENT from proposed (undefined-vs-set conflict) must stay
+          // undefined, not become a NULL map entry — mergeBags encodes
+          // "undefined" as missing-key everywhere else
+          .withColumn("merged", map_filter(transform_values(col("__std.merged"),
             (k, v) => when(array_contains(col("__std.unmerged"), k),
-              try_element_at(proposed, k)).otherwise(v)))
+              try_element_at(proposed, k)).otherwise(v)), (_, v) => v.isNotNull))
           .withColumn("unmerged", array().cast("array<string>"))
           .withColumn("is_dlq", lit(false))
         case "ours" => d

@@ -118,9 +118,12 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
   // Spark's streaming planner calls estimateStatistics() on EVERY
   // micro-batch plan, and re-walking a million-object bucket per
   // trigger would defeat the cached-listing design — a scan-lifetime
-  // estimate is what a planner statistic is for.
-  private lazy val sizedListing: Array[(String, Long)] =
-    ChangefeedFiles.visibleSized(dir)
+  // estimate is what a planner statistic is for. Markers ride along:
+  // file pruning brackets row timestamps with RESOLVED marker stamps.
+  private lazy val classifiedListing: (Array[(String, Long)], Array[String]) =
+    ChangefeedFiles.visibleClassified(dir)
+  private def sizedListing: Array[(String, Long)] = classifiedListing._1
+  private def markers: Array[String] = classifiedListing._2
 
   /** Post-pruning byte size from the cached listing (row count unknown
     * — the source would have to open objects to count lines). Accurate
@@ -130,7 +133,7 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
     */
   override def estimateStatistics(): Statistics = {
     val byName = sizedListing.toMap
-    val kept = ChangefeedFiles.pruneByUpdated(sizedListing.map(_._1), bounds)
+    val kept = ChangefeedFiles.pruneByUpdated(sizedListing.map(_._1), markers, bounds)
     val total = kept.map(byName).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
@@ -144,7 +147,7 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ChangefeedFiles.pruneByUpdated(sizedListing.map(_._1), bounds)
+      ChangefeedFiles.pruneByUpdated(sizedListing.map(_._1), markers, bounds)
         .map(f => ChangefeedFilePartition(f): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
       new ChangefeedReaderFactory(readSchema0.fieldNames, conf)
@@ -156,13 +159,21 @@ class ChangefeedScan(readSchema0: StructType, dir: String, maxFiles: Int,
 
 /** Streaming offset = the lexicographically-largest admitted file name
   * (reference objstore's "last object applied" resume point). Empty
-  * string = nothing admitted.
+  * string = nothing admitted. `below` is the number of listed files
+  * that sorted ≤ `lastFile` when this offset was admitted — persisted
+  * in the checkpoint so the monotonic-name contract check survives a
+  * query restart (a file written below the committed frontier while
+  * the stream was down is detected on the first post-restart trigger,
+  * not silently skipped). `-1` = unknown (offset written by an older
+  * version); the check is disabled until the next admit.
   */
-case class ChangefeedOffset(lastFile: String) extends Offset {
+case class ChangefeedOffset(lastFile: String, below: Int = -1) extends Offset {
   override def json(): String = {
     val gen = new ByteArrayOutputStream()
     val g = ChangefeedFiles.jsonFactory.createGenerator(gen, JsonEncoding.UTF8)
-    g.writeStartObject(); g.writeStringField("lastFile", lastFile); g.writeEndObject(); g.close()
+    g.writeStartObject(); g.writeStringField("lastFile", lastFile)
+    if (below >= 0) g.writeNumberField("below", below)
+    g.writeEndObject(); g.close()
     gen.toString("UTF-8")
   }
 }
@@ -171,14 +182,17 @@ object ChangefeedOffset {
   def fromJson(json: String): ChangefeedOffset = {
     val p = ChangefeedFiles.jsonFactory.createParser(json)
     var last = ""
+    var below = -1
     if (p.nextToken() == JsonToken.START_OBJECT) {
       while (p.nextToken() == JsonToken.FIELD_NAME) {
         val name = p.currentName(); p.nextToken()
-        if (name == "lastFile") last = p.getText else p.skipChildren()
+        if (name == "lastFile") last = p.getText
+        else if (name == "below") below = p.getIntValue
+        else p.skipChildren()
       }
     }
     p.close()
-    ChangefeedOffset(last)
+    ChangefeedOffset(last, below)
   }
 }
 
@@ -189,52 +203,61 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
   // Trigger.AvailableNow: snapshot the listing once, then drain exactly
   // that snapshot under the usual read limits (late-arriving files go to
   // the next run — the reference's bounded-backfill semantics)
-  private var availableNowSnapshot: Option[Array[String]] = None
+  private var availableNowSnapshot: Option[(Array[String], Array[String])] = None
 
-  // the most recent listing this trigger — latestOffset refreshes it,
-  // reportLatestOffset and planInputPartitions REUSE it, so a trigger
-  // costs ONE directory scan, not three (a listing on a bucket with
-  // millions of objects dominates trigger latency otherwise)
-  @volatile private var lastListing: Array[String] = _
+  // the most recent classified listing (visible data, markers) this
+  // trigger — latestOffset refreshes it, reportLatestOffset and
+  // planInputPartitions REUSE it, so a trigger costs ONE directory
+  // scan, not three (a listing on a bucket with millions of objects
+  // dominates trigger latency otherwise)
+  @volatile private var lastListing: (Array[String], Array[String]) = _
 
-  private def currentListing(refresh: Boolean): Array[String] =
+  private def currentClassified(refresh: Boolean): (Array[String], Array[String]) =
     availableNowSnapshot.getOrElse {
-      if (refresh || lastListing == null) lastListing = ChangefeedFiles.list(dir)
+      if (refresh || lastListing == null)
+        lastListing = ChangefeedFiles.visibleWithMarkers(dir)
       lastListing
     }
 
+  private def currentListing(refresh: Boolean): Array[String] =
+    currentClassified(refresh)._1
+
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowSnapshot = Some(ChangefeedFiles.list(dir))
+    availableNowSnapshot = Some(ChangefeedFiles.visibleWithMarkers(dir))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(maxFilesPerTrigger)
 
-  override def initialOffset(): Offset = ChangefeedOffset("")
+  override def initialOffset(): Offset = ChangefeedOffset("", 0)
 
   // SupportsAdmissionControl contract: the engine calls the two-arg form
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  // monotonic-name contract check: when we admit an offset S we know
-  // exactly how many listed files sort ≤ S; if a LATER listing shows
-  // more files ≤ that same S, a producer wrote a new object below an
-  // already-committed name — such a file is silently skipped by the
-  // frontier offset, so surface it loudly instead of losing data
-  // quietly (cheap: one count per trigger, compared at the SAME
-  // frontier so normal progress never false-positives).
-  @volatile private var expectedBelow: (String, Int) = ("", 0)
+  // in-memory dedupe for the contract-violation warning only — the
+  // BASELINE itself lives in the offset (`below`), so the check
+  // survives restarts via the checkpoint, not this field
+  @volatile private[graft] var lastWarned: (String, Int) = ("", -1)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startFile = start.asInstanceOf[ChangefeedOffset].lastFile
+    val so = start.asInstanceOf[ChangefeedOffset]
+    val startFile = so.lastFile
     val listing = currentListing(refresh = true)
     val below = listing.count(_ <= startFile)
-    expectedBelow match {
-      case (`startFile`, expected) if below > expected =>
-        ChangefeedMicroBatchStream.log.warn(
-          s"${below - expected} newly listed file(s) in $dir sort at or below the " +
-          s"committed offset '$startFile' — the monotonic-object-name contract is violated " +
-          "and these files will be SKIPPED. Use Changefeed.readStreamGenericJson for feeds " +
-          "with non-monotonic names.")
-      case _ => ()
+    // monotonic-name contract check: when offset S was admitted we
+    // recorded how many listed files sorted ≤ S (`so.below`, from the
+    // checkpoint — survives restarts); if this listing shows MORE, a
+    // producer wrote a new object below the committed name — such a
+    // file is silently skipped by the frontier offset, so surface it
+    // loudly instead of losing data quietly (cheap: one count per
+    // trigger, compared at the SAME frontier so normal progress never
+    // false-positives; warning repeats are deduped in memory).
+    if (so.below >= 0 && below > so.below && lastWarned != ((startFile, below))) {
+      lastWarned = (startFile, below)
+      ChangefeedMicroBatchStream.log.warn(
+        s"${below - so.below} newly listed file(s) in $dir sort at or below the " +
+        s"committed offset '$startFile' — the monotonic-object-name contract is violated " +
+        "and these files will be SKIPPED. Use Changefeed.readStreamGenericJson for feeds " +
+        "with non-monotonic names.")
     }
     val pending = listing.filter(_ > startFile)
     val admitted = limit match {
@@ -243,14 +266,14 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
     }
     // pending is sorted ascending, so files ≤ the new offset are
     // exactly below + admitted.length — the baseline the next trigger
-    // checks against
-    if (admitted.isEmpty) { expectedBelow = (startFile, below); start }
-    else { expectedBelow = (admitted.last, below + admitted.length); ChangefeedOffset(admitted.last) }
+    // (or a restarted query) checks against
+    if (admitted.isEmpty) start
+    else ChangefeedOffset(admitted.last, below + admitted.length)
   }
 
   override def reportLatestOffset(): Offset = {
     val all = currentListing(refresh = false)
-    if (all.isEmpty) null else ChangefeedOffset(all.last)
+    if (all.isEmpty) null else ChangefeedOffset(all.last, all.length)
   }
 
   /** (lo, hi] planning reuses the listing the offsets were admitted
@@ -265,8 +288,8 @@ class ChangefeedMicroBatchStream(readSchema: StructType, dir: String, maxFilesPe
     // offsets ADVANCE over every admitted file (the frontier must pass
     // skipped objects), but pruned files are never opened — a catch-up
     // stream with an `updated >= X` bound skips the old backlog's bytes
-    ChangefeedFiles.pruneByUpdated(
-        currentListing(refresh = false).filter(f => f > lo && f <= hi), bounds)
+    val (data, markers) = currentClassified(refresh = false)
+    ChangefeedFiles.pruneByUpdated(data.filter(f => f > lo && f <= hi), markers, bounds)
       .map(f => ChangefeedFilePartition(f): InputPartition)
   }
 
@@ -447,9 +470,22 @@ object ChangefeedFiles {
     * `list`, batch partition planning, and scan statistics all derive
     * from this so they can never disagree about what is readable.
     */
-  def visibleSized(dir: String): Array[(String, Long)] = {
+  def visibleSized(dir: String): Array[(String, Long)] = visibleClassified(dir)._1
+
+  /** [[visibleSized]] plus the full sorted marker list — pruning needs
+    * the markers to bracket row timestamps ([[pruneByUpdated]]).
+    */
+  def visibleClassified(dir: String): (Array[(String, Long)], Array[String]) = {
     val (data, markers) = listClassifiedSized(dir)
-    if (markers.isEmpty) data else data.filter(_._1 < markers.last)
+    (if (markers.isEmpty) data else data.filter(_._1 < markers.last), markers)
+  }
+
+  /** Visible data file names plus markers (streaming's per-trigger
+    * cached listing shape).
+    */
+  def visibleWithMarkers(dir: String): (Array[String], Array[String]) = {
+    val (data, markers) = visibleClassified(dir)
+    (data.map(_._1), markers)
   }
 
   /** The name-embedded timestamp of a changefeed object: a ≥ 6-digit
@@ -487,33 +523,42 @@ object ChangefeedFiles {
     }
   }
 
-  /** Skip whole objects using `updated` bounds and the name-embedded
-    * timestamp contract — the SAME ordering premise the streaming
-    * offsets rely on, one step stronger at row level: an object named
-    * with timestamp T holds only mutations whose wall nanos lie in
-    * [T, T_next] where T_next is the next data object's timestamp (a
-    * changefeed sink flushes in time order, so a file's rows are
-    * bracketed by its own and its successor's flush stamps). At 100 TB
-    * this is the difference between a bounded catch-up scan and a
-    * full-bucket read: a backfill with `updated >= X` opens none of
-    * the months of objects below the bound.
+  /** Skip whole objects using `updated` bounds, the name-embedded
+    * timestamp contract, and the RESOLVED marker protocol. An object
+    * named with timestamp T holds only mutations with wall nanos ≥ T
+    * (the sink names a flush by its start stamp — the same premise
+    * that makes name order ingest order). The UPPER bracket comes from
+    * the resolved protocol, NOT from the next data file's name: a
+    * `<R>.RESOLVED` marker means every data object sorting below it is
+    * finalized with row timestamps ≤ R (reference
+    * `internal/source/objstore/conn.go:96-99` processes ranges between
+    * consecutive markers on exactly this contract). Data files from
+    * concurrent sink nodes/topics CAN overlap in row-timestamp ranges,
+    * so a successor data file's stamp bounds nothing — bracketing on
+    * it would silently skip qualifying rows that residual filters can
+    * never recover. So: rows of file F lie in [ts(F), ts(M)] where M
+    * is the first marker above F. At 100 TB this is the difference
+    * between a bounded catch-up scan and a full-bucket read: a
+    * backfill with `updated >= X` opens none of the months of objects
+    * below the bound.
     *
     * Comparisons happen on DIGIT STRINGS and only when this file's
-    * stamp, the successor's stamp, and the bound's wall prefix have
-    * equal digit length — for equal-length runs string order IS
+    * stamp, the bracketing marker's stamp, and the bound's wall prefix
+    * have equal digit length — for equal-length runs string order IS
     * numeric order, and the bracketing stamps pin every row's digit
     * count, so the skip decision is exact under the string comparison
     * semantics the query actually uses (epoch-nanos stamps are all 19
     * digits in practice, so the guard almost never disables pruning).
-    * Files without a parsable stamp, and the LAST file (no successor
-    * to bracket its rows), are always kept. Every pushed filter is
-    * re-evaluated row-by-row by Spark regardless — pruning can only
-    * skip files whose rows provably fail the filter.
+    * Files without a parsable stamp, and files with no marker above
+    * them (marker-less fixture directories included), are always kept.
+    * Every pushed filter is re-evaluated row-by-row by Spark
+    * regardless — pruning can only skip files whose rows provably fail
+    * the filter.
     */
-  def pruneByUpdated(files: Array[String],
+  def pruneByUpdated(files: Array[String], markers: Array[String],
       bounds: Array[org.apache.spark.sql.sources.Filter]): Array[String] = {
     import org.apache.spark.sql.sources._
-    if (bounds.isEmpty || files.isEmpty) return files
+    if (bounds.isEmpty || files.isEmpty || markers.isEmpty) return files
     val lowers = bounds.toSeq.collect {
       case GreaterThan("updated", v: String) => nanosOf(v)
       case GreaterThanOrEqual("updated", v: String) => nanosOf(v)
@@ -525,21 +570,22 @@ object ChangefeedFiles {
       case EqualTo("updated", v: String) => nanosOf(v)
     }.flatten
     if (lowers.isEmpty && uppers.isEmpty) return files
-    val ts = files.map(embeddedTs)
-    files.indices.filter { i =>
-      val bracket = for {
-        t <- ts(i)
-        tn <- if (i + 1 < files.length) ts(i + 1) else None
-        if t.length == tn.length
-      } yield (t, tn)
-      val belowLower = bracket.exists { case (_, tn) =>
-        lowers.exists(nx => tn.length == nx.length && tn < nx) // rows ≤ tn < bound
+    // sorted marker names with parsable stamps; the first marker ABOVE
+    // a file brackets its rows (binary search per file — no sortedness
+    // assumption on `files` itself)
+    val stamped = markers.flatMap(m => embeddedTs(m).map(ts => (m, ts))).sortBy(_._1)
+    val names = stamped.map(_._1)
+    files.filter { f =>
+      val ip = java.util.Arrays.binarySearch(names.asInstanceOf[Array[AnyRef]], f)
+      val next = if (ip >= 0) ip + 1 else -ip - 1 // strictly-above marker index
+      (embeddedTs(f), if (next < stamped.length) Some(stamped(next)._2) else None) match {
+        case (Some(t), Some(r)) if t.length == r.length =>
+          val belowLower = lowers.exists(nx => r.length == nx.length && r < nx) // rows ≤ r < bound
+          val aboveUpper = uppers.exists(nx => t.length == nx.length && t > nx) // rows ≥ t > bound
+          !belowLower && !aboveUpper
+        case _ => true
       }
-      val aboveUpper = bracket.exists { case (t, tn) =>
-        uppers.exists(nx => tn.length == nx.length && t > nx) // rows ≥ t > bound
-      }
-      !belowLower && !aboveUpper
-    }.map(files).toArray
+    }
   }
 
   /** Hadoop conf for executors — broadcast once per scan so S3/HDFS

@@ -237,6 +237,13 @@ class CdcSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(ivs(parsed) == ivs(frontier))
 
+    // MySQL renders singleton intervals as a bare GNO (`1-5:7`, not
+    // `7-7`) — the parse must read them as start == end, or resume's
+    // NULL end_gno would re-admit already-applied transactions
+    val mysqlStyle = Seq(("a", "1-5:7"), ("b", "3")).toDF("src", "gtid_set")
+    assert(ivs(TxnLog.gtidSetParse(mysqlStyle, "src", "gtid_set")) ==
+      Seq(("a", 1L, 5L, 5L), ("a", 7L, 7L, 1L), ("b", 3L, 3L, 1L)))
+
     // a checkpoint-seeded resume admits exactly what the live one does
     val incoming = Seq(("a", 2L), ("a", 4L), ("a", 7L), ("a", 10L),
       ("b", 2L), ("b", 3L), ("c", 1L)).toDF("src", "gno")

@@ -77,9 +77,40 @@ class ChangefeedSourceV2Spec extends SparkSpec {
   }
 
   test("offset json round-trips the file frontier") {
-    val off = ChangefeedOffset("file:/tmp/data/2026-01-01T00_00_00.ndjson")
+    val off = ChangefeedOffset("file:/tmp/data/2026-01-01T00_00_00.ndjson", 7)
     assert(ChangefeedOffset.fromJson(off.json()) == off)
-    assert(ChangefeedOffset.fromJson(ChangefeedOffset("").json()) == ChangefeedOffset(""))
+    assert(ChangefeedOffset.fromJson(ChangefeedOffset("", 0).json()) == ChangefeedOffset("", 0))
+    // a pre-`below` checkpoint (older offset format) restores as
+    // unknown baseline — contract check stays disabled, no crash
+    assert(ChangefeedOffset.fromJson("""{"lastFile": "f"}""") == ChangefeedOffset("f", -1))
+  }
+
+  test("monotonic-name baseline survives a restart via the offset") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val base = Files.createTempDirectory("graft_dsv2_monobase").toString
+    def put(name: String): Unit =
+      Files.write(java.nio.file.Paths.get(s"$base/$name"),
+        ("""{"after": "x", "key": "[1]", "updated": "1.0000000000"}""" + "\n")
+          .getBytes("UTF-8"))
+    put("000001.ndjson"); put("000002.ndjson")
+    val s1 = new graft.sources.ChangefeedMicroBatchStream(
+      Changefeed.envelopeSchema, base, 16)
+    val o1 = s1.latestOffset(s1.initialOffset(), ReadLimit.maxFiles(16))
+      .asInstanceOf[ChangefeedOffset]
+    assert(o1.below == 2 && o1.lastFile.endsWith("000002.ndjson"))
+    assert(s1.lastWarned == (("", -1))) // healthy progress: no warning
+
+    // restart: a FRESH stream instance restores the offset from its
+    // checkpointed json; a file written below the committed frontier
+    // while the stream was down must be detected, not silently skipped
+    val restored = ChangefeedOffset.fromJson(o1.json())
+    put("000000.ndjson")
+    val s2 = new graft.sources.ChangefeedMicroBatchStream(
+      Changefeed.envelopeSchema, base, 16)
+    val o2 = s2.latestOffset(restored, ReadLimit.maxFiles(16))
+      .asInstanceOf[ChangefeedOffset]
+    assert(o2.lastFile == restored.lastFile) // nothing new above the frontier
+    assert(s2.lastWarned._1 == restored.lastFile) // violation warned post-restart
   }
 
   test("checkpointed resume ingests only files beyond the frontier") {
@@ -199,11 +230,21 @@ class ChangefeedSourceV2Spec extends SparkSpec {
       Files.write(java.nio.file.Paths.get(s"$base/$name"),
         stamps.map(t => s"""{"after": "v", "key": "[$t]", "updated": "$t.0000000000"}""")
           .mkString("", "\n", "\n").getBytes("UTF-8"))
-    // contract: a file named T holds rows with nanos in [T, T_next]
+    // contract: a file named T holds rows with nanos ≥ T, and rows of
+    // every file below a `<R>.RESOLVED` marker are ≤ R (the resolved
+    // protocol — successor DATA files bound nothing, their row ranges
+    // can overlap across concurrent sink nodes)
+    def marker(ts: String): Unit =
+      Files.write(java.nio.file.Paths.get(s"$base/$ts.RESOLVED"),
+        s"""{"resolved": "$ts.0000000000"}\n""".getBytes("UTF-8"))
     put("100000.ndjson", Seq("100000", "120000"))
+    marker("130000")
     put("200000.ndjson", Seq("200000", "250000"))
+    marker("260000")
     put("300000.ndjson", Seq("300000", "350000"))
+    marker("360000")
     put("400000.ndjson", Seq("400000"))
+    marker("450000")
 
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collectFirst {
@@ -211,20 +252,21 @@ class ChangefeedSourceV2Spec extends SparkSpec {
           .toBatch.planInputPartitions().length
       }.get
 
-    // catch-up bound: files provably below it are never opened. File 2
-    // (rows bracketed by [200000, 300000]) may contain a row EQUAL to
-    // the bound, so it must survive; file 1 is skipped.
+    // catch-up bound: files provably below it are never opened. Files
+    // 1 and 2 are marker-bracketed ≤ 130000 / ≤ 260000 < bound → both
+    // skip; file 3 may hold a row equal to the bound and survives.
     val lo = spark.read.format("graft-changefeed").load(base)
       .where(col("updated") >= "300000.0000000000")
-    assert(plannedFiles(lo) == 3)
+    assert(plannedFiles(lo) == 2)
     assert(lo.select("key").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("[300000]", "[350000]", "[400000]"))
 
-    // upper bound: file 3 (rows ≥ 300000) skips; the LAST file has no
-    // successor to bracket its rows and is conservatively kept
+    // upper bound: files 3 and 4 (rows ≥ their own stamps 300000 /
+    // 400000 — the naming contract needs no successor) both skip;
+    // file 2's stamp EQUALS the bound's nanos so it must survive
     val hi = spark.read.format("graft-changefeed").load(base)
       .where(col("updated") < "200000.0000000000")
-    assert(plannedFiles(hi) == 3)
+    assert(plannedFiles(hi) == 2)
     assert(hi.select("key").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("[100000]", "[120000]"))
 
@@ -236,20 +278,42 @@ class ChangefeedSourceV2Spec extends SparkSpec {
           .estimateStatistics().sizeInBytes().getAsLong
       }.get
     val allBytes = statBytes(spark.read.format("graft-changefeed").load(base))
-    val expectedKept = Seq("200000.ndjson", "300000.ndjson", "400000.ndjson")
+    val expectedKept = Seq("300000.ndjson", "400000.ndjson")
       .map(n => new java.io.File(s"$base/$n").length()).sum
     assert(statBytes(lo) == expectedKept)
     assert(statBytes(lo) < allBytes)
 
     // digit-length mismatch (string vs numeric order can diverge) and
-    // unstamped names disable pruning rather than risk wrong skips
+    // unstamped names disable pruning rather than risk wrong skips;
+    // a MARKER-LESS directory never prunes (no upper bracket exists)
     import org.apache.spark.sql.sources.GreaterThanOrEqual
-    val files = graft.sources.ChangefeedFiles.list(base)
-    assert(graft.sources.ChangefeedFiles.pruneByUpdated(files,
+    val (files, markers) = graft.sources.ChangefeedFiles.visibleWithMarkers(base)
+    assert(graft.sources.ChangefeedFiles.pruneByUpdated(files, markers,
       Array(GreaterThanOrEqual("updated", "99999999.0"))).length == 4)
     assert(graft.sources.ChangefeedFiles.pruneByUpdated(
-      Array(s"$base/part-00000-aa.json", s"$base/part-00001-bb.json"),
+      Array(s"$base/part-00000-aa.json", s"$base/part-00001-bb.json"), markers,
       Array(GreaterThanOrEqual("updated", "300000.0"))).length == 2)
+    assert(graft.sources.ChangefeedFiles.pruneByUpdated(files, Array.empty,
+      Array(GreaterThanOrEqual("updated", "300000.0000000000"))).length == 4)
+
+    // the reference contract ONLY bounds rows via markers: a file from
+    // a concurrent sink node can hold rows ABOVE its successor data
+    // file's stamp. Successor-stamp bracketing would prune file
+    // 500000.ndjson here (rows "≤ 600000" < bound) and silently lose
+    // the overlapping 620000 row; the marker bracket (650000) keeps it.
+    val base2 = Files.createTempDirectory("graft_dsv2_overlap").toString
+    def put2(name: String, stamps: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$base2/$name"),
+        stamps.map(t => s"""{"after": "v", "key": "[$t]", "updated": "$t.0000000000"}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    put2("500000.ndjson", Seq("500000", "620000"))
+    put2("600000.ndjson", Seq("600000"))
+    Files.write(java.nio.file.Paths.get(s"$base2/650000.RESOLVED"),
+      """{"resolved": "650000.0000000000"}""".getBytes("UTF-8"))
+    val overlap = spark.read.format("graft-changefeed").load(base2)
+      .where(col("updated") >= "610000.0000000000")
+    assert(plannedFiles(overlap) == 2) // neither file provably fails the bound
+    assert(overlap.select("key").collect().map(_.getString(0)).toSeq == Seq("[620000]"))
 
     // a streaming catch-up with the same bound skips the old backlog's
     // bytes while the offset frontier still advances past every file
@@ -298,6 +362,7 @@ class ChangefeedSourceV2Spec extends SparkSpec {
     import org.apache.spark.sql.sources.GreaterThanOrEqual
     assert(graft.sources.ChangefeedFiles.pruneByUpdated(
       Array("/d/data-214509-aa.json", "/d/data-830764-bb.json", "/d/data-999999-cc.json"),
+      Array("/d/ts999999.RESOLVED"),
       Array(GreaterThanOrEqual("updated", "500000.0"))).length == 3)
   }
 

@@ -70,11 +70,15 @@ class ScriptSpec extends SparkSpec {
     // key 1: clean (before = target)  key 2: conflict, user resolves
     // key 3: conflict, user declines (NULL) → fallback
     // key 4: no target → proposed applies as-is
+    // key 5: undefined-vs-set conflict — proposed DELETES c while the
+    // target changed it; "theirs" must leave c undefined (missing key),
+    // never a NULL map entry
     val df = Seq(
       (1L, Map("c" -> "10"), Map("c" -> "20"), Map("c" -> "10")),
       (2L, Map("c" -> "10"), Map("c" -> "20"), Map("c" -> "99")),
       (3L, Map("c" -> "10"), Map("c" -> "20"), Map("c" -> "55")),
-      (4L, Map("c" -> "10"), Map("c" -> "20"), null.asInstanceOf[Map[String, String]]))
+      (4L, Map("c" -> "10"), Map("c" -> "20"), null.asInstanceOf[Map[String, String]]),
+      (5L, Map("c" -> "10"), Map.empty[String, String], Map("c" -> "55")))
       .toDF("id", "before_bag", "proposed_bag", "target_bag")
     def run(resolveAndFallback: String) = graft.script.UserScript.compile(
       s"""{"stages": [{"op": "merge",
@@ -92,19 +96,24 @@ class ScriptSpec extends SparkSpec {
       (1L, Some("20"), Seq(), false),
       (2L, Some("99"), Seq(), false),
       (3L, Some("55"), Seq("c"), true),
-      (4L, Some("20"), Seq(), false)))
+      (4L, Some("20"), Seq(), false),
+      (5L, Some("55"), Seq("c"), true)))
 
-    // theirs: the declined conflict takes proposed instead of dead-lettering
+    // theirs: the declined conflict takes proposed instead of
+    // dead-lettering; proposed-absent (key 5) ⇒ the property is
+    // REMOVED, not set to NULL
     val theirs = run(""""fallback": "theirs"""")
     assert(theirs.map(t => (t._1, t._2, t._4)) == Seq(
       (1L, Some("20"), false), (2L, Some("20"), false),
-      (3L, Some("20"), false), (4L, Some("20"), false)))
+      (3L, Some("20"), false), (4L, Some("20"), false),
+      (5L, None, false)))
 
     // ours: conflicts keep the target value
     val ours = run(""""fallback": "ours"""")
     assert(ours.map(t => (t._1, t._2, t._4)) == Seq(
       (1L, Some("20"), false), (2L, Some("99"), false),
-      (3L, Some("55"), false), (4L, Some("20"), false)))
+      (3L, Some("55"), false), (4L, Some("20"), false),
+      (5L, Some("55"), false)))
 
     // unknown fallback and reserved columns are compile/plan-time errors
     val bad = intercept[IllegalArgumentException](graft.script.UserScript.compile(
