@@ -394,6 +394,100 @@ object Dedup {
   final case class DedupIndex(bands: DataFrame, shingles: DataFrame,
       members: DataFrame)
 
+  /** Compact an (extended) index to parquet and reload it as a fresh
+    * 3-frame index. The streaming loop's per-batch `unionByName` grows
+    * the probe plan by one arm per folded batch — after months of
+    * micro-batches the DRIVER, not the data, becomes the bottleneck
+    * (analysis/optimization walk every arm on every trigger).
+    * Compaction collapses N arms back to three parquet scans, so the
+    * probe plan is the same size on day 300 as on day 1.
+    *
+    * Layout: generation directories `path/gen=<k>/{bands,shingles,
+    * members}` — the write streams the OLD generation's files, so an
+    * in-place overwrite would delete its own input. Each call writes
+    * generation k+1, reloads from it, then best-effort deletes
+    * generations < k (the k-th must outlive this call: DataFrames the
+    * caller derived from the input index may still reference its
+    * files). The band frame is repartitioned on (band_id, bucket) so
+    * each output file holds contiguous bucket ranges — probe-side
+    * bucket joins touch few files, and a cluster deployment can layer
+    * table bucketing on the same column set for a shuffle-free index
+    * side.
+    */
+  def compactIndex(index: DedupIndex, path: String): DedupIndex = {
+    val spark = index.bands.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/gen=*")))
+      .getOrElse(Array.empty)
+      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
+      .sorted
+    val next = gens.lastOption.getOrElse(-1) + 1
+    val out = s"$path/gen=$next"
+    index.bands.repartition(col("band_id"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$out/bands")
+    index.shingles.write.mode("overwrite").parquet(s"$out/shingles")
+    index.members.write.mode("overwrite").parquet(s"$out/members")
+    gens.dropRight(1).foreach(g => // keep the newest OLD gen alive (see doc)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
+    loadIndex(spark, path)
+  }
+
+  /** Load the newest compacted generation under `path` (written by
+    * [[compactIndex]]) — the nightly/restart resume point.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val gen = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/gen=*")))
+      .getOrElse(Array.empty)
+      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no compacted dedup index generations under $path"))
+    DedupIndex(
+      spark.read.parquet(s"$path/gen=$gen/bands"),
+      spark.read.parquet(s"$path/gen=$gen/shingles"),
+      spark.read.parquet(s"$path/gen=$gen/members"))
+  }
+
+  /** The streaming dedup loop: per micro-batch, probe + fold
+    * ([[probeAndExtend]]), and every `compactEvery` folded batches
+    * [[compactIndex]] the result so plan size stays constant over the
+    * stream's lifetime. Use from `foreachBatch`:
+    * {{{
+    *   val state = new Dedup.StreamingDedup(initial, ckDir, 8,
+    *     "doc_id", "text", 0.9)
+    *   stream.writeStream.foreachBatch { (b, _) =>
+    *     sink(state.ingest(b))
+    *   }
+    * }}}
+    * On a compaction round the batch's pair output is materialized
+    * (eager localCheckpoint) BEFORE compaction runs: the pairs' lineage
+    * reads the pre-compaction generation's files, which a later
+    * compaction deletes.
+    */
+  final class StreamingDedup(initial: DedupIndex, compactPath: String,
+      compactEvery: Int, id: String, text: String, threshold: Double,
+      numHashes: Int = 64, bands: Int = 32, k: Int = 3,
+      eagerCheckpoint: Boolean = true) {
+    require(compactEvery > 0, "compactEvery must be positive")
+    private var index0 = initial
+    private var folded = 0
+    def index: DedupIndex = index0
+
+    /** Probe + fold one batch; returns the pairs touching it. */
+    def ingest(batch: DataFrame): DataFrame = {
+      val (pairs, next) = probeAndExtend(index0, batch, id, text, threshold,
+        numHashes, bands, k, eagerCheckpoint)
+      folded += 1
+      if (folded % compactEvery == 0) {
+        val out = pairs.localCheckpoint(true) // consume before gen GC
+        index0 = compactIndex(next, compactPath)
+        out
+      } else { index0 = next; pairs }
+    }
+  }
+
   def buildDedupIndex(docs: DataFrame, id: String, text: String,
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true): DedupIndex = {

@@ -177,6 +177,80 @@ class OpsSpec extends SparkSpec {
     assert(streamed.count { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 5L)) } == 3)
   }
 
+  test("streaming dedup with compaction ≡ one full pass across the boundary") {
+    // same fixture as the probeAndExtend equivalence test, but the
+    // index is compacted to parquet after EVERY fold (compactEvery=1)
+    // — every cross-batch pair must cross a compaction boundary
+    val s1 = "the quick brown fox jumps over the lazy dog near the river"
+    val s4 = "the quick brown fox leaps over the lazy dog near the river"
+    val batches = Seq(
+      Seq((1L, s1),
+        (3L, "completely different content about spark engines and shuffles")),
+      Seq((2L, s1), (4L, s4)),
+      Seq((5L, s1),
+        (6L, "totally novel text with no relatives anywhere here"))
+    ).map(_.toDF("doc_id", "text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_compact1").toString
+    val state = new Dedup.StreamingDedup(
+      Dedup.buildDedupIndex(batches.head, "doc_id", "text"), tmp,
+      compactEvery = 1, "doc_id", "text", threshold = 0.5)
+    def normPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .sorted.toSeq
+    val streamed = normPairs(batches.tail.map(state.ingest).reduce(_ unionByName _))
+    val full = normPairs(Dedup.verifiedDupPairs(
+      batches.reduce(_ unionByName _), "doc_id", "text", threshold = 0.5)
+      .filter(!(col("id_a").isin(1L, 3L) && col("id_b").isin(1L, 3L))))
+    assert(streamed == full)
+    assert(streamed.contains((1L, 4L, math.round(7.0 / 13.0 * 1e9)))) // near dup crossed the boundary
+    // the index survives a cold reload (the nightly/restart resume path)
+    val reloaded = Dedup.loadIndex(spark, tmp)
+    assert(reloaded.members.count() == state.index.members.count())
+    assert(reloaded.bands.count() == state.index.bands.count())
+  }
+
+  test("index compaction holds probe plan size constant over 10+ folds") {
+    def mkBatch(i: Int) = Seq(
+      (1000L + i, s"wholly distinct document number $i about topic $i")
+    ).toDF("doc_id", "text")
+    val seed = Seq((1L, "seed corpus document with its own content"))
+      .toDF("doc_id", "text")
+    def planStats(ix: Dedup.DedupIndex): (Int, Int) = {
+      val probe = Dedup.incrementalDupPairs(mkBatch(999), ix,
+        "doc_id", "text", threshold = 0.5)
+      val nodes = probe.queryExecution.analyzed.collect { case n => n }.length
+      val exchanges = "Exchange".r
+        .findAllIn(probe.queryExecution.executedPlan.toString).length
+      (nodes, exchanges)
+    }
+    // plain probeAndExtend: one more union arm per fold — plan grows
+    var plain = Dedup.buildDedupIndex(seed, "doc_id", "text")
+    (1 to 4).foreach { i =>
+      plain = Dedup.probeAndExtend(plain, mkBatch(i), "doc_id", "text", 0.5)._2
+    }
+    val grown = planStats(plain)
+    // compacting loop: 12 folds, compact every 4 — after each
+    // compaction the probe plan is EXACTLY the fresh-index plan
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_compactN").toString
+    val state = new Dedup.StreamingDedup(
+      Dedup.buildDedupIndex(seed, "doc_id", "text"), tmp,
+      compactEvery = 4, "doc_id", "text", threshold = 0.5)
+    val postCompactStats = (1 to 12).flatMap { i =>
+      state.ingest(mkBatch(i)).count() // consume the pairs like a sink would
+      if (i % 4 == 0) Some(planStats(state.index)) else None
+    }
+    assert(postCompactStats.distinct.length == 1,
+      s"probe plan changed across compactions: $postCompactStats")
+    assert(postCompactStats.head._1 < grown._1,
+      s"compacted plan (${postCompactStats.head._1} nodes) should be smaller " +
+      s"than 4 uncompacted folds (${grown._1} nodes)")
+    // only two generations remain on disk (newest + safety predecessor)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/gen=*")).length == 2)
+  }
+
   test("tokenFrequencyStats counts corpus-rare tokens per doc") {
     val out = TextOps.tokenFrequencyStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
