@@ -104,3 +104,39 @@ final case class Pipeline(
       .parquet(path)
   }
 }
+
+object Pipeline {
+
+  /** Re-process dead letters after a config fix and fold the result
+    * into the current target state. Reference `internal/target/dlq`:
+    * DLQ rows are ordinary mutations written to a re-processable
+    * table; once the condemning config/script is corrected an operator
+    * replays them into the target.
+    *
+    * Flow: drop the DLQ bookkeeping columns (`scratchCols`), anti-join
+    * away dead letters whose identity (`idCols`) is already present in
+    * `applied` — that makes replay IDEMPOTENT: replaying the same DLQ
+    * twice, or a DLQ overlapping mutations that later applied through
+    * the normal path, converges to the same state — then run the
+    * remainder through the `corrected` pipeline and merge with
+    * `applied` under last-one-wins `order` (a replayed old mutation
+    * never clobbers newer applied state; schemas may differ per stage,
+    * so missing columns null-fill).
+    *
+    * Scale shape: the DLQ is small relative to the target (it holds
+    * failures, not the corpus), so the anti-join broadcasts the DLQ's
+    * id projection and the union's `latestByKey` shuffles only
+    * replay-touched partitions under AQE.
+    */
+  def replayDlq(deadLetters: DataFrame, applied: DataFrame,
+      keys: Seq[String], order: Column, idCols: Seq[String],
+      scratchCols: Seq[String] = Seq("dlq_reason", "target_value",
+        "merge_status", "resolved_value"))
+      (corrected: Pipeline => Pipeline): DataFrame = {
+    val muts = deadLetters.drop(scratchCols: _*)
+    val fresh = Staging.filterApplied(muts, applied, idCols)
+    val replayed = corrected(Pipeline(fresh, keys, order)).state
+    Msort.latestByKey(
+      applied.unionByName(replayed, allowMissingColumns = true), keys, order)
+  }
+}

@@ -885,6 +885,42 @@ object CdcQueries {
       |            ELSE 'conflict' END) = 'conflict'
       |ORDER BY event_id""".stripMargin
 
+  // -- 28c: DLQ replay after a config fix -----------------------------------
+  /** Reference `internal/target/dlq`: dead letters are ordinary
+    * mutations in a re-processable table — after the condemning config
+    * is fixed an operator replays them into the target. Fixture: the
+    * cdc_merge_dlq pipeline (three-way merge, conflicts dead-letter,
+    * ok rows apply last-one-wins); the "fix" accepts each dead
+    * letter's proposed value; [[graft.Pipeline.replayDlq]] folds them
+    * back, idempotent via the event_id anti-join. The query returns
+    * the SECOND replay's output — replaying an already-replayed DLQ
+    * must be a no-op — so the oracle checks both convergence and
+    * idempotence: the final state is exactly "latest event per user",
+    * what a conflict-free apply would have produced directly.
+    */
+  def dlqReplay(s: SparkSession, dir: String): DataFrame = {
+    val wBefore = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val muts = events(s, dir)
+      .withColumn("before_value", lag(col("value"), 1).over(wBefore))
+    val p = graft.Pipeline(muts, keys = Seq("user_id"), order = ord)
+      .mergeOrDlq(col("before_value"), col("value"))
+    val applied = p.latestByKey().state
+      .drop("before_value", "target_value", "merge_status", "resolved_value")
+    val dead = p.deadLetters.get.drop("before_value")
+    def replay(state: DataFrame) = graft.Pipeline.replayDlq(
+      dead, state, Seq("user_id"), ord, idCols = Seq("event_id"))(_.latestByKey())
+    replay(replay(applied))
+      .select("user_id", "event_id", "value")
+      .orderBy("user_id")
+  }
+
+  val dlqReplaySql: String =
+    """SELECT user_id, event_id, value FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
   // -- 30: user-SUPPLIED script (JSON DSL of SQL expressions) ---------------
   /** The reference's extensibility story (`internal/script`: a goja VM
     * running user JS per mutation) re-expressed as runtime-compiled
@@ -1644,6 +1680,7 @@ object CdcQueries {
     "cdc_conveyor_modes" -> (conveyorModes _),
     "cdc_schema_drift" -> (schemaDrift _),
     "cdc_merge_dlq" -> (mergeDlq _),
+    "cdc_dlq_replay" -> (dlqReplay _),
     "cdc_checkpoint_frontier" -> (checkpointFrontier _),
     "cdc_userscript_dsl" -> (userscriptDsl _),
     "cdc_merge_wire_before" -> (mergeWireBefore _),
@@ -1688,6 +1725,7 @@ object CdcQueries {
     "cdc_conveyor_modes" -> conveyorModesSql,
     "cdc_schema_drift" -> schemaDriftSql,
     "cdc_merge_dlq" -> mergeDlqSql,
+    "cdc_dlq_replay" -> dlqReplaySql,
     "cdc_checkpoint_frontier" -> checkpointFrontierSql,
     "cdc_userscript_dsl" -> userscriptDslSql,
     "cdc_merge_wire_before" -> mergeWireBeforeSql,

@@ -42,6 +42,39 @@ class PipelineSpec extends SparkSpec {
     assert(audit == Map(1001L -> (2L, 30.0), 1002L -> (3L, 70.0)))
   }
 
+  test("replayDlq: fixed config converges, overlaps and re-replays are no-ops") {
+    // key 1: latest mutation (seq 3) dead-letters; replay must win over
+    //        the older applied row
+    // key 2: dead letter seq 4 ALSO applied through the normal path
+    //        later (operator retried) — identity anti-join must drop it
+    // key 3: applied only, untouched by the replay
+    val ord = struct(col("ts"), col("seq"))
+    val applied = Seq(
+      (1L, 100L, 1L, "old"),
+      (2L, 200L, 4L, "dup"),
+      (3L, 100L, 5L, "keep")
+    ).toDF("key", "ts", "seq", "payload")
+    val dead = Seq(
+      (1L, 300L, 3L, "fixed", "merge_conflict"),
+      (2L, 200L, 4L, "dup", "merge_conflict")
+    ).toDF("key", "ts", "seq", "payload", "dlq_reason")
+    def replay(state: org.apache.spark.sql.DataFrame) =
+      Pipeline.replayDlq(dead, state, Seq("key"), ord,
+        idCols = Seq("key", "ts", "seq"))(_.latestByKey())
+    val once = replay(applied)
+    val state = once.select("key", "ts", "seq", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(state == Map(
+      1L -> ((300L, 3L, "fixed")), // replayed dead letter won
+      2L -> ((200L, 4L, "dup")),   // no duplicate from the overlap
+      3L -> ((100L, 5L, "keep"))))
+    assert(once.count() == 3) // idempotence: one row per key, no dup of key 2
+    // replaying the already-replayed DLQ is a no-op
+    val twice = replay(once).select("key", "ts", "seq", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(twice == state)
+  }
+
   test("full pipeline: dedup -> dlq -> transform -> apply -> state + dead letters") {
     val muts = Seq(
       // (key, ts, seq, op, payload)
