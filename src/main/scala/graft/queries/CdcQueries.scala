@@ -1118,6 +1118,69 @@ object CdcQueries {
       |  is_dlq
       |FROM res ORDER BY user_id""".stripMargin
 
+  // -- 28e: delete routing + single-level recursion -------------------------
+  /** Reference `internal/script/loader.go:103-105`: `deletesTo` routes
+    * tombstones independently of the upsert dispatch, and `recurse`
+    * unwraps nested-source rows so they re-enter routing once. The
+    * script below marks errors as deletes, recursively rewrites hot
+    * clicks (value ≥ 100) into purchases — which then land in the
+    * PLAIN `billing` route, proving re-entry — and splits tombstones
+    * between a hot-delete table and the shared `telemetry` default, so
+    * telemetry receives BOTH an upsert leg and a delete leg (the
+    * union-of-legs path). All routing logic is user-authored SQL
+    * strings compiled by Catalyst at plan time.
+    */
+  def userscriptDeletesTo(s: SparkSession, dir: String): DataFrame = {
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |   {"op": "map", "cols": {
+        |      "__op": "case when event_type = 'error' then 'd' else 'u' end",
+        |      "cents": "cast(round(value * 100, 0) as bigint)"}}],
+        | "recurse": [
+        |   {"name": "wrapped_clicks", "when": "event_type = 'click' and value >= 100.0",
+        |    "stages": [{"op": "map", "cols": {"event_type": "'purchase'", "recursed": "true"}}]}],
+        | "deletesTo": {"when": "__op = 'd'",
+        |   "routes": [{"name": "tombstones_hot", "when": "value >= 100.0"}],
+        |   "default": "telemetry"},
+        | "dispatch": {
+        |   "routes": [{"name": "billing", "when": "event_type = 'purchase'"}],
+        |   "default": "telemetry"}}""".stripMargin)
+    val routed = script.dispatch(events(s, dir))
+    routed.toSeq.map { case (route, df) =>
+      df.groupBy(lit(route).as("route"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("cents"),
+          sum(when(col("__op") === "d", 1L).otherwise(0L)).as("n_del"),
+          sum(when(col("recursed"), 1L).otherwise(0L)).as("n_rec"))
+    }.reduce(_ unionByName _).orderBy("route")
+  }
+
+  val userscriptDeletesToSql: String =
+    """WITH m AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |x AS (
+      |  -- recurse: hot clicks rewritten to purchases, re-enter routing
+      |  SELECT CASE WHEN event_type = 'click' AND value >= 100.0
+      |              THEN 'purchase' ELSE event_type END AS event_type,
+      |    value, op, cents,
+      |    (event_type = 'click' AND value >= 100.0) AS recursed
+      |  FROM m),
+      |r AS (
+      |  -- deletes route through deletesTo; upserts through dispatch
+      |  SELECT CASE WHEN op = 'd'
+      |              THEN CASE WHEN value >= 100.0 THEN 'tombstones_hot' ELSE 'telemetry' END
+      |              WHEN event_type = 'purchase' THEN 'billing'
+      |              ELSE 'telemetry' END AS route,
+      |    cents, op, recursed
+      |  FROM x)
+      |SELECT route, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+      |  CAST(SUM(CASE WHEN recursed THEN 1 ELSE 0 END) AS BIGINT) AS n_rec
+      |FROM r GROUP BY route ORDER BY route""".stripMargin
+
   // -- 28c: per-route apply configurations ----------------------------------
   /** Reference `internal/util/applycfg/conf.go:52` + `internal/target/
     * apply`: dispatch hands each target table its OWN apply config. One
@@ -1686,6 +1749,7 @@ object CdcQueries {
     "cdc_merge_wire_before" -> (mergeWireBefore _),
     "cdc_userscript_emit" -> (userscriptEmit _),
     "cdc_userscript_merge" -> (userscriptMerge _),
+    "cdc_userscript_deletes_to" -> (userscriptDeletesTo _),
     "cdc_route_configs" -> (routeConfigs _),
     "cdc_changefeed_resume" -> (changefeedResume _),
     "cdc_objstore_resolved" -> (objstoreResolved _),
@@ -1731,6 +1795,7 @@ object CdcQueries {
     "cdc_merge_wire_before" -> mergeWireBeforeSql,
     "cdc_userscript_emit" -> userscriptEmitSql,
     "cdc_userscript_merge" -> userscriptMergeSql,
+    "cdc_userscript_deletes_to" -> userscriptDeletesToSql,
     "cdc_route_configs" -> routeConfigsSql,
     "cdc_changefeed_resume" -> changefeedResumeSql,
     "cdc_objstore_resolved" -> objstoreResolvedSql,

@@ -77,13 +77,66 @@ object UserScript {
     expr(s)
   }
 
+  /** Delete routing, independent of the upsert routes (reference
+    * `internal/script/loader.go:103` sourceJS.DeletesTo): `when` marks
+    * a mutation as a delete; matching rows route through `routes` /
+    * `default` — the "just a table name" convenience form compiles to
+    * an empty route list with the name as default.
+    */
+  final case class DeletesTo(when: Column, routes: Seq[(String, Column)],
+      default: Option[String])
+
   final case class Script(
       pipeline: Transforms.Pipeline,
       routes: Seq[(String, Column)],
-      defaultRoute: Option[String]) {
+      defaultRoute: Option[String],
+      recurseRoutes: Seq[(String, Column, Transforms.Pipeline)] = Seq.empty,
+      deletesTo: Option[DeletesTo] = None) {
     def apply(df: DataFrame): DataFrame = pipeline(df)
-    def dispatch(df: DataFrame): Map[String, DataFrame] =
-      Transforms.dispatch(pipeline(df), routes, defaultRoute)
+
+    /** Route each mutation. Order of operations:
+      *  1. the stage pipeline;
+      *  2. RECURSE routes (reference `loader.go:105` sourceJS.Recurse —
+      *     nested-source unwrapping): a row matching a recurse route is
+      *     CONSUMED, rewritten by the route's own stages, and re-enters
+      *     routing exactly once. Depth is capped at one structurally:
+      *     a recurse route's stages are plain steps (no dispatch to
+      *     re-enter), and re-entered rows only see the plain routes —
+      *     the loop guard is the shape of the config, checked at
+      *     compile, not a runtime counter;
+      *  3. the DELETES split — tombstones route independently of
+      *     upserts (deletesTo), including tombstones that surfaced
+      *     from an unwrapped nested batch;
+      *  4. the plain routes + default.
+      * A table may receive both a delete leg and an upsert leg; the
+      * legs union (missing columns null-fill).
+      */
+    def dispatch(df: DataFrame): Map[String, DataFrame] = {
+      import org.apache.spark.sql.functions.{coalesce, lit}
+      val d0 = pipeline(df)
+      val expanded =
+        if (recurseRoutes.isEmpty) d0
+        else {
+          val consumed = recurseRoutes.map(_._2).reduce(_ || _)
+          val kept = d0.filter(!coalesce(consumed, lit(false)))
+          recurseRoutes.map { case (_, when, stages) => stages(d0.filter(when)) }
+            .foldLeft(kept)(_.unionByName(_, allowMissingColumns = true))
+        }
+      deletesTo match {
+        case None => Transforms.dispatch(expanded, routes, defaultRoute)
+        case Some(DeletesTo(when, dRoutes, dDefault)) =>
+          val upserts = expanded.filter(!coalesce(when, lit(false)))
+          val deletes = expanded.filter(when)
+          val up = Transforms.dispatch(upserts, routes, defaultRoute)
+          val del = Transforms.dispatch(deletes, dRoutes, dDefault)
+          (up.keySet ++ del.keySet).iterator.map { t =>
+            t -> ((up.get(t), del.get(t)) match {
+              case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+              case (a, b) => a.orElse(b).get
+            })
+          }.toMap
+      }
+    }
   }
 
   /** Field access that names the offender — a malformed script must
@@ -98,10 +151,63 @@ object UserScript {
 
   def compile(json: String): Script = {
     val root = mapper.readTree(json)
+    val steps = compileSteps(root, "stage")
+    val (routes, default) = compileDispatch(root)
+    val recurse = Option(root.get("recurse")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).zipWithIndex.map { case (r, i) =>
+        val ctx = s"recurse route $i"
+        // loop guard, enforced at compile by SHAPE: a recurse route
+        // carries only plain stages — any nested `recurse` or
+        // `dispatch` key inside it is rejected, so a re-entered row
+        // can never match a recurse route again (depth is exactly 1)
+        for (k <- Seq("recurse", "dispatch"))
+          if (r.has(k)) throw new IllegalArgumentException(
+            s"user script: $ctx must not contain '$k' — recursion depth is capped at one")
+        (req(r, "name", ctx).asText(),
+          safeExpr(req(r, "when", ctx).asText(), ctx),
+          Transforms.Pipeline(compileSteps(r, s"$ctx stage"): _*))
+      }
+    val deletes = Option(root.get("deletesTo")).filterNot(_.isNull).map { d =>
+      if (d.isTextual)
+        // convenience form (reference loader.go:103 "just a table
+        // name"): every delete goes to that table unconditionally
+        DeletesTo(safeExpr("__op = 'd'", "deletesTo"), Seq.empty, Some(d.asText()))
+      else {
+        val when = safeExpr(
+          Option(d.get("when")).filterNot(_.isNull).map(_.asText()).getOrElse("__op = 'd'"),
+          "deletesTo 'when'")
+        val rs = Option(d.get("routes")).map(_.elements().asScala.toSeq)
+          .getOrElse(Seq.empty).zipWithIndex.map { case (r, i) =>
+            req(r, "name", s"deletesTo route $i").asText() ->
+              safeExpr(req(r, "when", s"deletesTo route $i").asText(), s"deletesTo route $i")
+          }
+        val dflt = Option(d.get("default")).filterNot(_.isNull).map(_.asText())
+        if (rs.isEmpty && dflt.isEmpty) throw new IllegalArgumentException(
+          "user script: deletesTo needs 'routes' or 'default' (or use the table-name string form)")
+        DeletesTo(when, rs, dflt)
+      }
+    }
+    Script(Transforms.Pipeline(steps: _*), routes, default, recurse, deletes)
+  }
+
+  private def compileDispatch(root: JsonNode): (Seq[(String, Column)], Option[String]) =
+    Option(root.get("dispatch")) match {
+      case None => (Seq.empty[(String, Column)], None)
+      case Some(d) =>
+        val rs = Option(d.get("routes")).map(_.elements().asScala.toSeq)
+          .getOrElse(Seq.empty).zipWithIndex
+          .map { case (r, i) =>
+            req(r, "name", s"route $i").asText() ->
+              safeExpr(req(r, "when", s"route $i").asText(), s"route $i")
+          }
+        (rs, Option(d.get("default")).filterNot(_.isNull).map(_.asText()))
+    }
+
+  private def compileSteps(root: JsonNode, ctxPrefix: String): Seq[Transforms.Step] = {
     val stages = Option(root.get("stages")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
-    val steps: Seq[Transforms.Step] = stages.zipWithIndex.map { case (st, i) =>
-      val ctx = s"stage $i"
+    stages.zipWithIndex.map { case (st, i) =>
+      val ctx = s"$ctxPrefix $i"
       req(st, "op", ctx).asText() match {
         case "filter" =>
           Transforms.Filter(safeExpr(req(st, "where", s"$ctx (filter)").asText(), s"$ctx (filter)"))
@@ -141,17 +247,5 @@ object UserScript {
           throw new IllegalArgumentException(s"user script: unknown op '$other' in $ctx")
       }
     }
-    val (routes, default) = Option(root.get("dispatch")) match {
-      case None => (Seq.empty[(String, Column)], None)
-      case Some(d) =>
-        val rs = Option(d.get("routes")).map(_.elements().asScala.toSeq)
-          .getOrElse(Seq.empty).zipWithIndex
-          .map { case (r, i) =>
-            req(r, "name", s"route $i").asText() ->
-              safeExpr(req(r, "when", s"route $i").asText(), s"route $i")
-          }
-        (rs, Option(d.get("default")).filterNot(_.isNull).map(_.asText()))
-    }
-    Script(Transforms.Pipeline(steps: _*), routes, default)
   }
 }

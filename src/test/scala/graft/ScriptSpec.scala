@@ -148,6 +148,64 @@ class ScriptSpec extends SparkSpec {
       """{"stages": [{"op": "map", "cols": {"x": "reverse(trim(op))"}}]}""")
   }
 
+  test("deletesTo routes tombstones independently; shared table unions legs") {
+    val script = graft.script.UserScript.compile(
+      """{"stages": [{"op": "map", "cols": {"__op": "case when op = 'error' then 'd' else 'u' end"}}],
+        | "deletesTo": {"when": "__op = 'd'",
+        |   "routes": [{"name": "tomb_hot", "when": "value >= 5.0"}],
+        |   "default": "shared"},
+        | "dispatch": {"routes": [{"name": "billing", "when": "op = 'purchase'"}],
+        |   "default": "shared"}}""".stripMargin)
+    val routed = script.dispatch(muts)
+    // error id=4 (value 7.0) is a hot delete; no cold deletes in the fixture
+    assert(routed("tomb_hot").select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(routed("billing").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // shared receives the upsert default leg only (delete default leg empty)
+    assert(routed("shared").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+    // the delete must NOT also appear in the upsert default
+    assert(routed("shared").filter(col("__op") === "d").count() == 0)
+
+    // cold delete → both legs land in "shared" and union (null-filling)
+    val withCold = muts.union(Seq((6L, "error", 1.0)).toDF("id", "op", "value"))
+    val routed2 = script.dispatch(withCold)
+    assert(routed2("shared").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 5L, 6L))
+    assert(routed2("shared").filter(col("__op") === "d").select("id").as[Long].head() == 6L)
+
+    // table-name string convenience form: every __op='d' goes there
+    val conv = graft.script.UserScript.compile(
+      """{"stages": [{"op": "map", "cols": {"__op": "case when op = 'error' then 'd' else 'u' end"}}],
+        | "deletesTo": "tombstones",
+        | "dispatch": {"default": "rest"}}""".stripMargin)
+    val r3 = conv.dispatch(muts)
+    assert(r3("tombstones").select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(r3("rest").count() == 4)
+  }
+
+  test("recurse rewrites matching rows exactly once through plain routes") {
+    val script = graft.script.UserScript.compile(
+      """{"recurse": [
+        |   {"name": "wrapped", "when": "op = 'click'",
+        |    "stages": [{"op": "map", "cols": {"op": "'purchase'", "unwrapped": "true"}}]}],
+        | "dispatch": {"routes": [{"name": "billing", "when": "op = 'purchase'"}],
+        |   "default": "rest"}}""".stripMargin)
+    val routed = script.dispatch(muts)
+    // click id=2 was rewritten to purchase and re-entered routing once
+    assert(routed("billing").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(routed("billing").filter(col("unwrapped")).select("id").as[Long].head() == 2L)
+    // consumed: the original click row does not ALSO reach the default
+    assert(routed("rest").select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+
+    // loop guard is structural and checked at compile
+    val e = intercept[IllegalArgumentException](graft.script.UserScript.compile(
+      """{"recurse": [{"name": "r", "when": "true",
+        |  "recurse": [{"name": "r2", "when": "true", "stages": []}]}]}""".stripMargin))
+    assert(e.getMessage.contains("capped at one"))
+    val e2 = intercept[IllegalArgumentException](graft.script.UserScript.compile(
+      """{"recurse": [{"name": "r", "when": "true", "stages": [],
+        |  "dispatch": {"default": "x"}}]}""".stripMargin))
+    assert(e2.getMessage.contains("capped at one"))
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val direct = muts.groupBy("op")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
