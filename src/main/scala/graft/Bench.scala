@@ -19,32 +19,48 @@ object Bench {
         .groupBy().count().collect()
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query: the second run reuses compiled codegen and
-    // OS page cache, reporting steady-state cost instead of first-run
-    // compilation noise. A query that throws reports -1 (never a
-    // near-zero fake time that would flatter the total).
+    // Three INTERLEAVED full passes over the suite: pass 1 absorbs
+    // codegen/JIT compilation, passes 2-3 are steady-state. Per-query
+    // value = min across passes (steady-state cost); a query that
+    // throws reports -1 (never a near-zero fake time that would
+    // flatter the total).
     // The timed action is a noop-format WRITE, not count(): under count
     // Catalyst prunes every unreferenced projection, so a row-shaped
     // query (fingerprints, schema maps) would skip its expensive
     // expressions entirely and the bench would flatter it. The noop
     // sink consumes every output column like Verify's parquet write
     // does, with zero I/O cost.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val passes: Seq[Map[String, Double]] = (1 to 3).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
         val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
     }
+    val results = names.map { n =>
+      val good = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (good.nonEmpty) good.min else -1.0)
+    }.toMap
+    // Honesty gate: passes 2 and 3 are separated by a full suite
+    // sweep (~1 min of wall), so bursty host contention lands in one
+    // but not the other. If their totals disagree by >15% the host
+    // was NOT idle and this artifact must not be trusted as the
+    // measurement — `gated: false` says so in the JSON itself, so a
+    // contended closing run can't silently masquerade as the bench.
+    val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
+    val steady = passTotals.drop(1)
+    val gated = results.values.forall(_ >= 0) &&
+      (steady.max - steady.min) / steady.min <= 0.15
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val pt = passTotals.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"pass_totals":$pt,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout from a forked sbt run is wrapped in [info] noise that can
     // defeat the driver's JSON parse — also write the line to a clean

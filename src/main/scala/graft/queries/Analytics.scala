@@ -145,6 +145,9 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"), sum(cents(col("value"))).as("purchase_cents"))
     val top = per.orderBy(col("purchase_cents").desc, col("user_id")).limit(25)
+    // unpartitioned window is safe HERE: it runs over the limit(25)
+    // output — 25 rows in one partition regardless of corpus size; the
+    // distributed work (groupBy + top-k) already happened above
     val w = Window.orderBy(col("purchase_cents").desc, col("user_id"))
     top.withColumn("rnk", rank().over(w).cast("long"))
       .orderBy("rnk", "user_id")
@@ -279,6 +282,9 @@ object Analytics {
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+    // unpartitioned window is safe HERE: the frame is one row per
+    // DISTINCT DAY (post-aggregate), thousands of rows at any corpus
+    // size — the per-row work was distributed in the daily groupBy
     val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     daily
       .withColumn("n_7d", sum(col("n")).over(w))

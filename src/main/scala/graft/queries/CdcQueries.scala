@@ -381,6 +381,8 @@ object CdcQueries {
       .groupBy(date_trunc("month", col("o_orderdate")).as("round_start"))
       .agg(count_distinct(col("o_orderkey")).as("n_parents"),
         count(lit(1)).as("n_children"))
+    // unpartitioned window is safe HERE: one row per DISTINCT MONTH
+    // after the aggregate — the join + groupBy above carry the volume
     val w = Window.orderBy("round_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rounds

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-invariant sweep over EVERY registered query: the oracle gate
+  * proves values; this gate proves the PLAN stayed the plan we'd want
+  * at 100 TB. A silent regression the oracle can't see — a join
+  * degrading to a nested-loop because an equi-condition got rewritten,
+  * a cartesian sneaking in behind a cross hint, a filter no longer
+  * reaching the parquet scan — fails the build here.
+  */
+class PlanInvariantSpec extends SparkSpec {
+
+  /** Queries allowed a BroadcastNestedLoopJoin, each with the reason
+    * the nested loop is the RIGHT plan (scalar broadcast or a
+    * deliberately exhaustive small-side pass), not a degradation.
+    */
+  private val bnljAllowed: Map[String, String] = Map(
+    "cdc_deadlines" ->
+      "1-row max(ts) resolved frontier broadcast; deadline cut is a scalar compare",
+    "cdc_route_configs" ->
+      "same scalar deadline-frontier broadcast inside the telemetry route's config",
+    "cdc_stage_filter_applied" ->
+      "1-row applied-checkpoint cut broadcast over the staged rows",
+    "cdc_stage_retire" ->
+      "1-row retire-frontier broadcast",
+    "cdc_incremental_apply" ->
+      "two 1-row checkpoint cuts (c1/c2) bracket the incremental slice",
+    "cdc_schema_drift" ->
+      "1-row drift-cut broadcast splits before/after regimes",
+    "cdc_gtid_frontier" ->
+      "1-row frontier cuts; islands themselves join per (source, band) equi keys",
+    "cdc_conveyor_modes" ->
+      "1-row resolved/cut scalars plus the 1-row selected-mode frame",
+    "cdc_objstore_resolved" ->
+      "1-row max-RESOLVED marker broadcast brackets the file rows",
+    "q15_top_supplier" ->
+      "TPC-H Q15 date parameter: 1-row quarter-start derived from the data",
+    "q_range_join" ->
+      "1-row (min,max) span crossed with a ~row-per-week scaffold to derive bucket keys; the range join itself is the hash equi-join asserted below",
+    "data_mix_weights" ->
+      "1-row corpus-total broadcast normalizes per-source weights",
+    "ann_ivf_cosine" ->
+      "broadcast-small centroid set (√n rows) crossed for probe assignment — the IVF design",
+    "ann_bruteforce_cosine" ->
+      "brute force IS the semantics (the exact top-k oracle): broadcast-small query set scored against every corpus vector",
+    "q22_sales_opportunity" ->
+      "TPC-H Q22 correlated scalar: 1-row avg(acctbal) broadcast against customers",
+    "cdc_workload_check" ->
+      "1-row workload summary broadcast for the threshold compare",
+    "cdc_state_at" ->
+      "1-row as-of timestamp scalar broadcast into the frontier filter")
+
+  private def plans: Map[String, String] = SparkEntry.queries.map {
+    case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where whitelisted") {
+    val all = plans
+    val cartesian = all.collect {
+      case (n, p) if p.contains("CartesianProduct") => n }
+    assert(cartesian.isEmpty, s"CartesianProduct in: ${cartesian.mkString(", ")}")
+    val badBnlj = all.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(n) => n }
+    assert(badBnlj.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: ${badBnlj.mkString(", ")} — " +
+        "either fix the plan or whitelist WITH justification")
+    // prune stale whitelist entries so the list can't rot into a blanket pass
+    val stale = bnljAllowed.keys.filterNot(n =>
+      all.get(n).exists(_.contains("BroadcastNestedLoopJoin")))
+    assert(stale.isEmpty, s"whitelist entries no longer needed: ${stale.mkString(", ")}")
+  }
+
+  test("range join stays an equi-join on the derived bucket keys") {
+    // ops/RangeJoin buckets the range so the join carries equi keys; if
+    // that rewrite regresses, Spark falls back to BNLJ over every
+    // (row, interval) pair — quadratic at scale.
+    // (the 1-row span × week-scaffold cross is whitelisted above; the
+    // JOIN carrying the data volume must stay a hash/merge equi-join)
+    val p = plans("q_range_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "expected a hash/merge equi-join")
+  }
+
+  test("selective scans keep their filters pushed to parquet") {
+    // spot checks on queries whose FIRST operation is a selective
+    // filter over a base table: the predicate must reach the scan
+    // (PushedFilters non-empty), or at 100 TB the scan reads the
+    // whole table to throw most of it away.
+    val pushdownExpected = Seq(
+      "q6_revenue_forecast", "q14_promo_revenue", "q19_discounted_revenue",
+      "q3_shipping_priority", "q4_priority_check")
+    val all = plans
+    val missing = pushdownExpected.filterNot { n =>
+      "PushedFilters: \\[[^\\]]".r.findFirstIn(all(n)).isDefined }
+    assert(missing.isEmpty, s"no pushed parquet filters in: ${missing.mkString(", ")}")
+  }
+}
