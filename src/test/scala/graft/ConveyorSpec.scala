@@ -183,6 +183,66 @@ class ConveyorSpec extends SparkSpec {
     assert(f.cached("s").get.mode == Consistent)
   }
 
+  test("two schemas flip modes independently in one stream") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // ONE factory, ONE foreachBatch stream, TWO schemas on OPPOSITE lag
+    // trajectories: "hot" starts behind and catches up (best_effort →
+    // consistent) while "cold" starts caught-up and falls behind
+    // (consistent → best_effort). Each schema's cached conveyor must
+    // evolve from its OWN mode history — a shared/global mode would
+    // make one schema's flip drag the other along.
+    val f = new Conveyor.Conveyors(Config(bestEffortWindowUs = 1000L))
+    val propsByPhase = Map(
+      // resolved nanos → lag vs nowUs=1000: 0 → lag 1000 (behind),
+      // 900000 → lag 100 (caught up)
+      ("hot", 1L) -> 0L, ("hot", 2L) -> 900000L,
+      ("cold", 1L) -> 900000L, ("cold", 2L) -> 0L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val lastPhase = scala.collection.mutable.Map("hot" -> 1L, "cold" -> 1L)
+    def acceptFor(schema: String): (DataFrame, Long) => Unit =
+      f.foreachBatchAccept(schema,
+        proposalsOf = (batch, _) => {
+          val ids = batch.select(max(col("eid"))).collect()
+          if (!ids(0).isNullAt(0))
+            lastPhase(schema) = math.min(ids(0).getLong(0), 2L)
+          Seq((0L, propsByPhase((schema, lastPhase(schema))), 1L))
+            .toDF("part", "nanos", "arr")
+        },
+        partition = col("part"), nanos = col("nanos"), arrival = col("arr"),
+        nowUs = () => 1000L,
+        keys = Seq("k"), order = struct(col("nanos"), col("eid")),
+        tsNanos = col("nanos")) { (out, mode, _) =>
+        if (out.count() > 0) seen.synchronized { seen += ((schema, mode.name)) }
+        ()
+      }
+    val hot = acceptFor("hot")
+    val cold = acceptFor("cold")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = in.toDF().toDF("schema", "k", "eid", "nanos")
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        hot(b.filter(col("schema") === "hot").drop("schema"), id)
+        cold(b.filter(col("schema") === "cold").drop("schema"), id)
+        ()
+      }.start()
+    try {
+      in.addData(("hot", 1L, 1L, 100L), ("cold", 101L, 1L, 100L))
+      q.processAllAvailable()
+      in.addData(("hot", 2L, 2L, 850000L), ("cold", 102L, 2L, 850000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.filter(_._1 == "hot").map(_._2).toSeq
+      == Seq("best_effort", "consistent"))
+    // cold's trigger-2 batch (nanos 850000) lies beyond its regressed
+    // frontier, so consistent→best_effort still emits rows (speculative)
+    assert(seen.filter(_._1 == "cold").map(_._2).toSeq
+      == Seq("consistent", "best_effort"))
+    // the cache holds per-schema refreshed conveyors, independently
+    assert(f.cached("hot").get.mode == Consistent)
+    assert(f.cached("cold").get.mode == BestEffort)
+  }
+
   test("refresh re-selects the mode as lag evolves (hysteresis live)") {
     val f = new Conveyor.Conveyors(Config(bestEffortWindowUs = 1000L))
     // frontier nanos 200 → resolvedUs 0; lag == nowUs in this fixture
