@@ -1183,6 +1183,52 @@ object CdcQueries {
       |  CAST(SUM(CASE WHEN recursed THEN 1 ELSE 0 END) AS BIGINT) AS n_rec
       |FROM r GROUP BY route ORDER BY route""".stripMargin
 
+  // -- 28f: userscript target-state lookup ----------------------------------
+  /** Reference `internal/script/applier.go:49`: `api.getTX()` lets a
+    * script's map function query the live target mid-flight. The DSL
+    * analogue: the DRIVER binds named state frames at compile, and a
+    * `lookup` stage left-joins them in — here the "target" is the
+    * applied latest-by-key state built from even events, and the odd
+    * events (the in-flight batch) enrich themselves with the target's
+    * current cents to compute a delta and a first-write flag. Planned
+    * as one equi-join — broadcast when the target is small — instead of
+    * the reference's per-row SQL round trip.
+    */
+  def userscriptLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("cents", cents(col("value")))
+    val target = Msort.latestByKey(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), Seq("user_id"), ord)
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |   {"op": "lookup", "table": "target",
+        |    "on": {"user_id": "user_id"},
+        |    "select": {"target_cents": "cents"}},
+        |   {"op": "map", "cols": {
+        |      "delta": "cents - coalesce(target_cents, 0)",
+        |      "is_new_key": "target_cents is null"}}]}""".stripMargin,
+      sides = Map("target" -> target))
+    script(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      .select("event_id", "user_id", "cents", "target_cents", "delta", "is_new_key")
+      .orderBy("event_id")
+  }
+
+  val userscriptLookupSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |tgt AS (
+      |  SELECT user_id, cents AS target_cents FROM (
+      |    SELECT user_id, cents, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM e WHERE event_id % 2 = 0) WHERE rn = 1)
+      |SELECT o.event_id, o.user_id, o.cents, t.target_cents,
+      |  o.cents - COALESCE(t.target_cents, 0) AS delta,
+      |  t.target_cents IS NULL AS is_new_key
+      |FROM e o LEFT JOIN tgt t USING (user_id)
+      |WHERE o.event_id % 2 = 1
+      |ORDER BY o.event_id""".stripMargin
+
   // -- 28c: per-route apply configurations ----------------------------------
   /** Reference `internal/util/applycfg/conf.go:52` + `internal/target/
     * apply`: dispatch hands each target table its OWN apply config. One
@@ -1752,6 +1798,7 @@ object CdcQueries {
     "cdc_userscript_emit" -> (userscriptEmit _),
     "cdc_userscript_merge" -> (userscriptMerge _),
     "cdc_userscript_deletes_to" -> (userscriptDeletesTo _),
+    "cdc_userscript_lookup" -> (userscriptLookup _),
     "cdc_route_configs" -> (routeConfigs _),
     "cdc_changefeed_resume" -> (changefeedResume _),
     "cdc_objstore_resolved" -> (objstoreResolved _),
@@ -1798,6 +1845,7 @@ object CdcQueries {
     "cdc_userscript_emit" -> userscriptEmitSql,
     "cdc_userscript_merge" -> userscriptMergeSql,
     "cdc_userscript_deletes_to" -> userscriptDeletesToSql,
+    "cdc_userscript_lookup" -> userscriptLookupSql,
     "cdc_route_configs" -> routeConfigsSql,
     "cdc_changefeed_resume" -> changefeedResumeSql,
     "cdc_objstore_resolved" -> objstoreResolvedSql,

@@ -144,6 +144,41 @@ object Transforms {
     }
   }
 
+  /** `lookup` — read the live TARGET state from inside a script
+    * (reference `internal/script/applier.go:49`: `api.getTX()` hands a
+    * map/merge function a handle that can query the target database
+    * mid-flight). A per-row query would be a driver-side loop; the
+    * declarative equivalent is a LEFT JOIN against the target state,
+    * planned once — Catalyst broadcasts a small target and falls back
+    * to a shuffled equi-join otherwise. `on` binds target key columns
+    * to source expressions; `select` projects target columns into the
+    * mutation under new names (NULL for an absent key, like getTX()
+    * returning no row). The caller passes target state keyed uniquely
+    * (the reference reads by primary key); a non-unique side would fan
+    * rows out.
+    */
+  final case class Lookup(side: DataFrame, on: Seq[(String, Column)],
+      select: Seq[(String, String)]) extends Step {
+    def apply(df: DataFrame): DataFrame = {
+      val clash = select.map(_._1).filter(df.columns.contains)
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"lookup: output column(s) ${clash.mkString(", ")} already exist on the mutation")
+      val bad = select.map(_._1).filter(_.startsWith("__lk_"))
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"lookup: output prefix '__lk_' is reserved (${bad.mkString(", ")})")
+      // project the side to scratch-named keys + renamed selections so
+      // a name shared by both frames can't become ambiguous in the join
+      val keyAlias = on.map { case (k, _) => k -> s"__lk_$k" }
+      val prepared = side.select(
+        keyAlias.map { case (k, a) => col(k).as(a) } ++
+          select.map { case (out, src) => col(src).as(out) }: _*)
+      val cond = keyAlias.zip(on).map { case ((_, a), (_, e)) => prepared(a) === e }
+        .reduceOption(_ && _).getOrElse(throw new IllegalArgumentException(
+          "lookup: needs at least one 'on' key"))
+      df.join(prepared, cond, "left").drop(keyAlias.map(_._2): _*)
+    }
+  }
+
   /** A pipeline of steps applied in order. */
   final case class Pipeline(steps: Step*) {
     def apply(df: DataFrame): DataFrame = steps.foldLeft(df)((d, s) => s(d))

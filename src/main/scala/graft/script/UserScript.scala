@@ -149,9 +149,15 @@ object UserScript {
     v
   }
 
-  def compile(json: String): Script = {
+  /** Compile a script. `sides` binds the named DataFrames a `lookup`
+    * stage may read (the reference's getTX() target handle): the
+    * script AUTHOR names the table; the DRIVER decides what state that
+    * name resolves to. An unknown name fails at compile.
+    */
+  def compile(json: String,
+      sides: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): Script = {
     val root = mapper.readTree(json)
-    val steps = compileSteps(root, "stage")
+    val steps = compileSteps(root, "stage", sides)
     val (routes, default) = compileDispatch(root)
     val recurse = Option(root.get("recurse")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty).zipWithIndex.map { case (r, i) =>
@@ -165,7 +171,7 @@ object UserScript {
             s"user script: $ctx must not contain '$k' — recursion depth is capped at one")
         (req(r, "name", ctx).asText(),
           safeExpr(req(r, "when", ctx).asText(), ctx),
-          Transforms.Pipeline(compileSteps(r, s"$ctx stage"): _*))
+          Transforms.Pipeline(compileSteps(r, s"$ctx stage", sides): _*))
       }
     val deletes = Option(root.get("deletesTo")).filterNot(_.isNull).map { d =>
       if (d.isTextual)
@@ -203,7 +209,8 @@ object UserScript {
         (rs, Option(d.get("default")).filterNot(_.isNull).map(_.asText()))
     }
 
-  private def compileSteps(root: JsonNode, ctxPrefix: String): Seq[Transforms.Step] = {
+  private def compileSteps(root: JsonNode, ctxPrefix: String,
+      sides: Map[String, org.apache.spark.sql.DataFrame]): Seq[Transforms.Step] = {
     val stages = Option(root.get("stages")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
     stages.zipWithIndex.map { case (st, i) =>
@@ -243,6 +250,19 @@ object UserScript {
             safeExpr(req(st, "proposed", mctx).asText(), s"$mctx 'proposed'"),
             safeExpr(req(st, "target", mctx).asText(), s"$mctx 'target'"),
             resolve, fallback)
+        case "lookup" =>
+          // target-state read (reference applier.go:49 api.getTX()):
+          // compiles to a left equi-join against a driver-bound frame
+          val lctx = s"$ctx (lookup)"
+          val table = req(st, "table", lctx).asText()
+          val side = sides.getOrElse(table, throw new IllegalArgumentException(
+            s"user script: $lctx references unknown table '$table' " +
+              s"(bound: ${sides.keys.toSeq.sorted.mkString(", ")})"))
+          val on = req(st, "on", lctx).properties().asScala.toSeq
+            .map(e => e.getKey -> safeExpr(e.getValue.asText(), s"$lctx on '${e.getKey}'"))
+          val sel = req(st, "select", lctx).properties().asScala.toSeq
+            .map(e => e.getKey -> e.getValue.asText())
+          Transforms.Lookup(side, on, sel)
         case other =>
           throw new IllegalArgumentException(s"user script: unknown op '$other' in $ctx")
       }

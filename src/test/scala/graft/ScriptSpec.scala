@@ -206,6 +206,34 @@ class ScriptSpec extends SparkSpec {
     assert(e2.getMessage.contains("capped at one"))
   }
 
+  test("lookup joins driver-bound target state into the mutation stream") {
+    val target = Seq((1L, 100L), (3L, 300L)).toDF("id", "cents")
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |  {"op": "lookup", "table": "target",
+        |   "on": {"id": "id"}, "select": {"tgt_cents": "cents"}},
+        |  {"op": "map", "cols": {"known": "tgt_cents is not null"}}]}""".stripMargin,
+      sides = Map("target" -> target))
+    val out = script(muts).orderBy("id")
+      .select("id", "tgt_cents", "known").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 100L, true), (2L, -1L, false), (3L, 300L, true),
+      (4L, -1L, false), (5L, -1L, false)))
+
+    // unknown table name fails at COMPILE, naming what IS bound
+    val e = intercept[IllegalArgumentException](graft.script.UserScript.compile(
+      """{"stages": [{"op": "lookup", "table": "nope", "on": {"id": "id"}, "select": {"x": "cents"}}]}""",
+      sides = Map("target" -> target)))
+    assert(e.getMessage.contains("unknown table 'nope'") && e.getMessage.contains("target"))
+
+    // output-name collision with an existing mutation column is rejected
+    val clash = graft.script.UserScript.compile(
+      """{"stages": [{"op": "lookup", "table": "target", "on": {"id": "id"}, "select": {"value": "cents"}}]}""",
+      sides = Map("target" -> target))
+    val e2 = intercept[IllegalArgumentException](clash(muts))
+    assert(e2.getMessage.contains("already exist"))
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val direct = muts.groupBy("op")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
