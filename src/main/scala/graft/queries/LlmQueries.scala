@@ -439,6 +439,114 @@ object LlmQueries {
       |      THEN n_chars END), 0) AS BIGINT) AS kept_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // -- per-source document caps (domain caps) ---------------------------------
+  /** Common-crawl-style DOMAIN CAP: no source may contribute more than
+    * `cap` documents to the training mix, and the survivors are the
+    * best by a deterministic priority (longest first, doc_id
+    * tiebreak) — the per-domain anti-spam valve every web-scale
+    * curation pipeline runs. One window PARTITIONED BY SOURCE (each
+    * domain ranks in parallel — no global sort), one aggregation.
+    */
+  def dataSourceCaps(s: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs(s, dir)
+      .withColumn("__keep", row_number().over(w) <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("__keep"), col("n_chars"))), lit(0L)).as("kept_chars"),
+        (count(lit(1)) > cap).as("cap_hit"))
+      .orderBy("source")
+  }
+
+  val dataSourceCapsSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(SUM(CASE WHEN rn <= 15 THEN n_chars END), 0) AS BIGINT) AS kept_chars,
+      |  COUNT(*) > 15 AS cap_hit
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // -- curriculum binning by length decile ------------------------------------
+  /** Short-to-long CURRICULUM construction: decile-bucket the corpus by
+    * token count (ntile over the deterministic total order
+    * (n_tokens, doc_id)) and report each bucket's composition — the
+    * data loader feeds buckets in order. The exact-quantile window is
+    * one global sort (same cost class as any ORDER BY); at 100 TB the
+    * drop-in replacement is approxQuantile cutpoints broadcast as a
+    * per-row CASE — kept exact here so the oracle can prove the
+    * bucketing.
+    */
+  def dataCurriculumBuckets(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(tokenize(col("text")))
+    val w = Window.orderBy(col("n_tokens"), col("doc_id"))
+    docs(s, dir)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("bucket")
+  }
+
+  val dataCurriculumBucketsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, n_chars,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT *, CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+      |  FROM t)
+      |SELECT bucket, COUNT(*) AS n_docs,
+      |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // -- per-label embedding centroid coherence ---------------------------------
+  /** Label-quality audit: every member's cosine to its label centroid
+    * (mislabel/outlier detection over a curated embedding corpus). See
+    * [[graft.ops.Similarity.labelCentroidCosines]] — integer-quantized
+    * centroid sums keep the distributed aggregation exact, so the
+    * oracle can hash-match the doubles.
+    */
+  def embeddingLabelCoherence(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidCosines(embs(s, dir), "vec_id", "embedding", "label")
+      .select("vec_id", "label", "n_members", "cos_to_centroid", "is_outlier")
+      .orderBy("vec_id")
+
+  val embeddingLabelCoherenceSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+      |cent AS (SELECT label, i, CAST(SUM(qx) AS BIGINT) AS s FROM ex GROUP BY 1, 2),
+      |m AS (
+      |  SELECT ex.vec_id, ex.label,
+      |    CAST(SUM(ex.qx * cent.s) AS BIGINT) AS dot,
+      |    CAST(SUM(ex.qx * ex.qx) AS BIGINT) AS na2,
+      |    CAST(SUM(cent.s * cent.s) AS BIGINT) AS nc2
+      |  FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+      |  GROUP BY 1, 2),
+      |nm AS (SELECT label, COUNT(*) AS n_members FROM embeddings GROUP BY 1)
+      |SELECT m.vec_id, m.label, nm.n_members,
+      |  CAST(m.dot AS DOUBLE) /
+      |    (sqrt(CAST(m.na2 AS DOUBLE)) * sqrt(CAST(m.nc2 AS DOUBLE))) AS cos_to_centroid,
+      |  CAST(m.dot AS DOUBLE) /
+      |    (sqrt(CAST(m.na2 AS DOUBLE)) * sqrt(CAST(m.nc2 AS DOUBLE))) < 0.05 AS is_outlier
+      |FROM m JOIN nm ON nm.label = m.label
+      |ORDER BY m.vec_id""".stripMargin
+
   // -- sequence packing into token-budget chunks ------------------------------
   /** Pack documents into ~`budget`-token training chunks per source, in
     * deterministic doc order: chunk id = floor(exclusive-running-token-
@@ -908,6 +1016,9 @@ object LlmQueries {
     "data_split_stratified" -> (dataSplitStratified _),
     "data_decontamination" -> (dataDecontamination _),
     "data_sample_by_source" -> (dataSampleBySource _),
+    "data_source_caps" -> (dataSourceCaps _),
+    "data_curriculum_buckets" -> (dataCurriculumBuckets _),
+    "embedding_label_coherence" -> (embeddingLabelCoherence _),
     "data_mix_weights" -> (dataMixWeights _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
@@ -942,6 +1053,9 @@ object LlmQueries {
     "data_split_stratified" -> dataSplitSql,
     "data_decontamination" -> dataDecontaminationSql,
     "data_sample_by_source" -> dataSampleBySourceSql,
+    "data_source_caps" -> dataSourceCapsSql,
+    "data_curriculum_buckets" -> dataCurriculumBucketsSql,
+    "embedding_label_coherence" -> embeddingLabelCoherenceSql,
     "data_mix_weights" -> dataMixWeightsSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     "data_contamination_ngram" -> dataContaminationNgramSql,
