@@ -19,11 +19,12 @@ object Bench {
         .groupBy().count().collect()
       catch { case _: Throwable => () }
     }
-    // Three INTERLEAVED full passes over the suite: pass 1 absorbs
-    // codegen/JIT compilation, passes 2-3 are steady-state. Per-query
-    // value = min across passes (steady-state cost); a query that
-    // throws reports -1 (never a near-zero fake time that would
-    // flatter the total).
+    // Per query: best-of-2 CONSECUTIVE runs (the second reuses compiled
+    // codegen and OS page cache, reporting steady-state cost instead of
+    // first-run compilation noise; consecutive, not interleaved — a
+    // full-suite sweep between a query's runs costs measurable cache
+    // locality). A query that throws reports -1 (never a near-zero fake
+    // time that would flatter the total).
     // The timed action is a noop-format WRITE, not count(): under count
     // Catalyst prunes every unreferenced projection, so a row-shaped
     // query (fingerprints, schema maps) would skip its expensive
@@ -31,31 +32,33 @@ object Bench {
     // sink consumes every output column like Verify's parquet write
     // does, with zero I/O cost.
     val names = SparkEntry.queries.keys.toSeq
-    val passes: Seq[Map[String, Double]] = (1 to 3).map { _ =>
-      names.map { name =>
+    def sweep(): Map[String, Double] = names.map { name =>
+      val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
-    }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
+    }.toMap
+    // Honesty gate: the WHOLE best-of-2 suite runs twice, minutes
+    // apart, so bursty host contention lands in one sweep but not the
+    // other. If the sweep totals disagree by >15% the host was NOT
+    // idle and this artifact must not be trusted as the measurement —
+    // `gated: false` says so in the JSON itself, so a contended
+    // closing run can't silently masquerade as the bench.
+    val passes = Seq(sweep(), sweep())
     val results = names.map { n =>
       val good = passes.map(_(n)).filter(_ >= 0)
       n -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
-    // Honesty gate: passes 2 and 3 are separated by a full suite
-    // sweep (~1 min of wall), so bursty host contention lands in one
-    // but not the other. If their totals disagree by >15% the host
-    // was NOT idle and this artifact must not be trusted as the
-    // measurement — `gated: false` says so in the JSON itself, so a
-    // contended closing run can't silently masquerade as the bench.
     val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
-    val steady = passTotals.drop(1)
     val gated = results.values.forall(_ >= 0) &&
-      (steady.max - steady.min) / steady.min <= 0.15
+      (passTotals.max - passTotals.min) / passTotals.min <= 0.15
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

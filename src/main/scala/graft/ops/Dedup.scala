@@ -414,36 +414,60 @@ object Dedup {
     * table bucketing on the same column set for a shuffle-free index
     * side.
     */
+  /** Generation commit sentinel: written LAST, after all three frame
+    * directories, so a crash mid-compaction leaves a gen directory
+    * that readers provably skip — three independent parquet jobs are
+    * not atomic together, and "the numerically largest gen" alone
+    * would resume from a torn write.
+    */
+  private val genCommitted = "_GRAFT_COMMITTED"
+
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Int, Boolean)] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/gen=*")))
+      .getOrElse(Array.empty).toSeq
+      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption
+        .map(g => g -> fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/gen=$g/$genCommitted"))))
+      .sortBy(_._1)
+
   def compactIndex(index: DedupIndex, path: String): DedupIndex = {
     val spark = index.bands.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val gens = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/gen=*")))
-      .getOrElse(Array.empty)
-      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
-      .sorted
-    val next = gens.lastOption.getOrElse(-1) + 1
+    val gens = listGens(fs, path)
+    // number past EVERY existing dir, committed or torn — never write
+    // into a crash leftover
+    val next = gens.map(_._1).maxOption.getOrElse(-1) + 1
     val out = s"$path/gen=$next"
     index.bands.repartition(col("band_id"), col("bucket"))
       .write.mode("overwrite").parquet(s"$out/bands")
     index.shingles.write.mode("overwrite").parquet(s"$out/shingles")
     index.members.write.mode("overwrite").parquet(s"$out/members")
-    gens.dropRight(1).foreach(g => // keep the newest OLD gen alive (see doc)
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/$genCommitted"), true).close()
+    // GC: drop every old gen except the newest COMMITTED one (the
+    // caller may hold DataFrames whose lineage still reads its files);
+    // torn gens from earlier crashes are garbage and go too
+    val keepAlive = gens.filter(_._2).map(_._1).maxOption
+    gens.map(_._1).filterNot(g => keepAlive.contains(g)).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
     loadIndex(spark, path)
   }
 
-  /** Load the newest compacted generation under `path` (written by
-    * [[compactIndex]]) — the nightly/restart resume point.
+  /** Load the newest COMMITTED generation under `path` (written by
+    * [[compactIndex]]) — the nightly/restart resume point. A torn
+    * generation (crash between the three frame writes and the
+    * sentinel) is skipped, falling back to the previous committed one.
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val gen = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/gen=*")))
-      .getOrElse(Array.empty)
-      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
-      .maxOption.getOrElse(throw new IllegalArgumentException(
-        s"no compacted dedup index generations under $path"))
+    val gens = listGens(fs, path)
+    val gen = gens.filter(_._2).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed dedup index generations under $path" +
+          (if (gens.nonEmpty) s" (uncommitted/torn: ${gens.map(_._1).mkString(", ")})"
+           else "")))
     DedupIndex(
       spark.read.parquet(s"$path/gen=$gen/bands"),
       spark.read.parquet(s"$path/gen=$gen/shingles"),

@@ -300,43 +300,6 @@ object Similarity {
     * 1 − (1−agree^nPlanes)^nTables bound); the default keeps every
     * group exact.
     */
-  /** Per-label centroid coherence: every member's cosine to its
-    * label's mean vector — the label-quality / mislabel-detection pass
-    * a curated embedding corpus runs (a member far from its centroid
-    * is a labeling outlier). Fully distributed: posexplode to
-    * (label, dim) cells, ONE integer aggregation for the centroid
-    * sums, one join back — never a per-label collect.
-    *
-    * Numerics are EXACT by construction: elements quantize to
-    * `round(x * quantScale)` longs, so the centroid sums are
-    * order-independent integer math (double summation would make the
-    * result depend on partition order), and each member's cosine is
-    * one fixed-order double expression over those exact integers.
-    * Cosine is scale-invariant, so the un-divided centroid SUM stands
-    * in for the mean.
-    */
-  def labelCentroidCosines(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, quantScale: Long = 1000L,
-      outlierBelow: Double = 0.05): DataFrame = {
-    val ex = df.select(col(idCol), col(labelCol),
-        posexplode(col(vecCol)).as(Seq("__i", "__x")))
-      .withColumn("__qx",
-        round(col("__x").cast("double") * quantScale).cast("long"))
-    val cent = ex.groupBy(col(labelCol), col("__i"))
-      .agg(sum(col("__qx")).as("__s"))
-    val perMember = ex.join(cent, Seq(labelCol, "__i"))
-      .groupBy(col(idCol), col(labelCol))
-      .agg(sum(col("__qx") * col("__s")).as("__dot"),
-        sum(col("__qx") * col("__qx")).as("__na2"),
-        sum(col("__s") * col("__s")).as("__nc2"))
-    val nMembers = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n_members"))
-    perMember.join(nMembers, Seq(labelCol))
-      .withColumn("cos_to_centroid", col("__dot").cast("double") /
-        (sqrt(col("__na2").cast("double")) * sqrt(col("__nc2").cast("double"))))
-      .withColumn("is_outlier", col("cos_to_centroid") < outlierBelow)
-      .drop("__dot", "__na2", "__nc2")
-  }
-
   def knnJoinWithinGroups(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, k: Int, maxGroupSize: Int = Int.MaxValue,
       nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
@@ -385,5 +348,47 @@ object Similarity {
       topK(denseOut.select("g", "id_a", "id_b", "cos_sim")
         .unionByName(sparseOut.select("g", "id_a", "id_b", "cos_sim")))
     }
+  }
+
+  /** Per-label centroid coherence: every member's cosine to its
+    * label's mean vector — the label-quality / mislabel-detection pass
+    * a curated embedding corpus runs (a member far from its centroid
+    * is a labeling outlier). Fully distributed: posexplode to
+    * (label, dim) cells, ONE integer aggregation for the centroid
+    * sums, one join back — never a per-label collect.
+    *
+    * Numerics are EXACT by construction: elements quantize to
+    * `round(x * quantScale)` longs, so the centroid sums are
+    * order-independent integer math (double summation would make the
+    * result depend on partition order), and each member's cosine is
+    * one fixed-order double expression over those exact integers.
+    * The dot/norm accumulators sum in decimal(38,0) — still exact and
+    * order-independent, but immune to the Long overflow a huge label
+    * hits (s² ≈ (members × quantScale)² × dims blows past 2⁶³ around
+    * 5M unit-norm members at the default scale; decimal holds to
+    * ~10³⁸). Cosine is scale-invariant, so the un-divided centroid
+    * SUM stands in for the mean.
+    */
+  def labelCentroidCosines(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, quantScale: Long = 1000L,
+      outlierBelow: Double = 0.05): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ex = df.select(col(idCol), col(labelCol),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .withColumn("__qx",
+        round(col("__x").cast("double") * quantScale).cast("long"))
+    val cent = ex.groupBy(col(labelCol), col("__i"))
+      .agg(sum(col("__qx").cast(dec)).as("__s"))
+    val perMember = ex.join(cent, Seq(labelCol, "__i"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("__qx").cast(dec) * col("__s")).as("__dot"),
+        sum(col("__qx").cast(dec) * col("__qx").cast(dec)).as("__na2"),
+        sum(col("__s") * col("__s")).as("__nc2"))
+    val nMembers = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n_members"))
+    perMember.join(nMembers, Seq(labelCol))
+      .withColumn("cos_to_centroid", col("__dot").cast("double") /
+        (sqrt(col("__na2").cast("double")) * sqrt(col("__nc2").cast("double"))))
+      .withColumn("is_outlier", col("cos_to_centroid") < outlierBelow)
+      .drop("__dot", "__na2", "__nc2")
   }
 }

@@ -98,8 +98,8 @@ object UserScript {
       *  1. the stage pipeline;
       *  2. RECURSE routes (reference `loader.go:105` sourceJS.Recurse —
       *     nested-source unwrapping): a row matching a recurse route is
-      *     CONSUMED, rewritten by the route's own stages, and re-enters
-      *     routing exactly once. Depth is capped at one structurally:
+      *     CONSUMED by the FIRST route that matches it, rewritten by
+      *     that route's stages, and re-enters routing exactly once. Depth is capped at one structurally:
       *     a recurse route's stages are plain steps (no dispatch to
       *     re-enter), and re-entered rows only see the plain routes —
       *     the loop guard is the shape of the config, checked at
@@ -119,7 +119,17 @@ object UserScript {
         else {
           val consumed = recurseRoutes.map(_._2).reduce(_ || _)
           val kept = d0.filter(!coalesce(consumed, lit(false)))
-          recurseRoutes.map { case (_, when, stages) => stages(d0.filter(when)) }
+          // FIRST MATCH consumes: a row satisfying several recurse
+          // predicates is rewritten by the earliest route only — unlike
+          // plain dispatch (where multi-table fan-out is the point),
+          // recurse legs union back into ONE stream, so overlap would
+          // silently duplicate the mutation
+          val firstMatch = recurseRoutes.zipWithIndex.map { case ((n, when, st), i) =>
+            val earlier = recurseRoutes.take(i).map(_._2)
+              .foldLeft(lit(false))((acc, p) => acc || coalesce(p, lit(false)))
+            (n, when && !earlier, st)
+          }
+          firstMatch.map { case (_, when, stages) => stages(d0.filter(when)) }
             .foldLeft(kept)(_.unionByName(_, allowMissingColumns = true))
         }
       deletesTo match {

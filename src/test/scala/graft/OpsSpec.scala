@@ -251,6 +251,33 @@ class OpsSpec extends SparkSpec {
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/gen=*")).length == 2)
   }
 
+  test("a torn compaction generation is skipped on reload and GC'd later") {
+    val seed = Seq((1L, "seed corpus document with its own content"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_torn").toString
+    val committed = Dedup.compactIndex(
+      Dedup.buildDedupIndex(seed, "doc_id", "text"), tmp) // gen=0, committed
+    // simulate a crash mid-compaction: gen=1 has bands but no
+    // shingles/members and NO commit sentinel
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    committed.bands.write.parquet(s"$tmp/gen=1/bands")
+    // restart resumes from gen=0, not the torn gen=1
+    val reloaded = Dedup.loadIndex(spark, tmp)
+    assert(reloaded.members.count() == committed.members.count())
+    // the NEXT compaction numbers PAST the torn dir and GCs it
+    val after = Dedup.compactIndex(reloaded, tmp) // writes gen=2
+    assert(after.members.count() == committed.members.count())
+    val left = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/gen=*"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(left == Seq("gen=0", "gen=2"), s"on disk: $left") // torn gen=1 gone
+    // with NO committed generation at all, loadIndex names the torn dirs
+    val empty = java.nio.file.Files.createTempDirectory("graft_dedup_torn2").toString
+    committed.bands.write.parquet(s"$empty/gen=3/bands")
+    val e = intercept[IllegalArgumentException](Dedup.loadIndex(spark, empty))
+    assert(e.getMessage.contains("no committed") && e.getMessage.contains("3"))
+  }
+
   test("tokenFrequencyStats counts corpus-rare tokens per doc") {
     val out = TextOps.tokenFrequencyStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()

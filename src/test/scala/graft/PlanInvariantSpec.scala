@@ -51,7 +51,10 @@ class PlanInvariantSpec extends SparkSpec {
     "cdc_state_at" ->
       "1-row as-of timestamp scalar broadcast into the frontier filter")
 
-  private def plans: Map[String, String] = SparkEntry.queries.map {
+  // lazy val: one planning sweep shared by all three tests — a def
+  // would re-plan every query (~100 × analysis + physical planning)
+  // per test for identical strings
+  private lazy val plans: Map[String, String] = SparkEntry.queries.map {
     case (name, fn) =>
       name -> fn(spark, sfDir).queryExecution
         .explainString(ExplainMode.fromString("formatted"))

@@ -195,6 +195,26 @@ class ScriptSpec extends SparkSpec {
     // consumed: the original click row does not ALSO reach the default
     assert(routed("rest").select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
 
+    // a row matching SEVERAL recurse routes is consumed by the FIRST
+    // only — recurse legs union into one stream, so overlap would
+    // silently duplicate the mutation
+    val overlap = graft.script.UserScript.compile(
+      """{"recurse": [
+        |   {"name": "hi", "when": "value >= 5.0",
+        |    "stages": [{"op": "map", "cols": {"via": "'hi'"}}]},
+        |   {"name": "clicks", "when": "op = 'click' or op = 'error'",
+        |    "stages": [{"op": "map", "cols": {"via": "'clicks'"}}]}],
+        | "dispatch": {"default": "out"}}""".stripMargin)
+    val o = overlap.dispatch(muts)("out")
+    // id=1 (purchase, 10.0) and id=4 (error, 7.0) match BOTH routes →
+    // exactly one copy each, via the first route; id=2 (click, 0.5)
+    // matches only the second
+    assert(o.count() == muts.count())
+    assert(o.filter(col("via") === "hi").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L))
+    assert(o.filter(col("via") === "clicks").select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+
     // loop guard is structural and checked at compile
     val e = intercept[IllegalArgumentException](graft.script.UserScript.compile(
       """{"recurse": [{"name": "r", "when": "true",
