@@ -920,6 +920,42 @@ object LlmQueries {
       |  l.id <> l.cluster_id AS is_dup
       |FROM lab l JOIN csz c USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  // -- materialize the deduplicated corpus ------------------------------------
+  /** The ship-it step after clustering: keep each cluster's CANONICAL
+    * document (min doc_id — exact dups and near-dups both collapse)
+    * and report per-source retention — what a curation run publishes
+    * next to the cleaned corpus. Same linear edge set as
+    * `dedup_clusters`; the keep-set anti-join shape is one
+    * broadcast-able semi-join at scale.
+    */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = Dedup.verifiedDupEdges(d, "doc_id", "text", threshold = 0.8,
+      numHashes = 32, bands = 16)
+    val cl = Dedup.dupClusters(d, "doc_id", edges)
+    d.join(cl.select("doc_id", "is_dup"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(!col("is_dup"), col("n_chars"))), lit(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  val dedupApplySql: String =
+    s"""WITH RECURSIVE $allPairsJaccardCte,
+      |e1 AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+      |edges AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+      |lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(SUM(CASE WHEN l.id = l.cluster_id THEN d.n_chars END), 0) AS BIGINT) AS kept_chars
+      |FROM documents d JOIN lab l ON l.id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // -- embedding-cosine near-dup pairs ----------------------------------------
   /** Threshold 0.45 because the isotropic test corpus tops out at cos
     * ≈ 0.53 (a 0.8-grade threshold would be vacuously empty here);
@@ -1030,6 +1066,7 @@ object LlmQueries {
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_apply" -> (dedupApply _),
     "dedup_ngram_coverage" -> (dedupNgramCoverage _),
     "multimodal_pipeline" -> (multimodal _))
 
@@ -1040,6 +1077,7 @@ object LlmQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_apply" -> dedupApplySql,
     "dedup_ngram_coverage" -> dedupNgramCoverageSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "text_quality_score" -> textQualitySql,
