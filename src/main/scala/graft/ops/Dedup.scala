@@ -426,9 +426,19 @@ object Dedup {
       path: String): Seq[(Int, Boolean)] =
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/gen=*")))
       .getOrElse(Array.empty).toSeq
-      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption
-        .map(g => g -> fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/gen=$g/$genCommitted"))))
+      .flatMap { s =>
+        val p = s.getPath
+        p.getName.stripPrefix("gen=").toIntOption.map { g =>
+          // committed = our sentinel, OR all three frame jobs' own
+          // _SUCCESS markers (the completeness the sentinel certifies —
+          // also grandfathers directories written before the sentinel
+          // existed instead of GC'ing healthy data as torn)
+          val done = fs.exists(new org.apache.hadoop.fs.Path(p, genCommitted)) ||
+            Seq("bands", "shingles", "members").forall(d =>
+              fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
+          g -> done
+        }
+      }
       .sortBy(_._1)
 
   def compactIndex(index: DedupIndex, path: String): DedupIndex = {

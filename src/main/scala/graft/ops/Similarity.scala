@@ -364,10 +364,11 @@ object Similarity {
     * one fixed-order double expression over those exact integers.
     * The dot/norm accumulators sum in decimal(38,0) — still exact and
     * order-independent, but immune to the Long overflow a huge label
-    * hits (s² ≈ (members × quantScale)² × dims blows past 2⁶³ around
-    * 5M unit-norm members at the default scale; decimal holds to
-    * ~10³⁸). Cosine is scale-invariant, so the un-divided centroid
-    * SUM stands in for the mean.
+    * hits: for aligned unit-norm members, Σᵢ sᵢ² ≈ (members ×
+    * quantScale)² (the per-dim x² factors sum to the unit norm, so
+    * dims cancels), which crosses 2⁶³ near ~3M members at the default
+    * scale; decimal holds to ~10³⁸. Cosine is scale-invariant, so the
+    * un-divided centroid SUM stands in for the mean.
     */
   def labelCentroidCosines(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, quantScale: Long = 1000L,

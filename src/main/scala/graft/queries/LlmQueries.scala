@@ -888,32 +888,40 @@ object LlmQueries {
       |WHERE rnk <= 3 ORDER BY id_a, rank""".stripMargin
 
   // -- dup clustering: connected components over verified pairs ---------------
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    // edges = the LINEAR clustering edge set: verified REP pairs (LSH
-    // candidates passing exact Jaccard >= 0.8) plus member→rep star
-    // edges — connectivity-identical to the exhaustive pair list, but
-    // a B-identical cluster contributes B−1 edges, never B²/2. 32
-    // hashes in 16 bands of 2 suffice for candidate RECALL (miss =
-    // (1-J²)^16 = 8e-8 at J = 0.8, ~1e-19 at dup-grade J) — the verify
-    // stage owns precision, so the cheaper signature wins
-    val edges = Dedup.verifiedDupEdges(d, "doc_id", "text", threshold = 0.8,
-      numHashes = 32, bands = 16)
-    Dedup.dupClusters(d, "doc_id", edges).orderBy("doc_id")
-  }
-
-  /** Exact connected-components oracle: transitive closure by recursive
-    * CTE over the same J ≥ 0.8 edge set, canonical id = component min.
+  /** Shared edge set for clustering (`dedup_clusters`) and corpus
+    * materialization (`dedup_apply`): the LINEAR edge set — verified
+    * REP pairs (LSH candidates passing exact Jaccard >= 0.8) plus
+    * member→rep star edges — connectivity-identical to the exhaustive
+    * pair list, but a B-identical cluster contributes B−1 edges, never
+    * B²/2. 32 hashes in 16 bands of 2 suffice for candidate RECALL
+    * (miss = (1-J²)^16 = 8e-8 at J = 0.8, ~1e-19 at dup-grade J) — the
+    * verify stage owns precision, so the cheaper signature wins.
     */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $allPairsJaccardCte,
-      |e1 AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+  private def clusterEdges(d: DataFrame): DataFrame =
+    Dedup.verifiedDupEdges(d, "doc_id", "text", threshold = 0.8,
+      numHashes = 32, bands = 16)
+
+  /** Its DuckDB twin: transitive closure by recursive CTE over the
+    * same J ≥ 0.8 edge set, canonical id = component min — appended
+    * after [[allPairsJaccardCte]] in a WITH RECURSIVE.
+    */
+  private val closureCte: String =
+    """e1 AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
       |edges AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
       |reach(id, lab) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
-      |lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+      |lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dupClusters(d, "doc_id", clusterEdges(d)).orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $allPairsJaccardCte,
+      |$closureCte,
       |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
       |SELECT l.id AS doc_id, l.cluster_id,
       |  CAST(c.cluster_size AS BIGINT) AS cluster_size,
@@ -930,9 +938,7 @@ object LlmQueries {
     */
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val edges = Dedup.verifiedDupEdges(d, "doc_id", "text", threshold = 0.8,
-      numHashes = 32, bands = 16)
-    val cl = Dedup.dupClusters(d, "doc_id", edges)
+    val cl = Dedup.dupClusters(d, "doc_id", clusterEdges(d))
     d.join(cl.select("doc_id", "is_dup"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -943,13 +949,7 @@ object LlmQueries {
 
   val dedupApplySql: String =
     s"""WITH RECURSIVE $allPairsJaccardCte,
-      |e1 AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
-      |edges AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
-      |reach(id, lab) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
-      |lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+      |$closureCte
       |SELECT d.source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  CAST(COALESCE(SUM(CASE WHEN l.id = l.cluster_id THEN d.n_chars END), 0) AS BIGINT) AS kept_chars

@@ -202,18 +202,19 @@ class ScriptSpec extends SparkSpec {
       """{"recurse": [
         |   {"name": "hi", "when": "value >= 5.0",
         |    "stages": [{"op": "map", "cols": {"via": "'hi'"}}]},
-        |   {"name": "clicks", "when": "op = 'click' or op = 'error'",
-        |    "stages": [{"op": "map", "cols": {"via": "'clicks'"}}]}],
+        |   {"name": "noisy", "when": "op in ('click', 'error', 'purchase')",
+        |    "stages": [{"op": "map", "cols": {"via": "'noisy'"}}]}],
         | "dispatch": {"default": "out"}}""".stripMargin)
     val o = overlap.dispatch(muts)("out")
-    // id=1 (purchase, 10.0) and id=4 (error, 7.0) match BOTH routes →
-    // exactly one copy each, via the first route; id=2 (click, 0.5)
-    // matches only the second
+    // overlap rows: id=1 (purchase, 10.0) and id=4 (error, 7.0) match
+    // BOTH routes → exactly one copy each, rewritten by the FIRST;
+    // id=2 (click, 0.5) and id=3 (purchase, 3.0) match only the
+    // second; id=5 (view, 2.0) matches neither and passes through
     assert(o.count() == muts.count())
     assert(o.filter(col("via") === "hi").select("id").as[Long]
       .collect().sorted.toSeq == Seq(1L, 4L))
-    assert(o.filter(col("via") === "clicks").select("id").as[Long]
-      .collect().toSeq == Seq(2L))
+    assert(o.filter(col("via") === "noisy").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
 
     // loop guard is structural and checked at compile
     val e = intercept[IllegalArgumentException](graft.script.UserScript.compile(
