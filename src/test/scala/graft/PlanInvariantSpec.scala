@@ -101,4 +101,17 @@ class PlanInvariantSpec extends SparkSpec {
       "PushedFilters: \\[[^\\]]".r.findFirstIn(all(n)).isDefined }
     assert(missing.isEmpty, s"no pushed parquet filters in: ${missing.mkString(", ")}")
   }
+
+  test("scans prune unused wide columns (ReadSchema)") {
+    // l_comment is lineitem's widest column and none of these queries
+    // touch it: if it shows up ANYWHERE in the plan, column pruning
+    // regressed and a 100 TB scan pays for bytes it throws away.
+    val lineitemQueries = Seq("q1_pricing_summary", "q6_revenue_forecast",
+      "q14_promo_revenue", "q19_discounted_revenue", "q9_product_profit")
+    val all = plans
+    val unpruned = lineitemQueries.filter(n => all(n).contains("l_comment"))
+    assert(unpruned.isEmpty, s"l_comment read by: ${unpruned.mkString(", ")}")
+    // and the scan really is schema-projected, not just filter-pruned
+    lineitemQueries.foreach(n => assert(all(n).contains("ReadSchema"), n))
+  }
 }
