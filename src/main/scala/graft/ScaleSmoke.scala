@@ -115,6 +115,9 @@ object ScaleSmoke {
         ("dedup_minhash_lsh", 1.33, LlmQueries.dedupMinhashLsh _),
         ("dedup_simhash", 1.33, LlmQueries.dedupSimhash _),
         ("dedup_clusters", 1.33, LlmQueries.dedupClusters _),
+        ("dedup_apply", 1.33, LlmQueries.dedupApply _),
+        // explode(dims) + two key-partitioned shuffles — expect ~linear
+        ("embedding_label_coherence", 1.0, LlmQueries.embeddingLabelCoherence _),
         // measured at DUP-GRADE threshold 0.8, not the query's exploratory
         // 0.45: at dim 64, cross-corpus cosine has σ = 1/√64 = 0.125, so a
         // 0.45 cutoff (3.6σ) admits ~1e-4 of the ~2e8 random cross-replica
