@@ -62,4 +62,60 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(batchState(2L)._2 == "delete")
     assert(batchState(3L) == ((150L, "upsert", "b1")))
   }
+
+  test("userscript deletesTo + lookup run per micro-batch against live target state") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the reference's full script surface in a STREAM: each trigger
+    // compiles the script with `target` bound to the CURRENT applied
+    // state (getTX reads see earlier batches' writes), lookup tags
+    // first-writes, deletesTo splits tombstones off to their own
+    // table, and the upsert leg folds into the state
+    @volatile var state = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("k bigint, v bigint"))
+    val tombstones = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val firstWrites = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val script =
+      """{"stages": [
+        |   {"op": "lookup", "table": "target",
+        |    "on": {"k": "k"}, "select": {"cur_v": "v"}},
+        |   {"op": "map", "cols": {"is_new_key": "cur_v is null"}}],
+        | "deletesTo": {"when": "op = 'd'", "default": "tombs"},
+        | "dispatch": {"default": "main"}}""".stripMargin
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val q = in.toDF().toDF("k", "v", "op")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val s = graft.script.UserScript.compile(script,
+          sides = Map("target" -> state))
+        val routed = s.dispatch(b)
+        routed.get("tombs").foreach { t =>
+          val dead = t.select("k").as[Long].collect()
+          tombstones ++= dead
+          if (dead.nonEmpty) state = state.filter(!col("k").isin(dead: _*))
+        }
+        routed.get("main").foreach { m =>
+          firstWrites ++= m.select("k", "is_new_key").as[(Long, Boolean)].collect()
+          // batch-wins fold of the upsert leg into the state (anti-join,
+          // not groupBy+last — last() is order-dependent)
+          val up = m.select("k", "v")
+          state = state.join(up, Seq("k"), "left_anti").unionByName(up)
+            .localCheckpoint(true) // pin: next trigger's lookup side
+        }
+        ()
+      }.start()
+    try {
+      in.addData((1L, 10L, "u"), (2L, 20L, "u")); q.processAllAvailable()
+      in.addData((1L, 11L, "u"), (3L, 30L, "u"), (2L, 0L, "d")); q.processAllAvailable()
+    } finally q.stop()
+    // trigger 1: both keys unseen; trigger 2: key 1 is a re-write
+    // (lookup found it in the LIVE state), key 3 is new
+    assert(firstWrites.sortBy(_._1).toSeq ==
+      Seq((1L, true), (2L, true), (1L, false), (3L, true)).sortBy(_._1))
+    assert(firstWrites.toSeq.count(!_._2) == 1)
+    assert(tombstones.toSeq == Seq(2L))
+    val fin = state.orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(fin == Seq((1L, 11L), (3L, 30L)))
+  }
 }
