@@ -350,6 +350,72 @@ object Similarity {
     }
   }
 
+  /** Persistable VECTOR dedup index — the embedding analogue of
+    * [[Dedup.buildDedupIndex]]: rep bucket frame (every LSH table's
+    * bucket per distinct vector), rep vectors, and exact-identity
+    * membership. All three are plain DataFrames a nightly job writes
+    * to parquet (bucket frame bucketed by (table_id, bucket) at scale)
+    * and reloads; the corpus is never re-hashed for a new batch.
+    */
+  final case class EmbeddingIndex(buckets: DataFrame, repVecs: DataFrame,
+      members: DataFrame, nPlanes: Int, nTables: Int)
+
+  def buildEmbeddingIndex(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, nTables: Int): EmbeddingIndex = {
+    GraftFunctions.register(df.sparkSession)
+    // same exact-identity collapse as embeddingNearDups: identical
+    // vectors share EVERY bucket, so collapsing to one rep keeps a
+    // B-identical cluster from putting B² candidates in each table
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val reps = base.groupBy("__v").agg(min(col("__id")).as("rep_id"))
+    val members = base.join(reps, "__v").select(col("__id"), col("rep_id"))
+    val repVecs = reps.select(col("rep_id"), col("__v").as("vec"))
+    val buckets = repVecs.select(col("rep_id"),
+      posexplode(lshTableBuckets(col("vec"), nTables, nPlanes))
+        .as(Seq("table_id", "bucket")))
+    EmbeddingIndex(buckets, repVecs, members, nPlanes, nTables)
+  }
+
+  /** Incremental embedding near-dup pass: probe a prebuilt
+    * [[EmbeddingIndex]] with a new batch — O(batch) work against the
+    * corpus, like [[Dedup.incrementalDupPairs]] for text. New-vs-corpus
+    * candidates come from the (table, bucket) join of the batch's rep
+    * buckets against the INDEX's (the corpus side is never re-hashed),
+    * each distinct rep pair is scored exactly once, and identity
+    * members expand afterwards (cosine of byte-identical arrays is the
+    * rep's own score). New-vs-new runs the full
+    * [[embeddingNearDups]] pipeline on the batch alone. Recall is the
+    * same (1 − agree^planes)^tables bound per pair — the index stores
+    * every table's buckets, so a probe meets exactly the candidates a
+    * joint batch run would.
+    */
+  def incrementalVecDupPairs(batch: DataFrame, index: EmbeddingIndex,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val b = buildEmbeddingIndex(batch, idCol, vecCol, index.nPlanes, index.nTables)
+    val cand = b.buckets.select(col("table_id"), col("bucket"),
+        col("rep_id").as("rep_b"))
+      .join(index.buckets.select(col("table_id"), col("bucket"),
+        col("rep_id").as("rep_a")), Seq("table_id", "bucket"))
+      .select("rep_a", "rep_b").distinct()
+    val scored = cand
+      .join(index.repVecs.select(col("rep_id").as("rep_a"), col("vec").as("__va")), "rep_a")
+      .join(b.repVecs.select(col("rep_id").as("rep_b"), col("vec").as("__vb")), "rep_b")
+      .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("rep_a", "rep_b", "cos_sim")
+    val cross = scored
+      .join(index.members.select(col("rep_id").as("rep_a"), col("__id").as("__ca")), "rep_a")
+      .join(b.members.select(col("rep_id").as("rep_b"), col("__id").as("__cb")), "rep_b")
+      .select(least(col("__ca"), col("__cb")).as("id_a"),
+        greatest(col("__ca"), col("__cb")).as("id_b"), col("cos_sim"))
+    val within = embeddingNearDups(batch, idCol, vecCol,
+      index.nPlanes, index.nTables, threshold)
+      .select("id_a", "id_b", "cos_sim")
+    // cross pairs are corpus×batch, within pairs batch×batch — disjoint
+    cross.unionByName(within)
+  }
+
   /** Per-label centroid coherence: every member's cosine to its
     * label's mean vector — the label-quality / mislabel-detection pass
     * a curated embedding corpus runs (a member far from its centroid

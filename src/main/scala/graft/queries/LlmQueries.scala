@@ -977,6 +977,36 @@ object LlmQueries {
       |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -- incremental embedding near-dup against a prebuilt vector index --------
+  /** The nightly EMBEDDING dedup pass: new vectors (vec_id % 4 == 0)
+    * probe an index built from the standing corpus — the corpus is
+    * never re-hashed (same O(batch) contract as `dedup_incremental`
+    * for text). Fixed 4×64 LSH (per-pair candidate-miss < 4e-6 at cos
+    * 0.45 on this corpus, same provable-recall regime as
+    * `dedup_embedding_cosine`), so the output equals the exhaustive
+    * oracle filtered to pairs touching the batch.
+    */
+  def dedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val batch = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val corpus = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val ix = Similarity.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      nPlanes = 4, nTables = 64)
+    Similarity.incrementalVecDupPairs(batch, ix, "vec_id", "embedding",
+      threshold = 0.45).orderBy("id_a", "id_b")
+  }
+
+  val dedupEmbeddingIncrementalSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      |  FROM e a JOIN e b ON b.vec_id > a.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM p
+      |WHERE cos_sim >= 0.45 AND (id_a % 4 = 0 OR id_b % 4 = 0)
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -- multimodal pipeline (REAL ImageIO decode for images, REAL WAV
   // decode for audio; video byte-decode stubbed; every checked column
   // oracle-recomputable) -------------------------------------------------
@@ -1065,6 +1095,7 @@ object LlmQueries {
     "ann_ivf_cosine" -> (annIvf _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
     "dedup_ngram_coverage" -> (dedupNgramCoverage _),
@@ -1080,6 +1111,7 @@ object LlmQueries {
     "dedup_apply" -> dedupApplySql,
     "dedup_ngram_coverage" -> dedupNgramCoverageSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_embedding_incremental" -> dedupEmbeddingIncrementalSql,
     "text_quality_score" -> textQualitySql,
     "text_gopher_filters" -> textGopherFiltersSql,
     "text_pii_scrub" -> textPiiScrubSql,

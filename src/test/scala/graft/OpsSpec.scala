@@ -355,6 +355,34 @@ class OpsSpec extends SparkSpec {
     assert(auto.toSeq == Seq((1L, 2L)))
   }
 
+  test("incremental embedding dedup ≡ full pass; identity members expand") {
+    // corpus: 1 and 4 are byte-identical (one identity cluster), 3 is
+    // orthogonal; batch: 100 identical to the cluster, 101 a near-dup,
+    // 102 orthogonal to everything
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (4L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)), (101L, Array(0.99f, 0.05f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ix = Similarity.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      nPlanes = 2, nTables = 16)
+    val inc = Similarity.incrementalVecDupPairs(batch, ix, "vec_id", "embedding",
+        threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    // the identical batch vector pairs with BOTH identity-cluster
+    // members (expansion through the index's membership), the near-dup
+    // with both too, plus the within-batch near pair
+    val full = Similarity.embeddingNearDups(corpus.unionByName(batch),
+        "vec_id", "embedding", nPlanes = 2, nTables = 16, threshold = 0.9)
+      .filter(col("id_a") >= 100 || col("id_b") >= 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.contains((1L, 100L)) && inc.contains((4L, 100L))) // identity expansion
+    assert(inc.contains((100L, 101L))) // within-batch pair
+    assert(!inc.exists(p => p._1 == 102L || p._2 == 102L))
+  }
+
   test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
     val corpus = (0L until 12L).map { i =>
       (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))
