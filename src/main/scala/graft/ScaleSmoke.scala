@@ -116,6 +116,20 @@ object ScaleSmoke {
         ("dedup_simhash", 1.33, LlmQueries.dedupSimhash _),
         ("dedup_clusters", 1.33, LlmQueries.dedupClusters _),
         ("dedup_apply", 1.33, LlmQueries.dedupApply _),
+        // measured at dup-grade 0.8 with AUTO index granularity (the
+        // 100 TB regime), like dedup_embedding_cosine@0.8 below: the
+        // oracle query's pinned 4×64 @0.45 config is exactness-at-test-
+        // scale, and at 0.45 the TRUE answer is quadratic in corpus
+        // size (random-pair admissions — see the @0.8 rationale)
+        ("dedup_embedding_incr@0.8", 1.33, (s: SparkSession, dir: String) => {
+          val e = Tables.embeddings(s, dir)
+          val ix = graft.ops.Similarity.buildEmbeddingIndex(
+            e.filter(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id", "embedding",
+            nPlanes = 0, nTables = 0, threshold = 0.8)
+          graft.ops.Similarity.incrementalVecDupPairs(
+            e.filter(pmod(col("vec_id"), lit(4)) === 0), ix,
+            "vec_id", "embedding", threshold = 0.8)
+        }),
         // explode(dims) + two key-partitioned shuffles — expect ~linear
         ("embedding_label_coherence", 1.0, LlmQueries.embeddingLabelCoherence _),
         // measured at DUP-GRADE threshold 0.8, not the query's exploratory

@@ -170,6 +170,49 @@ object Similarity {
     * small corpora (the oracle-checked regime) are unaffected: auto
     * never lowers planes below 4.
     */
+  /** Shared LSH granularity sizing (embeddingNearDups, the embedding
+    * index): explicit nPlanes/nTables pass through; auto mode
+    * (either <= 0) derives planes from the corpus size (bucket
+    * occupancy) and tables from a per-pair candidate-miss budget of
+    * 1e-6 AT the threshold, tables hard-capped at 512 — tables grow as
+    * 1/agree^planes, so at low thresholds an uncapped budget explodes
+    * exponentially with the plane count. When the cap binds, the
+    * recall budget is NOT met — a warning says so (auto mode is tuned
+    * for dup-grade thresholds ≥ ~0.7) instead of silently degrading.
+    * `countN` runs at most once (one cheap control-plane job over the
+    * collapsed reps, never the full corpus).
+    */
+  def lshGranularity(nPlanes: Int, nTables: Int, threshold: Double,
+      countN: () => Long): (Int, Int) = {
+    val agree = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val maxTables = 512
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = countN()
+        val byBucket = math.min(24, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+        val byBudget = math.max(4,
+          (math.log(math.log(1e6) / maxTables) / math.log(agree)).toInt)
+        math.min(byBucket, byBudget)
+      }
+    val tables =
+      if (nTables > 0) nTables
+      else math.min(maxTables,
+        math.max(8, math.ceil(math.log(1e6) / math.pow(agree, planes)).toInt))
+    if (nPlanes <= 0 || nTables <= 0) {
+      val missProb = math.pow(1.0 - math.pow(agree, planes), tables)
+      if (missProb > 1e-6)
+        Similarity.log.warn(f"LSH auto-sizing: planes=$planes " +
+          f"tables=$tables (cap $maxTables) gives per-pair candidate-miss " +
+          f"$missProb%.2e AT threshold $threshold%.2f — above the 1e-6 budget. " +
+          "Auto mode is tuned for dup-grade thresholds (>= ~0.7); for " +
+          "exploratory thresholds set nPlanes/nTables explicitly or accept " +
+          "the reduced recall.")
+    }
+    (planes, tables)
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, nTables: Int, threshold: Double,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
@@ -196,37 +239,8 @@ object Similarity {
     // budget affords (buckets run larger; the maxBucketSize anchor
     // valve is the documented knob for that regime — auto mode is
     // designed for dup-grade thresholds, where the clamp never binds).
-    val agree = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
-    val maxTables = 512
-    val planes =
-      if (nPlanes > 0) nPlanes
-      else { // control-plane count: one cheap job over distinct vectors
-        // (the one blocking extra job per call — acceptable because it
-        // is a count over the collapsed reps, not the full corpus)
-        val n = repVecs.count()
-        val byBucket = math.min(24, math.max(4,
-          math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
-        val byBudget = math.max(4,
-          (math.log(math.log(1e6) / maxTables) / math.log(agree)).toInt)
-        math.min(byBucket, byBudget)
-      }
-    val tables =
-      if (nTables > 0) nTables
-      else math.min(maxTables,
-        math.max(8, math.ceil(math.log(1e6) / math.pow(agree, planes)).toInt))
-    // when the 512-table cap binds, the 1e-6 recall budget is NOT met —
-    // say so (with the effective per-pair miss at the threshold) instead
-    // of silently degrading at exploratory thresholds
-    if (nPlanes <= 0 || nTables <= 0) {
-      val missProb = math.pow(1.0 - math.pow(agree, planes), tables)
-      if (missProb > 1e-6)
-        Similarity.log.warn(f"embeddingNearDups auto-sizing: planes=$planes " +
-          f"tables=$tables (cap $maxTables) gives per-pair candidate-miss " +
-          f"$missProb%.2e AT threshold $threshold%.2f — above the 1e-6 budget. " +
-          "Auto mode is tuned for dup-grade thresholds (>= ~0.7); for " +
-          "exploratory thresholds set nPlanes/nTables explicitly or accept " +
-          "the reduced recall.")
-    }
+    val (planes, tables) =
+      lshGranularity(nPlanes, nTables, threshold, () => repVecs.count())
     // candidate generation carries ONLY (table, bucket, id) — a pair
     // colliding in many tables must not drag its vectors through the
     // join nTables times (measured 10 s → ~2 s at sf0.1). Pairs dedup
@@ -360,8 +374,15 @@ object Similarity {
   final case class EmbeddingIndex(buckets: DataFrame, repVecs: DataFrame,
       members: DataFrame, nPlanes: Int, nTables: Int)
 
+  /** `nPlanes`/`nTables` <= 0 → auto granularity sized to THIS corpus
+    * and `threshold` (see [[lshGranularity]]) — the scale default:
+    * pinned planes keep bucket occupancy (and candidate count) growing
+    * with the corpus, the r6 quadratic, which the 10× smoke re-caught
+    * in this op's first pinned version (145× wall at 10× data).
+    * Probes inherit the index's granularity, whatever chose it.
+    */
   def buildEmbeddingIndex(df: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, nTables: Int): EmbeddingIndex = {
+      nPlanes: Int, nTables: Int, threshold: Double = 0.8): EmbeddingIndex = {
     GraftFunctions.register(df.sparkSession)
     // same exact-identity collapse as embeddingNearDups: identical
     // vectors share EVERY bucket, so collapsing to one rep keeps a
@@ -371,10 +392,12 @@ object Similarity {
     val reps = base.groupBy("__v").agg(min(col("__id")).as("rep_id"))
     val members = base.join(reps, "__v").select(col("__id"), col("rep_id"))
     val repVecs = reps.select(col("rep_id"), col("__v").as("vec"))
+    val (planes, tables) =
+      lshGranularity(nPlanes, nTables, threshold, () => repVecs.count())
     val buckets = repVecs.select(col("rep_id"),
-      posexplode(lshTableBuckets(col("vec"), nTables, nPlanes))
+      posexplode(lshTableBuckets(col("vec"), tables, planes))
         .as(Seq("table_id", "bucket")))
-    EmbeddingIndex(buckets, repVecs, members, nPlanes, nTables)
+    EmbeddingIndex(buckets, repVecs, members, planes, tables)
   }
 
   /** Incremental embedding near-dup pass: probe a prebuilt
