@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -415,6 +415,10 @@ object Similarity {
     */
   def incrementalVecDupPairs(batch: DataFrame, index: EmbeddingIndex,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    // ONE collapse + bucketing pass over the batch, shared by the
+    // index probe and the new-vs-new leg (the contract the text
+    // sibling Dedup.incrementalCore documents — never hash the batch
+    // twice)
     val b = buildEmbeddingIndex(batch, idCol, vecCol, index.nPlanes, index.nTables)
     val cand = b.buckets.select(col("table_id"), col("bucket"),
         col("rep_id").as("rep_b"))
@@ -432,11 +436,72 @@ object Similarity {
       .join(b.members.select(col("rep_id").as("rep_b"), col("__id").as("__cb")), "rep_b")
       .select(least(col("__ca"), col("__cb")).as("id_a"),
         greatest(col("__ca"), col("__cb")).as("id_b"), col("cos_sim"))
-    val within = embeddingNearDups(batch, idCol, vecCol,
-      index.nPlanes, index.nTables, threshold)
+    // new-vs-new from the SAME artifacts: bucket self-join → distinct
+    // rep pairs → score once → member expansion (cross-group pairs
+    // inherit the rep cosine; intra-identity pairs join the per-rep
+    // self-cosine) — mirrors embeddingNearDups' tail exactly
+    val bb = b.buckets
+    val wScored = bb.select(col("table_id"), col("bucket"), col("rep_id").as("id_a"))
+      .join(bb.select(col("table_id"), col("bucket"), col("rep_id").as("id_b")),
+        Seq("table_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(b.repVecs.select(col("rep_id").as("id_a"), col("vec").as("__va")), "id_a")
+      .join(b.repVecs.select(col("rep_id").as("id_b"), col("vec").as("__vb")), "id_b")
+      .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
-    // cross pairs are corpus×batch, within pairs batch×batch — disjoint
-    cross.unionByName(within)
+    val wCross = wScored
+      .join(b.members.select(col("rep_id").as("id_a"), col("__id").as("__ma")), "id_a")
+      .join(b.members.select(col("rep_id").as("id_b"), col("__id").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cos_sim"))
+    val selfSim = b.repVecs.select(col("rep_id"),
+        call_function("graft_cosine", col("vec"), col("vec")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val intra = b.members.select(col("rep_id"), col("__id").as("id_a"))
+      .join(b.members.select(col("rep_id"), col("__id").as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .join(selfSim, "rep_id")
+      .select("id_a", "id_b", "cos_sim")
+    // cross legs are corpus×batch, the others batch×batch — disjoint
+    cross.unionByName(wCross).unionByName(intra)
+  }
+
+  /** Persist an [[EmbeddingIndex]]: three parquet frames plus a
+    * one-row meta frame carrying the GRANULARITY — a probe hashed at
+    * different planes/tables than the index would join essentially
+    * nothing and silently return ~0 pairs, so the parameters travel
+    * with the data, never in the caller's head. Sentinel written LAST
+    * (same torn-write contract as [[Dedup.compactIndex]]).
+    */
+  def saveEmbeddingIndex(ix: EmbeddingIndex, path: String): Unit = {
+    val spark = ix.buckets.sparkSession
+    ix.buckets.repartition(col("table_id"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    ix.repVecs.write.mode("overwrite").parquet(s"$path/repVecs")
+    ix.members.write.mode("overwrite").parquet(s"$path/members")
+    import spark.implicits._
+    Seq((ix.nPlanes, ix.nTables)).toDF("n_planes", "n_tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMMITTED"), true).close()
+  }
+
+  def loadEmbeddingIndex(spark: SparkSession, path: String): EmbeddingIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMMITTED")))
+      throw new IllegalArgumentException(
+        s"no committed embedding index at $path (missing/torn write)")
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    EmbeddingIndex(
+      spark.read.parquet(s"$path/buckets"),
+      spark.read.parquet(s"$path/repVecs"),
+      spark.read.parquet(s"$path/members"),
+      meta.getInt(meta.fieldIndex("n_planes")),
+      meta.getInt(meta.fieldIndex("n_tables")))
   }
 
   /** Per-label centroid coherence: every member's cosine to its

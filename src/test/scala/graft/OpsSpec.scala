@@ -383,6 +383,38 @@ class OpsSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 == 102L || p._2 == 102L))
   }
 
+  test("embedding index save/load round-trips pairs and granularity") {
+    val corpus = (0L until 40L).map { i =>
+      (i, Array(math.cos(i * 0.31).toFloat, math.sin(i * 0.31).toFloat, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Array(math.cos(0.31).toFloat, math.sin(0.31).toFloat, 0.1f)),
+      (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // auto granularity: loaded planes/tables must equal the BUILT ones,
+    // not any caller default — a probe hashed at different granularity
+    // joins nothing and silently returns ~0 pairs
+    val built = Similarity.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      nPlanes = 0, nTables = 0, threshold = 0.9)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecix").toString
+    Similarity.saveEmbeddingIndex(built, tmp)
+    val loaded = Similarity.loadEmbeddingIndex(spark, tmp)
+    assert(loaded.nPlanes == built.nPlanes && loaded.nTables == built.nTables)
+    def pairs(ix: Similarity.EmbeddingIndex) =
+      Similarity.incrementalVecDupPairs(batch, ix, "vec_id", "embedding",
+          threshold = 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    val fromLoaded = pairs(loaded)
+    assert(fromLoaded == pairs(built))
+    assert(fromLoaded.contains((1L, 100L))) // the batch near-dup is found post-reload
+    // a torn write (no sentinel) must refuse to load, not return ~0 pairs
+    val torn = java.nio.file.Files.createTempDirectory("graft_vecix_torn").toString
+    built.buckets.write.mode("overwrite").parquet(s"$torn/buckets")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.loadEmbeddingIndex(spark, torn)
+    }
+    assert(err.getMessage.contains("torn"))
+  }
+
   test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
     val corpus = (0L until 12L).map { i =>
       (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))
