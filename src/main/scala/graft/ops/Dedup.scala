@@ -420,26 +420,33 @@ object Dedup {
     * not atomic together, and "the numerically largest gen" alone
     * would resume from a torn write.
     */
-  private val genCommitted = "_GRAFT_COMMITTED"
+  private[ops] val genCommitted = "_GRAFT_COMMITTED"
 
-  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[(Int, Boolean)] =
+  /** Shared by the text index here and [[Similarity]]'s vector index:
+    * `dirs` names the per-generation frame directories whose own
+    * `_SUCCESS` markers certify completeness when the sentinel is
+    * absent (grandfathers pre-sentinel generations instead of GC'ing
+    * healthy data as torn).
+    */
+  private[ops] def listGens(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, dirs: Seq[String]): Seq[(Int, Boolean)] =
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/gen=*")))
       .getOrElse(Array.empty).toSeq
       .flatMap { s =>
         val p = s.getPath
         p.getName.stripPrefix("gen=").toIntOption.map { g =>
-          // committed = our sentinel, OR all three frame jobs' own
-          // _SUCCESS markers (the completeness the sentinel certifies —
-          // also grandfathers directories written before the sentinel
-          // existed instead of GC'ing healthy data as torn)
+          // committed = our sentinel, OR all frame jobs' own _SUCCESS
           val done = fs.exists(new org.apache.hadoop.fs.Path(p, genCommitted)) ||
-            Seq("bands", "shingles", "members").forall(d =>
+            dirs.forall(d =>
               fs.exists(new org.apache.hadoop.fs.Path(p, s"$d/_SUCCESS")))
           g -> done
         }
       }
       .sortBy(_._1)
+
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Int, Boolean)] =
+    listGens(fs, path, Seq("bands", "shingles", "members"))
 
   def compactIndex(index: DedupIndex, path: String): DedupIndex = {
     val spark = index.bands.sparkSession

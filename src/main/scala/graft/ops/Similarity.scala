@@ -414,12 +414,26 @@ object Similarity {
     * joint batch run would.
     */
   def incrementalVecDupPairs(batch: DataFrame, index: EmbeddingIndex,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    // ONE collapse + bucketing pass over the batch, shared by the
-    // index probe and the new-vs-new leg (the contract the text
-    // sibling Dedup.incrementalCore documents — never hash the batch
-    // twice)
-    val b = buildEmbeddingIndex(batch, idCol, vecCol, index.nPlanes, index.nTables)
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    incrementalVecCore(batch, index, idCol, vecCol, threshold,
+      eagerCheckpoint = false)._1
+
+  /** Shared probe core: (pairs touching the batch, the batch's own
+    * index artifacts) — [[probeAndExtendVec]] reuses the artifacts so
+    * the streaming loop never hashes a batch twice (the contract the
+    * text sibling [[Dedup]] `incrementalCore` documents). With
+    * `eagerCheckpoint` the batch frames are materialized once, so the
+    * pair legs AND the extended index's union arm both read results
+    * instead of re-deriving the collapse + bucketing lineage.
+    */
+  private def incrementalVecCore(batch: DataFrame, index: EmbeddingIndex,
+      idCol: String, vecCol: String, threshold: Double,
+      eagerCheckpoint: Boolean): (DataFrame, EmbeddingIndex) = {
+    val b0 = buildEmbeddingIndex(batch, idCol, vecCol, index.nPlanes, index.nTables)
+    val b = if (!eagerCheckpoint) b0
+      else EmbeddingIndex(b0.buckets.localCheckpoint(true),
+        b0.repVecs.localCheckpoint(true), b0.members.localCheckpoint(true),
+        b0.nPlanes, b0.nTables)
     val cand = b.buckets.select(col("table_id"), col("bucket"),
         col("rep_id").as("rep_b"))
       .join(index.buckets.select(col("table_id"), col("bucket"),
@@ -465,43 +479,131 @@ object Similarity {
       .join(selfSim, "rep_id")
       .select("id_a", "id_b", "cos_sim")
     // cross legs are corpus×batch, the others batch×batch — disjoint
-    cross.unionByName(wCross).unionByName(intra)
+    (cross.unionByName(wCross).unionByName(intra), b)
   }
 
-  /** Persist an [[EmbeddingIndex]]: three parquet frames plus a
-    * one-row meta frame carrying the GRANULARITY — a probe hashed at
-    * different planes/tables than the index would join essentially
-    * nothing and silently return ~0 pairs, so the parameters travel
-    * with the data, never in the caller's head. Sentinel written LAST
-    * (same torn-write contract as [[Dedup.compactIndex]]).
+  /** The streaming-ingest step for vectors: probe the index with a
+    * batch AND fold the batch in, hashing the batch ONCE for both —
+    * the vector analogue of [[Dedup.probeAndExtend]]. Returns (pairs
+    * touching the batch, extended index). Each pair surfaces exactly
+    * once — when its later member arrives — so the union of per-step
+    * outputs equals one joint pass (spec-proven). CONTRACT: ids are
+    * disjoint between `batch` and the index.
+    */
+  def probeAndExtendVec(index: EmbeddingIndex, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      eagerCheckpoint: Boolean = true): (DataFrame, EmbeddingIndex) = {
+    val (pairs, b) = incrementalVecCore(batch, index, idCol, vecCol,
+      threshold, eagerCheckpoint)
+    (pairs, EmbeddingIndex(index.buckets.unionByName(b.buckets),
+      index.repVecs.unionByName(b.repVecs),
+      index.members.unionByName(b.members), index.nPlanes, index.nTables))
+  }
+
+  private val vecGenDirs = Seq("buckets", "repVecs", "members", "meta")
+
+  /** Persist an [[EmbeddingIndex]] as generation `gen=<k>` under
+    * `path`: three frames plus a one-row meta frame carrying the
+    * GRANULARITY — a probe hashed at different planes/tables than the
+    * index would join essentially nothing and silently return ~0
+    * pairs, so the parameters travel with the data, never in the
+    * caller's head. Generation directories + commit sentinel written
+    * LAST share [[Dedup.compactIndex]]'s torn-write contract: four
+    * independent parquet jobs are not atomic together, and compaction
+    * streams the OLD generation's files, so an in-place overwrite
+    * would delete its own input.
     */
   def saveEmbeddingIndex(ix: EmbeddingIndex, path: String): Unit = {
     val spark = ix.buckets.sparkSession
-    ix.buckets.repartition(col("table_id"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$path/buckets")
-    ix.repVecs.write.mode("overwrite").parquet(s"$path/repVecs")
-    ix.members.write.mode("overwrite").parquet(s"$path/members")
-    import spark.implicits._
-    Seq((ix.nPlanes, ix.nTables)).toDF("n_planes", "n_tables")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMMITTED"), true).close()
+    // number past EVERY existing dir, committed or torn
+    val next = Dedup.listGens(fs, path, vecGenDirs)
+      .map(_._1).maxOption.getOrElse(-1) + 1
+    val out = s"$path/gen=$next"
+    ix.buckets.repartition(col("table_id"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$out/buckets")
+    ix.repVecs.write.mode("overwrite").parquet(s"$out/repVecs")
+    ix.members.write.mode("overwrite").parquet(s"$out/members")
+    import spark.implicits._
+    Seq((ix.nPlanes, ix.nTables)).toDF("n_planes", "n_tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$out/${Dedup.genCommitted}"), true).close()
   }
 
+  /** Load the newest COMMITTED generation under `path` — the
+    * nightly/restart resume point. A torn generation (crash between
+    * the frame writes and the sentinel) is skipped, falling back to
+    * the previous committed one.
+    */
   def loadEmbeddingIndex(spark: SparkSession, path: String): EmbeddingIndex = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_GRAFT_COMMITTED")))
+    val gens = Dedup.listGens(fs, path, vecGenDirs)
+    val gen = gens.filter(_._2).map(_._1).maxOption.getOrElse(
       throw new IllegalArgumentException(
-        s"no committed embedding index at $path (missing/torn write)")
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+        s"no committed embedding index generations under $path" +
+          (if (gens.nonEmpty) s" (uncommitted/torn: ${gens.map(_._1).mkString(", ")})"
+           else "")))
+    val base = s"$path/gen=$gen"
+    val meta = spark.read.parquet(s"$base/meta").collect()(0)
     EmbeddingIndex(
-      spark.read.parquet(s"$path/buckets"),
-      spark.read.parquet(s"$path/repVecs"),
-      spark.read.parquet(s"$path/members"),
+      spark.read.parquet(s"$base/buckets"),
+      spark.read.parquet(s"$base/repVecs"),
+      spark.read.parquet(s"$base/members"),
       meta.getInt(meta.fieldIndex("n_planes")),
       meta.getInt(meta.fieldIndex("n_tables")))
+  }
+
+  /** Compact an (extended) index to parquet and reload it as fresh
+    * scans: the streaming loop's per-batch `unionByName` grows the
+    * probe plan by one arm per folded batch, and after months of
+    * micro-batches the DRIVER becomes the bottleneck. Writes the next
+    * generation, GCs every older one except the newest committed (the
+    * caller may hold DataFrames whose lineage still reads its files),
+    * and reloads.
+    */
+  def compactEmbeddingIndex(ix: EmbeddingIndex, path: String): EmbeddingIndex = {
+    val spark = ix.buckets.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = Dedup.listGens(fs, path, vecGenDirs)
+    saveEmbeddingIndex(ix, path)
+    val keepAlive = old.filter(_._2).map(_._1).maxOption
+    old.map(_._1).filterNot(g => keepAlive.contains(g)).foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
+    loadEmbeddingIndex(spark, path)
+  }
+
+  /** The streaming vector-dedup loop: per micro-batch, probe + fold
+    * ([[probeAndExtendVec]]), and every `compactEvery` folded batches
+    * [[compactEmbeddingIndex]] the result so plan size stays constant
+    * over the stream's lifetime — the vector analogue of
+    * [[Dedup.StreamingDedup]]. On a compaction round the batch's pair
+    * output is materialized BEFORE compaction runs: the pairs' lineage
+    * reads the pre-compaction generation's files, which a later
+    * compaction deletes.
+    */
+  final class StreamingVecDedup(initial: EmbeddingIndex, compactPath: String,
+      compactEvery: Int, idCol: String, vecCol: String, threshold: Double,
+      eagerCheckpoint: Boolean = true) {
+    require(compactEvery > 0, "compactEvery must be positive")
+    private var index0 = initial
+    private var folded = 0
+    def index: EmbeddingIndex = index0
+
+    /** Probe + fold one batch; returns the pairs touching it. */
+    def ingest(batch: DataFrame): DataFrame = {
+      val (pairs, next) = probeAndExtendVec(index0, batch, idCol, vecCol,
+        threshold, eagerCheckpoint)
+      folded += 1
+      if (folded % compactEvery == 0) {
+        val out = pairs.localCheckpoint(true) // consume before gen GC
+        index0 = compactEmbeddingIndex(next, compactPath)
+        out
+      } else { index0 = next; pairs }
+    }
   }
 
   /** Per-label centroid coherence: every member's cosine to its

@@ -406,13 +406,50 @@ class OpsSpec extends SparkSpec {
     val fromLoaded = pairs(loaded)
     assert(fromLoaded == pairs(built))
     assert(fromLoaded.contains((1L, 100L))) // the batch near-dup is found post-reload
-    // a torn write (no sentinel) must refuse to load, not return ~0 pairs
+    // a torn generation (no sentinel, missing frames) must refuse to
+    // load, not return ~0 pairs
     val torn = java.nio.file.Files.createTempDirectory("graft_vecix_torn").toString
-    built.buckets.write.mode("overwrite").parquet(s"$torn/buckets")
+    built.buckets.write.mode("overwrite").parquet(s"$torn/gen=0/buckets")
     val err = intercept[IllegalArgumentException] {
       Similarity.loadEmbeddingIndex(spark, torn)
     }
     assert(err.getMessage.contains("torn"))
+  }
+
+  test("streaming vec dedup ≡ joint pass across a compaction boundary") {
+    def vec(theta: Double) =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0.0f)
+    // batch 1 seeds the index; batch 2 carries a near-dup of batch 1
+    // (ids 1≈10) and an exact dup (2=11); batch 3 a near-dup of batch 2
+    // (11≈20) — pairs must surface exactly once, when the later member
+    // arrives, including across the compaction after every batch
+    val batches = Seq(
+      Seq((1L, vec(0.0)), (2L, vec(1.5)), (3L, vec(3.0))),
+      Seq((10L, vec(0.05)), (11L, vec(1.5)), (12L, vec(4.2))),
+      Seq((20L, vec(1.55)), (21L, vec(5.5)))
+    ).map(_.toDF("vec_id", "embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecix_stream").toString
+    val state = new Similarity.StreamingVecDedup(
+      Similarity.buildEmbeddingIndex(batches.head, "vec_id", "embedding",
+        nPlanes = 2, nTables = 16),
+      tmp, compactEvery = 1, "vec_id", "embedding", threshold = 0.95)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+        .sorted.toSeq
+    val streamed = norm(batches.tail.map(state.ingest).reduce(_ unionByName _))
+    val full = norm(Similarity.embeddingNearDups(
+      batches.reduce(_ unionByName _), "vec_id", "embedding",
+      nPlanes = 2, nTables = 16, threshold = 0.95)
+      .filter(col("id_a") >= 10 || col("id_b") >= 10))
+    assert(streamed == full, s"streamed=$streamed full=$full")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 10L)) // near dup crossed the boundary
+    assert(streamed.exists(p => p._1 == 2L && p._2 == 11L)) // exact dup across batches
+    assert(streamed.exists(p => p._1 == 11L && p._2 == 20L)) // found post-compaction
+    // the compacted index survives a cold reload at the built granularity
+    val reloaded = Similarity.loadEmbeddingIndex(spark, tmp)
+    assert(reloaded.nPlanes == state.index.nPlanes)
+    assert(reloaded.members.count() == state.index.members.count())
   }
 
   test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
