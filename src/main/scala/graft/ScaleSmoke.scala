@@ -123,11 +123,20 @@ object ScaleSmoke {
         // size (random-pair admissions — see the @0.8 rationale)
         ("dedup_embedding_incr@0.8", 1.33, (s: SparkSession, dir: String) => {
           val e = Tables.embeddings(s, dir)
+          // split on the ORIGINAL id (scaled ids are orig*mult+replica):
+          // the batch must be a quarter of EVERY replica, mirroring the
+          // base-scale quarter-corpus split. Splitting on the raw id
+          // would select whole replicas (vec_id % 4 == replica % 4),
+          // whose cross-replica cosines are ~0 by construction — the
+          // cross-scoring legs would run on a structurally empty
+          // workload and a quadratic there couldn't bend the ratio.
+          val orig = if (dir == base) col("vec_id")
+                     else floor(col("vec_id") / lit(mult)).cast("long")
           val ix = graft.ops.Similarity.buildEmbeddingIndex(
-            e.filter(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id", "embedding",
+            e.filter(pmod(orig, lit(4)) =!= 0), "vec_id", "embedding",
             nPlanes = 0, nTables = 0, threshold = 0.8)
           graft.ops.Similarity.incrementalVecDupPairs(
-            e.filter(pmod(col("vec_id"), lit(4)) === 0), ix,
+            e.filter(pmod(orig, lit(4)) === 0), ix,
             "vec_id", "embedding", threshold = 0.8)
         }),
         // explode(dims) + two key-partitioned shuffles — expect ~linear

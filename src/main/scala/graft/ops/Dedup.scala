@@ -444,31 +444,67 @@ object Dedup {
       }
       .sortBy(_._1)
 
-  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[(Int, Boolean)] =
-    listGens(fs, path, Seq("bands", "shingles", "members"))
+  private val textGenDirs = Seq("bands", "shingles", "members")
 
-  def compactIndex(index: DedupIndex, path: String): DedupIndex = {
-    val spark = index.bands.sparkSession
+  /** Write `frames` as the next generation under `path` — numbered
+    * past EVERY existing dir, committed or torn, so a crash leftover is
+    * never written into — with the commit sentinel LAST. The one
+    * generation writer for both the text index here and
+    * [[Similarity]]'s vector index.
+    */
+  private[ops] def writeGen(path: String,
+      frames: Seq[(String, DataFrame)]): Unit = {
+    val spark = frames.head._2.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val gens = listGens(fs, path)
-    // number past EVERY existing dir, committed or torn — never write
-    // into a crash leftover
-    val next = gens.map(_._1).maxOption.getOrElse(-1) + 1
+    val next = listGens(fs, path, frames.map(_._1))
+      .map(_._1).maxOption.getOrElse(-1) + 1
     val out = s"$path/gen=$next"
-    index.bands.repartition(col("band_id"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$out/bands")
-    index.shingles.write.mode("overwrite").parquet(s"$out/shingles")
-    index.members.write.mode("overwrite").parquet(s"$out/members")
+    frames.foreach { case (d, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$d") }
     fs.create(new org.apache.hadoop.fs.Path(s"$out/$genCommitted"), true).close()
-    // GC: drop every old gen except the newest COMMITTED one (the
-    // caller may hold DataFrames whose lineage still reads its files);
-    // torn gens from earlier crashes are garbage and go too
-    val keepAlive = gens.filter(_._2).map(_._1).maxOption
-    gens.map(_._1).filterNot(g => keepAlive.contains(g)).foreach(g =>
+  }
+
+  /** [[writeGen]] + GC: drop every PRE-EXISTING generation except the
+    * newest committed one (the caller may hold DataFrames whose
+    * lineage still reads its files); torn gens from earlier crashes
+    * are garbage and go too.
+    */
+  private[ops] def writeGenAndGc(path: String,
+      frames: Seq[(String, DataFrame)]): Unit = {
+    val spark = frames.head._2.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = listGens(fs, path, frames.map(_._1))
+    writeGen(path, frames)
+    val keepAlive = old.filter(_._2).map(_._1).maxOption
+    old.map(_._1).filterNot(g => keepAlive.contains(g)).foreach(g =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
-    loadIndex(spark, path)
+  }
+
+  /** Base path of the newest COMMITTED generation under `path`, or
+    * throw with the torn generations named (`what` labels the index
+    * kind in the message).
+    */
+  private[ops] def newestCommittedGen(spark: org.apache.spark.sql.SparkSession,
+      path: String, dirs: Seq[String], what: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = listGens(fs, path, dirs)
+    val gen = gens.filter(_._2).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed $what generations under $path" +
+          (if (gens.nonEmpty) s" (uncommitted/torn: ${gens.map(_._1).mkString(", ")})"
+           else "")))
+    s"$path/gen=$gen"
+  }
+
+  def compactIndex(index: DedupIndex, path: String): DedupIndex = {
+    writeGenAndGc(path, Seq(
+      "bands" -> index.bands.repartition(col("band_id"), col("bucket")),
+      "shingles" -> index.shingles,
+      "members" -> index.members))
+    loadIndex(index.bands.sparkSession, path)
   }
 
   /** Load the newest COMMITTED generation under `path` (written by
@@ -477,18 +513,11 @@ object Dedup {
     * sentinel) is skipped, falling back to the previous committed one.
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val gens = listGens(fs, path)
-    val gen = gens.filter(_._2).map(_._1).maxOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"no committed dedup index generations under $path" +
-          (if (gens.nonEmpty) s" (uncommitted/torn: ${gens.map(_._1).mkString(", ")})"
-           else "")))
+    val base = newestCommittedGen(spark, path, textGenDirs, "dedup index")
     DedupIndex(
-      spark.read.parquet(s"$path/gen=$gen/bands"),
-      spark.read.parquet(s"$path/gen=$gen/shingles"),
-      spark.read.parquet(s"$path/gen=$gen/members"))
+      spark.read.parquet(s"$base/bands"),
+      spark.read.parquet(s"$base/shingles"),
+      spark.read.parquet(s"$base/members"))
   }
 
   /** The streaming dedup loop: per micro-batch, probe + fold
@@ -502,10 +531,11 @@ object Dedup {
     *     sink(state.ingest(b))
     *   }
     * }}}
-    * On a compaction round the batch's pair output is materialized
-    * (eager localCheckpoint) BEFORE compaction runs: the pairs' lineage
-    * reads the pre-compaction generation's files, which a later
-    * compaction deletes.
+    * EVERY batch's pair output is materialized (eager localCheckpoint)
+    * before it is returned: lazy pairs would read the currently-loaded
+    * generation's parquet, which the compaction after next deletes — a
+    * caller buffering a day of per-batch outputs before one sink write
+    * must not crash on files GC'd underneath the lineage.
     */
   final class StreamingDedup(initial: DedupIndex, compactPath: String,
       compactEvery: Int, id: String, text: String, threshold: Double,
@@ -520,12 +550,11 @@ object Dedup {
     def ingest(batch: DataFrame): DataFrame = {
       val (pairs, next) = probeAndExtend(index0, batch, id, text, threshold,
         numHashes, bands, k, eagerCheckpoint)
+      val out = pairs.localCheckpoint(true) // survive any later gen GC
       folded += 1
-      if (folded % compactEvery == 0) {
-        val out = pairs.localCheckpoint(true) // consume before gen GC
-        index0 = compactIndex(next, compactPath)
-        out
-      } else { index0 = next; pairs }
+      index0 = if (folded % compactEvery == 0) compactIndex(next, compactPath)
+               else next
+      out
     }
   }
 

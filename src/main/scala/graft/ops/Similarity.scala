@@ -182,6 +182,17 @@ object Similarity {
     * `countN` runs at most once (one cheap control-plane job over the
     * collapsed reps, never the full corpus).
     */
+  /** Per-pair candidate-miss probability of a (planes, tables)
+    * sign-LSH ensemble at `threshold`: (1 − agree^planes)^tables with
+    * agree = 1 − acos(cos)/π. The recall currency both the build-time
+    * budget and the probe-time mismatch warning are priced in.
+    */
+  private[ops] def pairMissProb(planes: Int, tables: Int,
+      threshold: Double): Double = {
+    val agree = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    math.pow(1.0 - math.pow(agree, planes), tables)
+  }
+
   def lshGranularity(nPlanes: Int, nTables: Int, threshold: Double,
       countN: () => Long): (Int, Int) = {
     val agree = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
@@ -201,7 +212,7 @@ object Similarity {
       else math.min(maxTables,
         math.max(8, math.ceil(math.log(1e6) / math.pow(agree, planes)).toInt))
     if (nPlanes <= 0 || nTables <= 0) {
-      val missProb = math.pow(1.0 - math.pow(agree, planes), tables)
+      val missProb = pairMissProb(planes, tables, threshold)
       if (missProb > 1e-6)
         Similarity.log.warn(f"LSH auto-sizing: planes=$planes " +
           f"tables=$tables (cap $maxTables) gives per-pair candidate-miss " +
@@ -211,6 +222,66 @@ object Similarity {
           "the reduced recall.")
     }
     (planes, tables)
+  }
+
+  /** Shared tail of [[embeddingNearDups]] and the incremental probe's
+    * new-vs-new leg: bucket self-join candidates (ids only — a pair
+    * colliding in many tables must not drag its vectors through the
+    * join nTables times), optionally anchor-capped per cell
+    * (`maxBucketSize`, the residual hot-bucket valve for
+    * near-identical-but-not-byte-identical clusters — see
+    * [[Buckets.anchors]]), each distinct rep pair scored exactly once
+    * after re-attaching vectors, then identity-member expansion:
+    * cross-group pairs inherit the rep pair's cosine (identical
+    * arrays), intra-identity pairs join the ONE per-rep self-cosine
+    * (B²/2 pair-level evaluations for a B-sized identical cluster
+    * otherwise). Inputs: buckets(rep_id, table_id, bucket),
+    * repVecs(rep_id, vec), members(rep_id, __id).
+    */
+  private def selfPairsExpanded(buckets: DataFrame, repVecs: DataFrame,
+      members: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val aSide = buckets.select(col("table_id"), col("bucket"),
+      col("rep_id").as("id_a"))
+    val pairs =
+      if (maxBucketSize == Int.MaxValue)
+        aSide
+          .join(buckets.select(col("table_id"), col("bucket"),
+            col("rep_id").as("id_b")), Seq("table_id", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      else {
+        val anchors = Buckets.anchors(buckets, Seq("table_id", "bucket"),
+            "rep_id", maxBucketSize)
+          .select(col("table_id"), col("bucket"), col("rep_id").as("id_b"))
+        aSide.join(anchors, Seq("table_id", "bucket"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct()
+      }
+    // vector fetch: the rep table is keyed and far smaller than the
+    // exploded candidate stream — AQE broadcasts it when it fits
+    val repPairs = pairs
+      .join(repVecs.select(col("rep_id").as("id_a"), col("vec").as("__va")), "id_a")
+      .join(repVecs.select(col("rep_id").as("id_b"), col("vec").as("__vb")), "id_b")
+      .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col("__id").as("__ma")), "id_a")
+      .join(members.select(col("rep_id").as("id_b"), col("__id").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cos_sim"))
+    val selfSim = repVecs.select(col("rep_id"),
+        call_function("graft_cosine", col("vec"), col("vec")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val mm = members.select(col("rep_id"), col("__id"))
+    val intra = mm.select(col("rep_id"), col("__id").as("id_a"))
+      .join(mm.select(col("rep_id"), col("__id").as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .join(selfSim, "rep_id")
+      .select("id_a", "id_b", "cos_sim")
+    cross.unionByName(intra)
   }
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
@@ -241,62 +312,13 @@ object Similarity {
     // designed for dup-grade thresholds, where the clamp never binds).
     val (planes, tables) =
       lshGranularity(nPlanes, nTables, threshold, () => repVecs.count())
-    // candidate generation carries ONLY (table, bucket, id) — a pair
-    // colliding in many tables must not drag its vectors through the
-    // join nTables times (measured 10 s → ~2 s at sf0.1). Pairs dedup
-    // as bare id pairs first; each distinct pair is then scored exactly
-    // once after re-attaching vectors.
-    val b = repVecs.select(col("vid"),
+    val b = repVecs.select(col("vid").as("rep_id"),
       posexplode(lshTableBuckets(col("vec"), tables, planes))
         .as(Seq("table_id", "bucket")))
-    val aSide = b.select(col("table_id"), col("bucket"), col("vid").as("id_a"))
-    val pairs =
-      if (maxBucketSize == Int.MaxValue)
-        aSide
-          .join(b.select(col("table_id"), col("bucket"), col("vid").as("id_b")),
-            Seq("table_id", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-      else {
-        // residual hot-bucket valve (near-identical, not byte-identical,
-        // vectors): anchor join — see Buckets.anchors
-        val anchors = Buckets.anchors(b, Seq("table_id", "bucket"), "vid", maxBucketSize)
-          .select(col("table_id"), col("bucket"), col("vid").as("id_b"))
-        aSide.join(anchors, Seq("table_id", "bucket"))
-          .filter(col("id_a") =!= col("id_b"))
-          .select(least(col("id_a"), col("id_b")).as("id_a"),
-            greatest(col("id_a"), col("id_b")).as("id_b"))
-          .distinct()
-      }
-    // vector fetch: the embedding table is keyed and far smaller than
-    // the exploded candidate stream — AQE broadcasts it when it fits
-    val repPairs = pairs
-      .join(repVecs.select(col("vid").as("id_a"), col("vec").as("va")), "id_a")
-      .join(repVecs.select(col("vid").as("id_b"), col("vec").as("vb")), "id_b")
-      .withColumn("cos_sim", call_function("graft_cosine", col("va"), col("vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
-    // expansion: cross-group pairs inherit the rep pair's cosine
-    // (identical arrays), intra-group pairs score the shared vector
-    // against itself — both bit-identical to the uncollapsed result
-    val cross = repPairs
-      .join(members.select(col("rep_id").as("id_a"), col("__id").as("__ma")), "id_a")
-      .join(members.select(col("rep_id").as("id_b"), col("__id").as("__mb")), "id_b")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("cos_sim"))
-    // the self-cosine is one value per GROUP — compute it once per rep
-    // (B²/2 pair-level evaluations for a B-sized identical cluster
-    // otherwise) and join it onto the expanded pairs
-    val selfSim = repVecs.select(col("vid").as("rep_id"),
-        call_function("graft_cosine", col("vec"), col("vec")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
-    val mm = members.select(col("rep_id"), col("__id"))
-    val intra = mm.select(col("rep_id"), col("__id").as("id_a"))
-      .join(mm.select(col("rep_id"), col("__id").as("id_b")), "rep_id")
-      .filter(col("id_a") < col("id_b"))
-      .join(selfSim, "rep_id")
-      .select("id_a", "id_b", "cos_sim")
-    cross.unionByName(intra)
+    selfPairsExpanded(b,
+      repVecs.select(col("vid").as("rep_id"), col("vec")),
+      members.select(col("rep_id"), col("__id")),
+      threshold, maxBucketSize)
   }
 
   /** k-NN join within groups (e.g. per label): for every vector, its k
@@ -414,9 +436,10 @@ object Similarity {
     * joint batch run would.
     */
   def incrementalVecDupPairs(batch: DataFrame, index: EmbeddingIndex,
-      idCol: String, vecCol: String, threshold: Double): DataFrame =
+      idCol: String, vecCol: String, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     incrementalVecCore(batch, index, idCol, vecCol, threshold,
-      eagerCheckpoint = false)._1
+      eagerCheckpoint = false, maxBucketSize)._1
 
   /** Shared probe core: (pairs touching the batch, the batch's own
     * index artifacts) — [[probeAndExtendVec]] reuses the artifacts so
@@ -425,10 +448,27 @@ object Similarity {
     * `eagerCheckpoint` the batch frames are materialized once, so the
     * pair legs AND the extended index's union arm both read results
     * instead of re-deriving the collapse + bucketing lineage.
+    * `maxBucketSize` caps the new-vs-new leg's candidate cells (the
+    * cross leg's cells are already bounded by the batch side — only
+    * batch reps explode against them).
     */
   private def incrementalVecCore(batch: DataFrame, index: EmbeddingIndex,
       idCol: String, vecCol: String, threshold: Double,
-      eagerCheckpoint: Boolean): (DataFrame, EmbeddingIndex) = {
+      eagerCheckpoint: Boolean,
+      maxBucketSize: Int = Int.MaxValue): (DataFrame, EmbeddingIndex) = {
+    // the index's granularity was sized (or pinned) for SOME threshold;
+    // probing materially below it silently under-recalls — the budget
+    // check lshGranularity ran at build time never saw this threshold.
+    // Gate at 1e-4 (not the 1e-6 build budget): deliberate exactness
+    // configs sized a few× past budget stay quiet, a regime mismatch
+    // (dup-grade index probed at an exploratory threshold) does not.
+    val miss = pairMissProb(index.nPlanes, index.nTables, threshold)
+    if (miss > 1e-4)
+      log.warn(f"embedding index probe at threshold $threshold%.2f against " +
+        f"planes=${index.nPlanes} tables=${index.nTables} gives per-pair " +
+        f"candidate-miss $miss%.2e — the index granularity was sized for a " +
+        "higher threshold; rebuild with auto granularity at THIS threshold " +
+        "or accept the reduced recall.")
     val b0 = buildEmbeddingIndex(batch, idCol, vecCol, index.nPlanes, index.nTables)
     val b = if (!eagerCheckpoint) b0
       else EmbeddingIndex(b0.buckets.localCheckpoint(true),
@@ -450,36 +490,13 @@ object Similarity {
       .join(b.members.select(col("rep_id").as("rep_b"), col("__id").as("__cb")), "rep_b")
       .select(least(col("__ca"), col("__cb")).as("id_a"),
         greatest(col("__ca"), col("__cb")).as("id_b"), col("cos_sim"))
-    // new-vs-new from the SAME artifacts: bucket self-join → distinct
-    // rep pairs → score once → member expansion (cross-group pairs
-    // inherit the rep cosine; intra-identity pairs join the per-rep
-    // self-cosine) — mirrors embeddingNearDups' tail exactly
-    val bb = b.buckets
-    val wScored = bb.select(col("table_id"), col("bucket"), col("rep_id").as("id_a"))
-      .join(bb.select(col("table_id"), col("bucket"), col("rep_id").as("id_b")),
-        Seq("table_id", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .join(b.repVecs.select(col("rep_id").as("id_a"), col("vec").as("__va")), "id_a")
-      .join(b.repVecs.select(col("rep_id").as("id_b"), col("vec").as("__vb")), "id_b")
-      .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
-    val wCross = wScored
-      .join(b.members.select(col("rep_id").as("id_a"), col("__id").as("__ma")), "id_a")
-      .join(b.members.select(col("rep_id").as("id_b"), col("__id").as("__mb")), "id_b")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("cos_sim"))
-    val selfSim = b.repVecs.select(col("rep_id"),
-        call_function("graft_cosine", col("vec"), col("vec")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
-    val intra = b.members.select(col("rep_id"), col("__id").as("id_a"))
-      .join(b.members.select(col("rep_id"), col("__id").as("id_b")), "rep_id")
-      .filter(col("id_a") < col("id_b"))
-      .join(selfSim, "rep_id")
-      .select("id_a", "id_b", "cos_sim")
-    // cross legs are corpus×batch, the others batch×batch — disjoint
-    (cross.unionByName(wCross).unionByName(intra), b)
+    // new-vs-new from the SAME artifacts: embeddingNearDups' tail
+    // (candidates → score once → member expansion) over the batch's
+    // frames alone
+    val within = selfPairsExpanded(b.buckets, b.repVecs, b.members,
+      threshold, maxBucketSize)
+    // cross leg is corpus×batch, `within` batch×batch — disjoint
+    (cross.unionByName(within), b)
   }
 
   /** The streaming-ingest step for vectors: probe the index with a
@@ -492,9 +509,10 @@ object Similarity {
     */
   def probeAndExtendVec(index: EmbeddingIndex, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      eagerCheckpoint: Boolean = true): (DataFrame, EmbeddingIndex) = {
+      eagerCheckpoint: Boolean = true,
+      maxBucketSize: Int = Int.MaxValue): (DataFrame, EmbeddingIndex) = {
     val (pairs, b) = incrementalVecCore(batch, index, idCol, vecCol,
-      threshold, eagerCheckpoint)
+      threshold, eagerCheckpoint, maxBucketSize)
     (pairs, EmbeddingIndex(index.buckets.unionByName(b.buckets),
       index.repVecs.unionByName(b.repVecs),
       index.members.unionByName(b.members), index.nPlanes, index.nTables))
@@ -502,35 +520,30 @@ object Similarity {
 
   private val vecGenDirs = Seq("buckets", "repVecs", "members", "meta")
 
-  /** Persist an [[EmbeddingIndex]] as generation `gen=<k>` under
-    * `path`: three frames plus a one-row meta frame carrying the
-    * GRANULARITY — a probe hashed at different planes/tables than the
-    * index would join essentially nothing and silently return ~0
-    * pairs, so the parameters travel with the data, never in the
-    * caller's head. Generation directories + commit sentinel written
-    * LAST share [[Dedup.compactIndex]]'s torn-write contract: four
-    * independent parquet jobs are not atomic together, and compaction
-    * streams the OLD generation's files, so an in-place overwrite
-    * would delete its own input.
+  /** The four parquet jobs of one vector-index generation: three
+    * frames plus a one-row meta frame carrying the GRANULARITY — a
+    * probe hashed at different planes/tables than the index would join
+    * essentially nothing and silently return ~0 pairs, so the
+    * parameters travel with the data, never in the caller's head.
     */
-  def saveEmbeddingIndex(ix: EmbeddingIndex, path: String): Unit = {
+  private def vecFrames(ix: EmbeddingIndex): Seq[(String, DataFrame)] = {
     val spark = ix.buckets.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // number past EVERY existing dir, committed or torn
-    val next = Dedup.listGens(fs, path, vecGenDirs)
-      .map(_._1).maxOption.getOrElse(-1) + 1
-    val out = s"$path/gen=$next"
-    ix.buckets.repartition(col("table_id"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$out/buckets")
-    ix.repVecs.write.mode("overwrite").parquet(s"$out/repVecs")
-    ix.members.write.mode("overwrite").parquet(s"$out/members")
     import spark.implicits._
-    Seq((ix.nPlanes, ix.nTables)).toDF("n_planes", "n_tables")
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$out/${Dedup.genCommitted}"), true).close()
+    Seq(
+      "buckets" -> ix.buckets.repartition(col("table_id"), col("bucket")),
+      "repVecs" -> ix.repVecs,
+      "members" -> ix.members,
+      "meta" -> Seq((ix.nPlanes, ix.nTables)).toDF("n_planes", "n_tables")
+        .coalesce(1))
   }
+
+  /** Persist an [[EmbeddingIndex]] as the next generation `gen=<k>`
+    * under `path` — [[Dedup.writeGen]]'s torn-write contract (four
+    * independent parquet jobs are not atomic together; commit sentinel
+    * written LAST).
+    */
+  def saveEmbeddingIndex(ix: EmbeddingIndex, path: String): Unit =
+    Dedup.writeGen(path, vecFrames(ix))
 
   /** Load the newest COMMITTED generation under `path` — the
     * nightly/restart resume point. A torn generation (crash between
@@ -538,15 +551,8 @@ object Similarity {
     * the previous committed one.
     */
   def loadEmbeddingIndex(spark: SparkSession, path: String): EmbeddingIndex = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val gens = Dedup.listGens(fs, path, vecGenDirs)
-    val gen = gens.filter(_._2).map(_._1).maxOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"no committed embedding index generations under $path" +
-          (if (gens.nonEmpty) s" (uncommitted/torn: ${gens.map(_._1).mkString(", ")})"
-           else "")))
-    val base = s"$path/gen=$gen"
+    val base = Dedup.newestCommittedGen(spark, path, vecGenDirs,
+      "embedding index")
     val meta = spark.read.parquet(s"$base/meta").collect()(0)
     EmbeddingIndex(
       spark.read.parquet(s"$base/buckets"),
@@ -560,34 +566,30 @@ object Similarity {
     * scans: the streaming loop's per-batch `unionByName` grows the
     * probe plan by one arm per folded batch, and after months of
     * micro-batches the DRIVER becomes the bottleneck. Writes the next
-    * generation, GCs every older one except the newest committed (the
-    * caller may hold DataFrames whose lineage still reads its files),
-    * and reloads.
+    * generation, GCs every older one except the newest committed
+    * ([[Dedup.writeGenAndGc]] — compaction streams the OLD
+    * generation's files, so an in-place overwrite would delete its own
+    * input), and reloads.
     */
   def compactEmbeddingIndex(ix: EmbeddingIndex, path: String): EmbeddingIndex = {
-    val spark = ix.buckets.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val old = Dedup.listGens(fs, path, vecGenDirs)
-    saveEmbeddingIndex(ix, path)
-    val keepAlive = old.filter(_._2).map(_._1).maxOption
-    old.map(_._1).filterNot(g => keepAlive.contains(g)).foreach(g =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen=$g"), true))
-    loadEmbeddingIndex(spark, path)
+    Dedup.writeGenAndGc(path, vecFrames(ix))
+    loadEmbeddingIndex(ix.buckets.sparkSession, path)
   }
 
   /** The streaming vector-dedup loop: per micro-batch, probe + fold
     * ([[probeAndExtendVec]]), and every `compactEvery` folded batches
     * [[compactEmbeddingIndex]] the result so plan size stays constant
     * over the stream's lifetime — the vector analogue of
-    * [[Dedup.StreamingDedup]]. On a compaction round the batch's pair
-    * output is materialized BEFORE compaction runs: the pairs' lineage
-    * reads the pre-compaction generation's files, which a later
-    * compaction deletes.
+    * [[Dedup.StreamingDedup]]. EVERY batch's pair output is
+    * materialized (eager localCheckpoint) before it is returned: lazy
+    * pairs would read the currently-loaded generation's parquet, which
+    * the compaction after next deletes — a caller buffering a day of
+    * per-batch outputs before one sink write must not crash on files
+    * GC'd underneath the lineage.
     */
   final class StreamingVecDedup(initial: EmbeddingIndex, compactPath: String,
       compactEvery: Int, idCol: String, vecCol: String, threshold: Double,
-      eagerCheckpoint: Boolean = true) {
+      eagerCheckpoint: Boolean = true, maxBucketSize: Int = Int.MaxValue) {
     require(compactEvery > 0, "compactEvery must be positive")
     private var index0 = initial
     private var folded = 0
@@ -596,13 +598,13 @@ object Similarity {
     /** Probe + fold one batch; returns the pairs touching it. */
     def ingest(batch: DataFrame): DataFrame = {
       val (pairs, next) = probeAndExtendVec(index0, batch, idCol, vecCol,
-        threshold, eagerCheckpoint)
+        threshold, eagerCheckpoint, maxBucketSize)
+      val out = pairs.localCheckpoint(true) // survive any later gen GC
       folded += 1
-      if (folded % compactEvery == 0) {
-        val out = pairs.localCheckpoint(true) // consume before gen GC
-        index0 = compactEmbeddingIndex(next, compactPath)
-        out
-      } else { index0 = next; pairs }
+      index0 = if (folded % compactEvery == 0)
+        compactEmbeddingIndex(next, compactPath)
+      else next
+      out
     }
   }
 

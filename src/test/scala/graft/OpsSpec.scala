@@ -452,6 +452,30 @@ class OpsSpec extends SparkSpec {
     assert(reloaded.members.count() == state.index.members.count())
   }
 
+  test("streaming vec dedup pair outputs survive later compactions") {
+    def vec(theta: Double) =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0.0f)
+    // every batch near-dups its predecessors (two tight angle
+    // clusters), so each ingest emits pairs whose lineage would read
+    // the generation loaded at the previous compaction — with
+    // compactEvery=2 and 6 ingests, the third compaction GCs the
+    // generation the first post-compaction batch read, so DEFERRED
+    // consumption of buffered outputs crashes unless ingest
+    // materializes every batch's pairs eagerly
+    val batches = (0 until 7).map { k =>
+      Seq((k * 10L, vec(k * 0.01)), (k * 10L + 1, vec(k * 0.01 + 3.0)))
+        .toDF("vec_id", "embedding")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecix_defer").toString
+    val state = new Similarity.StreamingVecDedup(
+      Similarity.buildEmbeddingIndex(batches.head, "vec_id", "embedding",
+        nPlanes = 2, nTables = 16),
+      tmp, compactEvery = 2, "vec_id", "embedding", threshold = 0.95)
+    val outs = batches.tail.map(state.ingest) // buffer, consume at the end
+    val total = outs.map(_.count()).sum
+    assert(total >= 5, s"expected cross-batch pairs, got $total")
+  }
+
   test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
     val corpus = (0L until 12L).map { i =>
       (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))
