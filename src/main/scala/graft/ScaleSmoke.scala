@@ -161,16 +161,24 @@ object ScaleSmoke {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // optional 4th arg: comma-separated op-name filter, for re-measuring
+    // one op after a methodology change without the full suite
+    val selected =
+      if (args.length > 3) {
+        val keep = args(3).split(",").toSet
+        ops.filter(o => keep(o._1))
+      } else ops
+
     // JVM/codegen warmup on the small scale, not timed. The CDC queries
     // also pre-build their (one-time, cached) txnlog fixture at BOTH
     // scales so the timed run measures the operator, not fixture I/O.
-    ops.foreach { case (_, _, fn) => fn(spark, base).count() }
+    selected.foreach { case (_, _, fn) => fn(spark, base).count() }
     val fixtureBacked = Set("cdc_gtid_frontier", "cdc_txn_batches", "q_sessionize")
-    ops.filter(o => fixtureBacked(o._1)).foreach { case (_, _, fn) =>
+    selected.filter(o => fixtureBacked(o._1)).foreach { case (_, _, fn) =>
       fn(spark, out).count()
     }
 
-    val lines = ops.map { case (name, exponent, fn) =>
+    val lines = selected.map { case (name, exponent, fn) =>
       val (tBase, nBase) = time(fn(spark, base).count())
       val (tBig, nBig) = time(fn(spark, out).count())
       val ratio = tBig / tBase
