@@ -476,6 +476,43 @@ class OpsSpec extends SparkSpec {
     assert(total >= 5, s"expected cross-batch pairs, got $total")
   }
 
+  test("StreamingVecDedup drives from foreachBatch over a real stream") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def vec(theta: Double) =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0.0f)
+    val seed = Seq((1L, vec(0.0)), (2L, vec(1.5))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecix_fb").toString
+    // compactEvery=1: every trigger compacts + reloads INSIDE the
+    // foreachBatch callback — the intended deployment shape from the
+    // class doc, not just direct ingest() calls
+    val state = new Similarity.StreamingVecDedup(
+      Similarity.buildEmbeddingIndex(seed, "vec_id", "embedding",
+        nPlanes = 2, nTables = 16),
+      tmp, compactEvery = 1, "vec_id", "embedding", threshold = 0.95)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val pairs = state.ingest(b)
+        collected.synchronized {
+          collected ++= pairs.select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    try {
+      in.addData((10L, vec(0.02).toSeq)); q.processAllAvailable()
+      in.addData((20L, vec(0.04).toSeq), (21L, vec(1.52).toSeq))
+      q.processAllAvailable()
+    } finally q.stop()
+    // trigger 1 finds the seed near-dup; trigger 2 finds pairs against
+    // BOTH the seed and the previous trigger's fold, across compaction
+    assert(collected == Set((1L, 10L), (1L, 20L), (10L, 20L), (2L, 21L)),
+      s"got $collected")
+  }
+
   test("IVF ANN: probing all cells recovers the exact nearest neighbor") {
     val corpus = (0L until 12L).map { i =>
       (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))
