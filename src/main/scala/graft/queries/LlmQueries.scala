@@ -123,6 +123,42 @@ object LlmQueries {
       |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.6 AS drop_doc
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  // -- leading-boilerplate prefix dedup ---------------------------------------
+  /** Shared-PREFIX collapse: pages that open with the same first K
+    * tokens (navbars, cookie banners, licence headers) are dup
+    * candidates even when their tails diverge, which no whole-doc hash
+    * and only an expensive pairwise Jaccard would catch. The prefix
+    * travels as ONE string key (never an exploded token stream) through
+    * a single hash-partitioned groupBy — at 100 TB this is one shuffle
+    * whose map side pre-aggregates, and a hot boilerplate prefix
+    * (millions of pages) collapses to one row per partition before the
+    * exchange. Output: one row per shared prefix, keyed by its
+    * canonical (minimum) doc id.
+    */
+  def dedupPrefix(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("prefix", array_join(slice(tokenize(col("text")), 1, 12), " "))
+      .groupBy("prefix")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") > 1)
+      .select("canonical_id", "n_docs", "n_chars", "n_sources")
+      .orderBy("canonical_id")
+
+  val dedupPrefixSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source, n_chars,
+      |    array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[1:12], ' ') AS prefix
+      |  FROM documents)
+      |SELECT MIN(doc_id) AS canonical_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM p GROUP BY prefix HAVING COUNT(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
   // -- SimHash banding + hamming + exact-Jaccard verify ----------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
@@ -1070,6 +1106,7 @@ object LlmQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_prefix" -> (dedupPrefix _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_quality_score" -> (textQuality _),
     "text_gopher_filters" -> (textGopherFilters _),
@@ -1106,6 +1143,7 @@ object LlmQueries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_prefix" -> dedupPrefixSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_apply" -> dedupApplySql,
