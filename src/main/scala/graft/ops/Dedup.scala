@@ -388,11 +388,15 @@ object Dedup {
     * band bucket, fanning one matching probe into 10⁴ re-verifications
     * of the same shingle set. A full-corpus pass writes all three
     * frames to parquet; the nightly incremental pass reads them back —
-    * the corpus is never re-shingled or re-banded. Pass the SAME
-    * numHashes/bands/k to [[incrementalDupPairs]].
+    * the corpus is never re-shingled or re-banded. The banding
+    * parameters travel WITH the index (and its persisted meta frame,
+    * like the vector index's granularity): a probe banded differently
+    * than the index would join garbage candidates, so
+    * [[incrementalDupPairs]] refuses a mismatch loudly instead.
     */
   final case class DedupIndex(bands: DataFrame, shingles: DataFrame,
-      members: DataFrame)
+      members: DataFrame,
+      numHashes: Int = 64, nBands: Int = 32, shingleK: Int = 3)
 
   /** Compact an (extended) index to parquet and reload it as a fresh
     * 3-frame index. The streaming loop's per-batch `unionByName` grows
@@ -457,6 +461,8 @@ object Dedup {
     val spark = frames.head._2.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // numbering scans ALL gen dirs, committed or not, so the check
+    // dirs don't matter here
     val next = listGens(fs, path, frames.map(_._1))
       .map(_._1).maxOption.getOrElse(-1) + 1
     val out = s"$path/gen=$next"
@@ -468,14 +474,20 @@ object Dedup {
   /** [[writeGen]] + GC: drop every PRE-EXISTING generation except the
     * newest committed one (the caller may hold DataFrames whose
     * lineage still reads its files); torn gens from earlier crashes
-    * are garbage and go too.
+    * are garbage and go too. `checkDirs` is the sentinel-less
+    * completeness fallback's dir set — pass the ORIGINAL frame dirs
+    * when a format grew new optional frames, so pre-sentinel
+    * generations that predate them still classify committed instead of
+    * being GC'd as torn.
     */
   private[ops] def writeGenAndGc(path: String,
-      frames: Seq[(String, DataFrame)]): Unit = {
+      frames: Seq[(String, DataFrame)],
+      checkDirs: Seq[String] = Seq.empty): Unit = {
     val spark = frames.head._2.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val old = listGens(fs, path, frames.map(_._1))
+    val dirs = if (checkDirs.nonEmpty) checkDirs else frames.map(_._1)
+    val old = listGens(fs, path, dirs)
     writeGen(path, frames)
     val keepAlive = old.filter(_._2).map(_._1).maxOption
     old.map(_._1).filterNot(g => keepAlive.contains(g)).foreach(g =>
@@ -500,11 +512,19 @@ object Dedup {
   }
 
   def compactIndex(index: DedupIndex, path: String): DedupIndex = {
+    val spark = index.bands.sparkSession
+    import spark.implicits._
+    // meta rides in the generation like the vector index's granularity
+    // frame; the committed-check stays on the three ORIGINAL frame dirs
+    // so pre-meta generations keep loading (they carry the defaults)
     writeGenAndGc(path, Seq(
       "bands" -> index.bands.repartition(col("band_id"), col("bucket")),
       "shingles" -> index.shingles,
-      "members" -> index.members))
-    loadIndex(index.bands.sparkSession, path)
+      "members" -> index.members,
+      "meta" -> Seq((index.numHashes, index.nBands, index.shingleK))
+        .toDF("num_hashes", "n_bands", "shingle_k").coalesce(1)),
+      checkDirs = textGenDirs)
+    loadIndex(spark, path)
   }
 
   /** Load the newest COMMITTED generation under `path` (written by
@@ -514,10 +534,19 @@ object Dedup {
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
     val base = newestCommittedGen(spark, path, textGenDirs, "dedup index")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // pre-meta generations were only ever written with the defaults
+    val (nh, nb, sk) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/meta"))) {
+        val m = spark.read.parquet(s"$base/meta").collect()(0)
+        (m.getInt(m.fieldIndex("num_hashes")), m.getInt(m.fieldIndex("n_bands")),
+          m.getInt(m.fieldIndex("shingle_k")))
+      } else (64, 32, 3)
     DedupIndex(
       spark.read.parquet(s"$base/bands"),
       spark.read.parquet(s"$base/shingles"),
-      spark.read.parquet(s"$base/members"))
+      spark.read.parquet(s"$base/members"), nh, nb, sk)
   }
 
   /** The streaming dedup loop: per micro-batch, probe + fold
@@ -542,6 +571,10 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true) {
     require(compactEvery > 0, "compactEvery must be positive")
+    require(initial.numHashes == numHashes && initial.nBands == bands &&
+      initial.shingleK == k,
+      s"loop banding (numHashes=$numHashes bands=$bands k=$k) != index " +
+        s"banding (${initial.numHashes}, ${initial.nBands}, ${initial.shingleK})")
     private var index0 = initial
     private var folded = 0
     def index: DedupIndex = index0
@@ -565,7 +598,7 @@ object Dedup {
     val sh = shingleHashes(repDocs, id, text, k)
     DedupIndex(
       bandFrame(minhashFromShingles(sh, id, numHashes), id, bands, numHashes / bands),
-      sh, members)
+      sh, members, numHashes, bands, k)
   }
 
   /** Fold a processed batch into the index so the NEXT batch sees it.
@@ -581,9 +614,9 @@ object Dedup {
       text: String, numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true): DedupIndex = {
     val b = buildDedupIndex(newDocs, id, text, numHashes, bands, k, eagerCheckpoint)
-    DedupIndex(index.bands.unionByName(b.bands),
-      index.shingles.unionByName(b.shingles),
-      index.members.unionByName(b.members))
+    index.copy(bands = index.bands.unionByName(b.bands),
+      shingles = index.shingles.unionByName(b.shingles),
+      members = index.members.unionByName(b.members))
   }
 
   /** The streaming-ingest step: probe the index with a batch AND fold
@@ -605,9 +638,9 @@ object Dedup {
       eagerCheckpoint: Boolean = true): (DataFrame, DedupIndex) = {
     val (pairs, batch) = incrementalCore(newDocs, index, id, text, threshold,
       numHashes, bands, k, eagerCheckpoint)
-    (pairs, DedupIndex(index.bands.unionByName(batch.bands),
-      index.shingles.unionByName(batch.shingles),
-      index.members.unionByName(batch.members)))
+    (pairs, index.copy(bands = index.bands.unionByName(batch.bands),
+      shingles = index.shingles.unionByName(batch.shingles),
+      members = index.members.unionByName(batch.members)))
   }
 
   /** Incremental near-dup pass: every verified pair TOUCHING the new
@@ -639,6 +672,14 @@ object Dedup {
       id: String, text: String, threshold: Double,
       numHashes: Int, bands: Int, k: Int,
       eagerCheckpoint: Boolean): (DataFrame, DedupIndex) = {
+    // banded differently than the index, the probe's bucket join is
+    // garbage (band ids and minhash seeds both shift) — fail loudly,
+    // never return plausible-but-wrong pairs
+    require(index.numHashes == numHashes && index.nBands == bands &&
+      index.shingleK == k,
+      s"probe banding (numHashes=$numHashes bands=$bands k=$k) != index " +
+        s"banding (${index.numHashes}, ${index.nBands}, ${index.shingleK}) " +
+        "— pass the index's own parameters")
     // ONE collapse + shingle + signature pass over the batch, shared by
     // the new-vs-new pipeline and the index probe
     val (members, shNew, repPairsNew) = repDupPairs(newDocs, id, text,
@@ -675,7 +716,8 @@ object Dedup {
         when(swapped, col("n_b")).otherwise(col("n_a")).as("n_a"),
         when(swapped, col("n_a")).otherwise(col("n_b")).as("n_b"),
         col("n_inter"), col("jaccard"))
-    (newVsNew.unionByName(expanded), DedupIndex(newBands, shNew, members))
+    (newVsNew.unionByName(expanded),
+      DedupIndex(newBands, shNew, members, numHashes, bands, k))
   }
 
   /** LINEAR edge set for dup CLUSTERING: verified representative pairs

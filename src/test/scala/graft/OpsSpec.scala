@@ -278,6 +278,37 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed") && e.getMessage.contains("3"))
   }
 
+  test("dedup index banding params travel through compaction and gate probes") {
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_meta").toString
+    val built = Dedup.buildDedupIndex(docsDf, "doc_id", "text",
+      numHashes = 32, bands = 16, k = 2)
+    // the meta frame persists the banding; reload carries it back
+    val reloaded = Dedup.compactIndex(built, tmp)
+    assert((reloaded.numHashes, reloaded.nBands, reloaded.shingleK) == ((32, 16, 2)))
+    // probing with DIFFERENT banding would join garbage candidates —
+    // must refuse loudly, not return plausible-but-wrong pairs
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalDupPairs(
+        Seq((10L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"),
+        reloaded, "doc_id", "text", threshold = 0.5) // default 64/32/3
+    }
+    assert(err.getMessage.contains("banding"))
+    // matching banding probes fine and finds the cross-index dup
+    val ok = Dedup.incrementalDupPairs(
+      Seq((10L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      reloaded, "doc_id", "text", threshold = 0.5,
+      numHashes = 32, bands = 16, k = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.contains((1L, 10L)) && ok.contains((2L, 10L)))
+  }
+
   test("tokenFrequencyStats counts corpus-rare tokens per doc") {
     val out = TextOps.tokenFrequencyStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
