@@ -12,13 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Same one-logger suppression as Verify: a few queries run a
-    // global window over a tiny-by-construction or deliberately-exact
-    // frame (top-25, per-day, curriculum ntile), and the WindowExec
-    // warning would flood every sweep's log.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    Logging.quietWindowExec()
     // Warm the JVM once (codegen compiler, parquet reader, shuffle
     // machinery) so the first measured query isn't charged for JIT.
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>

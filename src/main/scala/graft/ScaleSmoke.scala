@@ -166,6 +166,12 @@ object ScaleSmoke {
     val selected =
       if (args.length > 3) {
         val keep = args(3).split(",").toSet
+        // a typo'd op name must fail, not silently measure nothing and
+        // emit a malformed zero-entry SCALEJSON that reads as "ran"
+        val unknown = keep.diff(ops.map(_._1).toSet)
+        require(unknown.isEmpty,
+          s"unknown op name(s): ${unknown.mkString(", ")} — known: " +
+            ops.map(_._1).mkString(", "))
         ops.filter(o => keep(o._1))
       } else ops
 

@@ -15,14 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Three queries (rolling7d, coreRounds, topUsersWindow) run a
-    // global window over a post-aggregate frame that is tiny by
-    // construction (days / months / top-25 rows) — the single-partition
-    // WindowExec warning is by-design there and would drown real
-    // warnings in this log; suppress that one logger, nothing else.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    Logging.quietWindowExec()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -398,6 +398,24 @@ object Dedup {
       members: DataFrame,
       numHashes: Int = 64, nBands: Int = 32, shingleK: Int = 3)
 
+  /** Banding identity gate: a probe banded differently than the index
+    * joins garbage buckets (band ids and minhash seeds both shift), so
+    * refuse loudly instead of returning plausible-but-wrong pairs.
+    * Indexes loaded from PRE-META generations carry unknown (-1)
+    * parameters — there the caller's parameters govern, exactly the
+    * contract that existed before the meta frame did; claiming
+    * defaults for them would reject a correct legacy probe and wave
+    * through a wrong one.
+    */
+  private def requireSameBanding(index: DedupIndex, numHashes: Int,
+      bands: Int, k: Int, what: String): Unit =
+    require(index.numHashes < 0 ||
+      (index.numHashes == numHashes && index.nBands == bands &&
+        index.shingleK == k),
+      s"$what banding (numHashes=$numHashes bands=$bands k=$k) != index " +
+        s"banding (${index.numHashes}, ${index.nBands}, ${index.shingleK}) " +
+        "— pass the index's own parameters")
+
   /** Compact an (extended) index to parquet and reload it as a fresh
     * 3-frame index. The streaming loop's per-batch `unionByName` grows
     * the probe plan by one arm per folded batch — after months of
@@ -516,13 +534,17 @@ object Dedup {
     import spark.implicits._
     // meta rides in the generation like the vector index's granularity
     // frame; the committed-check stays on the three ORIGINAL frame dirs
-    // so pre-meta generations keep loading (they carry the defaults)
+    // so pre-meta generations keep loading (they load as unknown).
+    // meta goes FIRST: writes are sequential, so any generation whose
+    // three text dirs pass the sentinel-less committed fallback
+    // provably finished its meta too — a crash mid-compaction can
+    // never commit frames stamped with someone else's banding
     writeGenAndGc(path, Seq(
+      "meta" -> Seq((index.numHashes, index.nBands, index.shingleK))
+        .toDF("num_hashes", "n_bands", "shingle_k").coalesce(1),
       "bands" -> index.bands.repartition(col("band_id"), col("bucket")),
       "shingles" -> index.shingles,
-      "members" -> index.members,
-      "meta" -> Seq((index.numHashes, index.nBands, index.shingleK))
-        .toDF("num_hashes", "n_bands", "shingle_k").coalesce(1)),
+      "members" -> index.members),
       checkDirs = textGenDirs)
     loadIndex(spark, path)
   }
@@ -536,13 +558,16 @@ object Dedup {
     val base = newestCommittedGen(spark, path, textGenDirs, "dedup index")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // pre-meta generations were only ever written with the defaults
+    // a pre-meta generation could have been written with ANY banding
+    // the API allowed — load it as UNKNOWN (-1: caller's params govern,
+    // the pre-meta contract), never as a claimed default that the
+    // banding gate would then wrongly enforce
     val (nh, nb, sk) =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/meta"))) {
         val m = spark.read.parquet(s"$base/meta").collect()(0)
         (m.getInt(m.fieldIndex("num_hashes")), m.getInt(m.fieldIndex("n_bands")),
           m.getInt(m.fieldIndex("shingle_k")))
-      } else (64, 32, 3)
+      } else (-1, -1, -1)
     DedupIndex(
       spark.read.parquet(s"$base/bands"),
       spark.read.parquet(s"$base/shingles"),
@@ -571,10 +596,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true) {
     require(compactEvery > 0, "compactEvery must be positive")
-    require(initial.numHashes == numHashes && initial.nBands == bands &&
-      initial.shingleK == k,
-      s"loop banding (numHashes=$numHashes bands=$bands k=$k) != index " +
-        s"banding (${initial.numHashes}, ${initial.nBands}, ${initial.shingleK})")
+    requireSameBanding(initial, numHashes, bands, k, "loop")
     private var index0 = initial
     private var folded = 0
     def index: DedupIndex = index0
@@ -613,6 +635,9 @@ object Dedup {
   def extendIndex(index: DedupIndex, newDocs: DataFrame, id: String,
       text: String, numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true): DedupIndex = {
+    // a batch banded differently than the index would union frames the
+    // probe side can never match — same gate as the probe path
+    requireSameBanding(index, numHashes, bands, k, "batch")
     val b = buildDedupIndex(newDocs, id, text, numHashes, bands, k, eagerCheckpoint)
     index.copy(bands = index.bands.unionByName(b.bands),
       shingles = index.shingles.unionByName(b.shingles),
@@ -672,14 +697,7 @@ object Dedup {
       id: String, text: String, threshold: Double,
       numHashes: Int, bands: Int, k: Int,
       eagerCheckpoint: Boolean): (DataFrame, DedupIndex) = {
-    // banded differently than the index, the probe's bucket join is
-    // garbage (band ids and minhash seeds both shift) — fail loudly,
-    // never return plausible-but-wrong pairs
-    require(index.numHashes == numHashes && index.nBands == bands &&
-      index.shingleK == k,
-      s"probe banding (numHashes=$numHashes bands=$bands k=$k) != index " +
-        s"banding (${index.numHashes}, ${index.nBands}, ${index.shingleK}) " +
-        "— pass the index's own parameters")
+    requireSameBanding(index, numHashes, bands, k, "probe")
     // ONE collapse + shingle + signature pass over the batch, shared by
     // the new-vs-new pipeline and the index probe
     val (members, shNew, repPairsNew) = repDupPairs(newDocs, id, text,

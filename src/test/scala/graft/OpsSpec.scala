@@ -299,6 +299,12 @@ class OpsSpec extends SparkSpec {
         reloaded, "doc_id", "text", threshold = 0.5) // default 64/32/3
     }
     assert(err.getMessage.contains("banding"))
+    // extendIndex folds frames the probe side must match — same gate
+    val errExtend = intercept[IllegalArgumentException] {
+      Dedup.extendIndex(reloaded,
+        Seq((11L, "more text")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(errExtend.getMessage.contains("banding"))
     // matching banding probes fine and finds the cross-index dup
     val ok = Dedup.incrementalDupPairs(
       Seq((10L, "the quick brown fox jumps over the lazy dog"))
@@ -307,6 +313,46 @@ class OpsSpec extends SparkSpec {
       numHashes = 32, bands = 16, k = 2)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ok.contains((1L, 10L)) && ok.contains((2L, 10L)))
+  }
+
+  test("pre-meta dedup index generations load as unknown banding; torn meta gens skipped") {
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_premeta").toString
+    val built = Dedup.buildDedupIndex(docsDf, "doc_id", "text",
+      numHashes = 32, bands = 16, k = 2)
+    Dedup.compactIndex(built, tmp)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a PRE-META generation: drop the meta dir from the
+    // committed gen — a legacy layout written before the meta frame
+    // existed, with banding the API allowed but nothing recorded
+    val gen = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/gen=*"))
+      .map(_.getPath).maxBy(_.getName)
+    fs.delete(new org.apache.hadoop.fs.Path(gen, "meta"), true)
+    val legacy = Dedup.loadIndex(spark, tmp)
+    // unknown, NOT a claimed default: the caller's params govern, so
+    // the legacy workflow (pass your own banding) keeps working with
+    // the banding the index was ACTUALLY built with
+    assert((legacy.numHashes, legacy.nBands, legacy.shingleK) == ((-1, -1, -1)))
+    val hits = Dedup.incrementalDupPairs(
+      Seq((10L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      legacy, "doc_id", "text", threshold = 0.5,
+      numHashes = 32, bands = 16, k = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.contains((1L, 10L)))
+    // simulate a TORN compaction under meta-first ordering: meta and
+    // sentinel-less partial text frames — must classify torn (never
+    // load frames stamped with someone else's banding)
+    val torn = new org.apache.hadoop.fs.Path(s"$tmp/gen=99")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(torn, "meta"))
+    fs.create(new org.apache.hadoop.fs.Path(torn, "meta/_SUCCESS"), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(torn, "bands"))
+    val after = Dedup.loadIndex(spark, tmp)
+    assert((after.numHashes, after.nBands, after.shingleK) == ((-1, -1, -1)))
   }
 
   test("tokenFrequencyStats counts corpus-rare tokens per doc") {
