@@ -650,4 +650,68 @@ object Similarity {
       .withColumn("is_outlier", col("cos_to_centroid") < outlierBelow)
       .drop("__dot", "__na2", "__nc2")
   }
+
+  /** Fixed-iteration Lloyd k-means over the embedding column — the
+    * unsupervised topic-bucketing pass a curation pipeline runs when no
+    * labels exist (balance a mixture over discovered clusters, cap a
+    * dominant mode, route clusters to graders). `iterations` assignment
+    * passes with a centroid update between consecutive passes;
+    * deterministic end to end: seeds are the `k` lowest-id vectors,
+    * argmin ties break on the lowest cluster id, and an emptied cluster
+    * drops out (its id simply stops being assigned).
+    *
+    * EXACT by construction, so the output hash-matches a SQL oracle:
+    * vectors quantize to `round(x·quantScale)` longs; distances are
+    * integer Σ(q−c)²; centroid components update by portable exact
+    * floor division — subtract `pmod(s, n)` first, making the quotient
+    * exactly divisible so Spark's truncating `div` and any
+    * floor-dividing oracle agree for negative sums too. Component sums
+    * stay in Long: |Σ qx| ≤ members × quantScale, overflow only at
+    * ~9e15 member-scale units (a per-cluster bound far past any real
+    * k-means input; the centroid-cosine op's decimal(38,0) recipe
+    * applies if ever needed).
+    *
+    * Scale shape: assignment is a broadcast nested-loop of the corpus
+    * against the k×dims centroid frame (control state, bytes) that
+    * collapses map-side to one row per vector — the corpus never
+    * shuffles; the update is ONE (cluster, dim) integer aggregation of
+    * k×dims output rows. Iterations compose plans, so keep the count
+    * small and fixed (curation wants stable buckets, not convergence).
+    */
+  def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(iterations > 0, "iterations must be positive")
+    val q = df.select(col(idCol), transform(col(vecCol),
+        x => round(x.cast("double") * quantScale).cast("long")).as("__q"))
+    // k-row seed frame: the single-partition window is over k rows
+    val cent0 = q.orderBy(col(idCol)).limit(k)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
+      .select(col("cluster"), col("__q").as("__c"))
+
+    def assign(cent: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cent))
+        .withColumn("__d2", expr("aggregate(zip_with(__q, __c, " +
+          "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        // lexicographic struct min = argmin with cluster-id tie-break;
+        // __q rides along (never compared: (__d2, cluster) is unique)
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__d2"), col("cluster"), col("__q"))).as("__m"))
+        .select(col(idCol), col("__m.cluster").as("cluster"),
+          col("__m.__d2").as("dist2"), col("__m.__q").as("__q"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("__q")).as(Seq("__i", "__qx")))
+        .groupBy(col("cluster"), col("__i"))
+        .agg(sum(col("__qx")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__cv", expr("(__s - pmod(__s, __n)) div __n"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("__i"), col("__cv")))),
+          p => p.getField("__cv")).as("__c"))
+
+    var cent = cent0
+    for (_ <- 1 until iterations) cent = update(assign(cent))
+    assign(cent).select(col(idCol), col("cluster"), col("dist2"))
+  }
 }

@@ -583,6 +583,55 @@ object LlmQueries {
       |FROM m JOIN nm ON nm.label = m.label
       |ORDER BY m.vec_id""".stripMargin
 
+  // -- unsupervised embedding clustering --------------------------------------
+  /** [[graft.ops.Similarity.kmeansAssignments]] — k=8 topic buckets,
+    * two assignment passes from the k-lowest-id seeds. Quantized
+    * integer distances and exact portable floor-division centroid
+    * updates make every assignment and distance bit-identical to the
+    * oracle's re-derivation.
+    */
+  def embeddingKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssignments(embs(s, dir), "vec_id", "embedding",
+      k = 8, iterations = 2)
+      .orderBy("vec_id")
+
+  val embeddingKmeansSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, i,
+      |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+      |seed AS (
+      |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT seed.cluster, q.i, q.qx AS cv FROM seed JOIN q USING (vec_id)),
+      |d1 AS (
+      |  SELECT q.vec_id, c0.cluster,
+      |    CAST(SUM((q.qx - c0.cv) * (q.qx - c0.cv)) AS BIGINT) AS dist2
+      |  FROM q JOIN c0 ON c0.i = q.i GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |-- centroid components: exact floor division (subtract the positive
+      |-- mod first) — the quotient is exactly divisible, so // here and
+      |-- Spark's truncating div agree for negative sums too
+      |c1 AS (
+      |  SELECT a1.cluster, q.i,
+      |    CAST((SUM(q.qx) - (((SUM(q.qx) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+      |      // COUNT(*) AS BIGINT) AS cv
+      |  FROM a1 JOIN q USING (vec_id) GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT q.vec_id, c1.cluster,
+      |    CAST(SUM((q.qx - c1.cv) * (q.qx - c1.cv)) AS BIGINT) AS dist2
+      |  FROM q JOIN c1 ON c1.i = q.i GROUP BY 1, 2)
+      |SELECT vec_id, cluster, dist2 FROM (
+      |  SELECT vec_id, cluster, dist2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+      |  FROM d2) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   // -- sequence packing into token-budget chunks ------------------------------
   /** Pack documents into ~`budget`-token training chunks per source, in
     * deterministic doc order: chunk id = floor(exclusive-running-token-
@@ -1122,6 +1171,7 @@ object LlmQueries {
     "data_source_caps" -> (dataSourceCaps _),
     "data_curriculum_buckets" -> (dataCurriculumBuckets _),
     "embedding_label_coherence" -> (embeddingLabelCoherence _),
+    "embedding_kmeans" -> (embeddingKmeans _),
     "data_mix_weights" -> (dataMixWeights _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
@@ -1164,6 +1214,7 @@ object LlmQueries {
     "data_source_caps" -> dataSourceCapsSql,
     "data_curriculum_buckets" -> dataCurriculumBucketsSql,
     "embedding_label_coherence" -> embeddingLabelCoherenceSql,
+    "embedding_kmeans" -> embeddingKmeansSql,
     "data_mix_weights" -> dataMixWeightsSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     "data_contamination_ngram" -> dataContaminationNgramSql,

@@ -42,6 +42,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row corpus-total broadcast normalizes per-source weights",
     "ann_ivf_cosine" ->
       "broadcast-small centroid set (√n rows) crossed for probe assignment — the IVF design",
+    "embedding_kmeans" ->
+      "k×dims centroid control frame broadcast-crossed for assignment (collapses map-side to one row per vector); the corpus never shuffles",
     "ann_bruteforce_cosine" ->
       "brute force IS the semantics (the exact top-k oracle): broadcast-small query set scored against every corpus vector",
     "q22_sales_opportunity" ->
