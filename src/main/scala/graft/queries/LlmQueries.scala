@@ -632,6 +632,62 @@ object LlmQueries {
       |  FROM d2) WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // -- int8 embedding quantization --------------------------------------------
+  /** Per-vector affine int8 quantization — the serving/storage
+    * compression pass (4× smaller than float32, cheap SIMD dot
+    * products downstream): `scale = (max−min)/255`, `q_i =
+    * round((x_i−min)/scale)` ∈ [0,255], stored with `(lo, scale)` for
+    * dequantization, plus a max-abs reconstruction-error audit column
+    * the pipeline gates on. Pure per-row codegen'd expressions — no
+    * shuffle at all, the one truly embarrassingly-parallel stage.
+    *
+    * Oracle parity: lo/hi are exact float→double; scale is one double
+    * division; q rounds a nonnegative argument (HALF_UP ≡ DuckDB's
+    * half-away-from-zero for ≥0); the error audit MAXes per-element
+    * doubles (max is order-independent, unlike a sum). The q array
+    * crosses the compare as an md5 fingerprint of its comma-joined
+    * values. Constant vectors (hi = lo) quantize to all-zero at
+    * scale 0, guarded on both sides.
+    */
+  def embeddingQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id"),
+        expr("array_min(transform(embedding, x -> cast(x as double)))").as("lo"),
+        expr("array_max(transform(embedding, x -> cast(x as double)))").as("hi"),
+        col("embedding"))
+      .withColumn("scale", (col("hi") - col("lo")) / lit(255.0d))
+      .withColumn("__q", expr("CASE WHEN hi = lo " +
+        "THEN transform(embedding, x -> CAST(0 AS BIGINT)) " +
+        "ELSE transform(embedding, x -> " +
+        "cast(round((cast(x as double) - lo) / scale) as bigint)) END"))
+      .withColumn("q_fp", md5(concat_ws(",",
+        expr("transform(__q, v -> cast(v as string))"))))
+      .withColumn("max_err", expr("array_max(zip_with(__q, embedding, " +
+        "(q, x) -> abs(q * scale + lo - cast(x as double))))"))
+      .select("vec_id", "lo", "hi", "scale", "q_fp", "max_err")
+      .orderBy("vec_id")
+
+  val embeddingQuantizeInt8Sql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+      |mm AS (SELECT vec_id, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY 1),
+      |sc AS (SELECT vec_id, lo, hi, (hi - lo) / 255.0 AS scale FROM mm),
+      |qv AS (
+      |  SELECT ex.vec_id, ex.i, sc.lo, sc.scale,
+      |    CASE WHEN sc.hi = sc.lo THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(ROUND((ex.x - sc.lo) / sc.scale) AS BIGINT) END AS q,
+      |    ex.x
+      |  FROM ex JOIN sc USING (vec_id))
+      |SELECT sc.vec_id, sc.lo, sc.hi, sc.scale,
+      |  a.q_fp, a.max_err
+      |FROM sc JOIN (
+      |  SELECT vec_id,
+      |    md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY i)) AS q_fp,
+      |    MAX(ABS(q * scale + lo - x)) AS max_err
+      |  FROM qv GROUP BY vec_id) a USING (vec_id)
+      |ORDER BY sc.vec_id""".stripMargin
+
   // -- sequence packing into token-budget chunks ------------------------------
   /** Pack documents into ~`budget`-token training chunks per source, in
     * deterministic doc order: chunk id = floor(exclusive-running-token-
@@ -1172,6 +1228,7 @@ object LlmQueries {
     "data_curriculum_buckets" -> (dataCurriculumBuckets _),
     "embedding_label_coherence" -> (embeddingLabelCoherence _),
     "embedding_kmeans" -> (embeddingKmeans _),
+    "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "data_mix_weights" -> (dataMixWeights _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
@@ -1215,6 +1272,7 @@ object LlmQueries {
     "data_curriculum_buckets" -> dataCurriculumBucketsSql,
     "embedding_label_coherence" -> embeddingLabelCoherenceSql,
     "embedding_kmeans" -> embeddingKmeansSql,
+    "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
     "data_mix_weights" -> dataMixWeightsSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     "data_contamination_ngram" -> dataContaminationNgramSql,
