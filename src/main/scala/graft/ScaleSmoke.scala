@@ -144,6 +144,9 @@ object ScaleSmoke {
         // fixed k: assignment is corpus × broadcast-k (linear), update
         // is one (cluster, dim) agg — expect ~linear
         ("embedding_kmeans", 1.0, LlmQueries.embeddingKmeans _),
+        // two hash aggs over (segment, doc) + a broadcastable
+        // frequency join + per-doc regroup — expect ~linear
+        ("dedup_lines", 1.0, LlmQueries.dedupLines _),
         // measured at DUP-GRADE threshold 0.8, not the query's exploratory
         // 0.45: at dim 64, cross-corpus cosine has σ = 1/√64 = 0.125, so a
         // 0.45 cutoff (3.6σ) admits ~1e-4 of the ~2e8 random cross-replica

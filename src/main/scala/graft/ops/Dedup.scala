@@ -75,6 +75,49 @@ object Dedup {
     (members, repDocs)
   }
 
+  /** Corpus-frequency line scrub — the C4 / RefinedWeb rule "drop any
+    * line that occurs in ≥ `minDocs` distinct documents" (C4 uses 3;
+    * boilerplate navbars, cookie banners, and licence footers repeat
+    * across thousands of pages while real prose lines do not). Operates
+    * on a caller-provided `segments` array column so the split is
+    * pluggable: a real web corpus passes `split(col("text"), "\n")`;
+    * fixtures without newlines pass fixed-width token windows.
+    *
+    * Output: one row per doc — segment counts, removed count, and the
+    * document rebuilt WITHOUT its boilerplate segments, in original
+    * segment order (a fully-boilerplate doc rebuilds to the empty
+    * string, the signal to drop it upstream).
+    *
+    * Scale shape (the reason this is a first-class op and not a
+    * pairwise dedup): no comparison is ever pairwise. Three hash
+    * exchanges total — (1) distinct (segment, doc) then a count per
+    * segment, both with map-side partial aggregation (the distinct
+    * spreads a million-page banner across its doc values, so no hot
+    * key); (2) the frequency join back onto the exploded stream, on
+    * the segment key — the ≥`minDocs` frequency frame is the heavy
+    * TAIL of the segment distribution, orders of magnitude smaller
+    * than the corpus, so AQE broadcasts it; (3) the per-doc regroup
+    * that rebuilds the text. Segment order survives the shuffle via
+    * `array_sort` over (index, segment) structs, not a global sort.
+    */
+  def scrubCommonSegments(docs: DataFrame, id: String, segments: Column,
+      minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val segs = docs.select(col(id), posexplode(segments).as(Seq("__i", "__seg")))
+    val freq = segs.select(col(id), col("__seg")).distinct()
+      .groupBy("__seg").agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+    segs.join(freq, Seq("__seg"), "left_outer")
+      .withColumn("__boiler", col("__n_docs").isNotNull)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__boiler"),
+            struct(col("__i"), col("__seg"))))),
+          x => x.getField("__seg")), " ").as("clean_text"))
+  }
+
   /** Word k-shingles of the normalized text (string form, for tests /
     * small inputs). The declarative generator chain here is interpreted
     * per element; the hot path uses [[shingleHashes]] instead.

@@ -159,6 +159,58 @@ object LlmQueries {
       |FROM p GROUP BY prefix HAVING COUNT(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
+  // -- corpus-frequency line scrub (C4 / RefinedWeb boilerplate removal) ------
+  /** The C4 rule "drop any LINE occurring in ≥3 distinct documents"
+    * ([[graft.ops.Dedup.scrubCommonSegments]]). The synthetic corpus
+    * has no newlines, so the "line" here is a fixed 8-token window
+    * (the operator takes any segments array — a real corpus passes
+    * `split(text, '\n')`), and — like the PII fixture — the query
+    * injects the boilerplate it exists to remove: an 8-token cookie
+    * banner on every doc_id % 5 == 0 and a 16-token (2-segment)
+    * licence footer on every doc_id % 3 == 0, prepended so segment
+    * boundaries stay aligned (both are multiples of the window).
+    * The oracle re-derives the whole pipeline independently and
+    * compares the REBUILT clean text, so removal and order-preserving
+    * reassembly are both value-checked.
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val bannerA = "please accept our cookie policy to continue browsing"
+    val bannerB = "copyright twenty twenty four all rights reserved unauthorized " +
+      "reproduction strictly prohibited terms of service privacy policy"
+    val fixt = docs(s, dir)
+      .withColumn("__text", concat_ws(" ",
+        when(col("doc_id") % 5 === 0, lit(bannerA)),
+        when(col("doc_id") % 3 === 0, lit(bannerB)),
+        col("text")))
+      .withColumn("__t", tokenize(col("__text")))
+      .withColumn("__segs", expr(
+        "transform(sequence(0, cast(ceil(size(__t) / 8.0) as int) - 1), " +
+          "i -> array_join(slice(__t, i * 8 + 1, 8), ' '))"))
+    Dedup.scrubCommonSegments(fixt, "doc_id", col("__segs"), minDocs = 3)
+      .select("doc_id", "n_segs", "n_removed", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  val dedupLinesSql: String =
+    """WITH fx AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    CASE WHEN doc_id % 5 = 0 THEN 'please accept our cookie policy to continue browsing' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'copyright twenty twenty four all rights reserved unauthorized reproduction strictly prohibited terms of service privacy policy' END,
+      |    text) AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM fx),
+      |sg AS (
+      |  SELECT doc_id, i, array_to_string(t[(i*8+1):((i+1)*8)], ' ') AS seg
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(0, CAST(CEIL(len(t)/8.0) AS BIGINT) - 1)) AS i)),
+      |freq AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS nd
+      |                          FROM sg GROUP BY seg) q WHERE nd >= 3),
+      |m AS (SELECT sg.doc_id, sg.i, sg.seg,
+      |        sg.seg IN (SELECT seg FROM freq) AS boiler FROM sg)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  COALESCE(string_agg(CASE WHEN NOT boiler THEN seg END, ' ' ORDER BY i), '') AS clean_text
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -- SimHash banding + hamming + exact-Jaccard verify ----------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
@@ -1212,6 +1264,7 @@ object LlmQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_prefix" -> (dedupPrefix _),
+    "dedup_lines" -> (dedupLines _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_quality_score" -> (textQuality _),
     "text_gopher_filters" -> (textGopherFilters _),
@@ -1251,6 +1304,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_prefix" -> dedupPrefixSql,
+    "dedup_lines" -> dedupLinesSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_apply" -> dedupApplySql,
