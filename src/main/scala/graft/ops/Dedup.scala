@@ -85,8 +85,9 @@ object Dedup {
     *
     * Output: one row per doc — segment counts, removed count, and the
     * document rebuilt WITHOUT its boilerplate segments, in original
-    * segment order (a fully-boilerplate doc rebuilds to the empty
-    * string, the signal to drop it upstream).
+    * segment order, re-joined with `sep` (a newline corpus passes
+    * "\n" to round-trip its own framing; a fully-boilerplate doc
+    * rebuilds to the empty string, the signal to drop it upstream).
     *
     * Scale shape (the reason this is a first-class op and not a
     * pairwise dedup): no comparison is ever pairwise. Three hash
@@ -101,7 +102,7 @@ object Dedup {
     * `array_sort` over (index, segment) structs, not a global sort.
     */
   def scrubCommonSegments(docs: DataFrame, id: String, segments: Column,
-      minDocs: Int = 3): DataFrame = {
+      minDocs: Int = 3, sep: String = " "): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val segs = docs.select(col(id), posexplode(segments).as(Seq("__i", "__seg")))
     val freq = segs.select(col(id), col("__seg")).distinct()
@@ -115,7 +116,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(when(!col("__boiler"),
             struct(col("__i"), col("__seg"))))),
-          x => x.getField("__seg")), " ").as("clean_text"))
+          x => x.getField("__seg")), sep).as("clean_text"))
   }
 
   /** Word k-shingles of the normalized text (string form, for tests /

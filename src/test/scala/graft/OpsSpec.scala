@@ -355,6 +355,30 @@ class OpsSpec extends SparkSpec {
     assert((after.numHashes, after.nBands, after.shingleK) == ((-1, -1, -1)))
   }
 
+  test("scrubCommonSegments on newline lines: boilerplate drops, order + framing kept") {
+    val corpus = Seq(
+      (1L, "accept cookies\nunique prose one\nall rights reserved"),
+      (2L, "accept cookies\nunique prose two\nall rights reserved"),
+      (3L, "accept cookies\nunique prose three\nall rights reserved"),
+      (4L, "only original writing here\nnothing shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubCommonSegments(corpus, "doc_id",
+      split(col("text"), "\n"), minDocs = 3, sep = "\n")
+      .orderBy("doc_id").collect()
+    // both banner lines occur in 3 docs -> removed; the prose line survives
+    assert(out(0).getAs[Long]("n_segs") == 3L && out(0).getAs[Long]("n_removed") == 2L)
+    assert(out(0).getAs[String]("clean_text") == "unique prose one")
+    // untouched doc round-trips its own newline framing exactly
+    assert(out(3).getAs[Long]("n_removed") == 0L)
+    assert(out(3).getAs[String]("clean_text") == "only original writing here\nnothing shared")
+    // a doc that is ONLY boilerplate rebuilds to the empty string
+    val gutted = Dedup.scrubCommonSegments(
+      Seq((1L, "accept cookies"), (2L, "accept cookies"), (3L, "accept cookies"))
+        .toDF("doc_id", "text"),
+      "doc_id", split(col("text"), "\n"), minDocs = 3)
+    assert(gutted.filter(col("clean_text") === "").count() == 3L)
+  }
+
   test("tokenFrequencyStats counts corpus-rare tokens per doc") {
     val out = TextOps.tokenFrequencyStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
