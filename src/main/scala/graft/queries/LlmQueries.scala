@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Buckets, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -565,18 +565,31 @@ object LlmQueries {
   /** Short-to-long CURRICULUM construction: decile-bucket the corpus by
     * token count (ntile over the deterministic total order
     * (n_tokens, doc_id)) and report each bucket's composition — the
-    * data loader feeds buckets in order. The exact-quantile window is
-    * one global sort (same cost class as any ORDER BY); at 100 TB the
-    * drop-in replacement is approxQuantile cutpoints broadcast as a
-    * per-row CASE — kept exact here so the oracle can prove the
-    * bucketing.
+    * data loader feeds buckets in order. Two modes, same buckets: the
+    * exact ntile window (one global sort — the literal spec) and the
+    * scale mode below, which replaces the sort with a histogram
+    * broadcast + boundary-group ranking and is held to the SAME oracle.
     */
-  def dataCurriculumBuckets(s: SparkSession, dir: String): DataFrame = {
-    val nTokens = size(tokenize(col("text")))
-    val w = Window.orderBy(col("n_tokens"), col("doc_id"))
-    docs(s, dir)
-      .withColumn("n_tokens", nTokens)
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+  def dataCurriculumBuckets(s: SparkSession, dir: String): DataFrame =
+    curriculumBuckets(s, dir, exact = true)
+
+  /** The 100 TB mode: [[graft.ops.Buckets.ntileByHistogram]] — same
+    * buckets (ties included), proven by sharing the exact mode's SQL
+    * oracle, with the global sort replaced by a histogram broadcast +
+    * boundary-group-only ranking.
+    */
+  def dataCurriculumCutpoints(s: SparkSession, dir: String): DataFrame =
+    curriculumBuckets(s, dir, exact = false)
+
+  private def curriculumBuckets(s: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
+    val base = docs(s, dir).withColumn("n_tokens", size(tokenize(col("text"))))
+    val bucketed =
+      if (exact) {
+        val w = Window.orderBy(col("n_tokens"), col("doc_id"))
+        base.withColumn("bucket", ntile(10).over(w).cast("long"))
+      } else Buckets.ntileByHistogram(base, "n_tokens", "doc_id", 10)
+    bucketed
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_tokens")).as("min_tokens"),
@@ -1279,6 +1292,7 @@ object LlmQueries {
     "data_sample_by_source" -> (dataSampleBySource _),
     "data_source_caps" -> (dataSourceCaps _),
     "data_curriculum_buckets" -> (dataCurriculumBuckets _),
+    "data_curriculum_cutpoints" -> (dataCurriculumCutpoints _),
     "embedding_label_coherence" -> (embeddingLabelCoherence _),
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
@@ -1324,6 +1338,9 @@ object LlmQueries {
     "data_sample_by_source" -> dataSampleBySourceSql,
     "data_source_caps" -> dataSourceCapsSql,
     "data_curriculum_buckets" -> dataCurriculumBucketsSql,
+    // the cutpoint mode must produce BIT-IDENTICAL buckets — it shares
+    // the exact mode's ntile oracle, so the driver proves equivalence
+    "data_curriculum_cutpoints" -> dataCurriculumBucketsSql,
     "embedding_label_coherence" -> embeddingLabelCoherenceSql,
     "embedding_kmeans" -> embeddingKmeansSql,
     "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
