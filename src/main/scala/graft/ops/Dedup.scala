@@ -119,6 +119,88 @@ object Dedup {
           x => x.getField("__seg")), sep).as("clean_text"))
   }
 
+  /** Repeated-SPAN scrub — the suffix-array pass of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022),
+    * re-expressed without suffix arrays OR pairwise work: remove every
+    * maximal token span in which EVERY k-shingle occurs in >= minDocs
+    * documents. [[scrubCommonSegments]] only catches ALIGNED whole
+    * segments; this catches a quoted paragraph embedded mid-document
+    * at any offset. Plan shape, all linear: (1) positional k-shingle
+    * hashes (JVM flatMap, like [[shingleHashes]]); (2) corpus doc-
+    * frequency per shingle — one hash shuffle, map-side combined; (3)
+    * semi-join back (the heavy-tail shared set is far smaller than the
+    * corpus); (4) gaps-and-islands per doc over shared positions (the
+    * GTID-islands trick — per-doc window, never a global sort); (5)
+    * island spans cover [i, i+k-1] windows, so islands closer than k
+    * overlap: a second per-doc interval-merge window unions them; (6)
+    * rebuild via higher-order functions over the token array — no
+    * range join, no UDF. Never compares two documents.
+    */
+  def scrubRepeatedSpans(docs: DataFrame, id: String, text: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = docs.select(col(id), split(norm(col(text)), "\\s+").as("__t"))
+      .withColumn("__n", size(col("__t")))
+    val sh = shingleHashesPos(docs, id, text, k)
+    val freq = sh.select(col(id), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+    val shared = sh.join(freq.select("__h"), Seq("__h"), "left_semi")
+    val wPos = Window.partitionBy(col(id)).orderBy(col("__i"))
+    val spans0 = shared
+      .withColumn("__g", col("__i") - row_number().over(wPos))
+      .groupBy(col(id), col("__g"))
+      .agg(min(col("__i")).as("__s"), (max(col("__i")) + (k - 1)).as("__e"))
+    val wSpan = Window.partitionBy(col(id)).orderBy(col("__s"))
+    val prevMax = max(col("__e"))
+      .over(wSpan.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans0
+      .withColumn("__brk",
+        when(col("__s") > coalesce(prevMax, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__brk")).over(wSpan))
+      .groupBy(col(id), col("__grp"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+    val perDoc = merged.groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s") + 1).as("n_removed"),
+        collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+    toks.join(perDoc, Seq(id), "left_outer")
+      .select(col(id), col("__n").cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("__spans").isNull, array_join(col("__t"), " "))
+          .otherwise(expr(
+            """array_join(transform(filter(
+              |  transform(__t, (tok, i) -> named_struct('t', tok, 'i', i)),
+              |  x -> NOT exists(__spans, sp -> x.i >= sp.__s AND x.i <= sp.__e)),
+              |  x -> x.t), ' ')""".stripMargin))
+          .as("clean_text"))
+  }
+
+  /** (doc, 0-based position, shingleHash) rows — the positional
+    * sibling of [[shingleHashes]] for span-level dedup, same JVM-loop
+    * rationale. NOT distinct: every occurrence keeps its position.
+    */
+  def shingleHashesPos(docs: DataFrame, id: String, text: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong)
+    docs.filter(col(id).isNotNull && col(text).isNotNull)
+      .select(col(id).cast("long"), lower(trim(col(text))))
+      .as[(Long, String)]
+      .flatMap { case (docId, t) =>
+        val toks = t.split("\\s+")
+        if (toks.length < k) Iterator.empty
+        else (0 to toks.length - k).iterator.map { i =>
+          (docId, i, fnv64(toks.slice(i, i + k).mkString(" ")))
+        }
+      }
+      .toDF(id, "__i", "__h")
+  }
+
   /** Word k-shingles of the normalized text (string form, for tests /
     * small inputs). The declarative generator chain here is interpreted
     * per element; the hot path uses [[shingleHashes]] instead.

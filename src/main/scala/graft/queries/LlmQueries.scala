@@ -123,6 +123,63 @@ object LlmQueries {
       |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.6 AS drop_doc
       |FROM cov ORDER BY doc_id""".stripMargin
 
+  // -- repeated-span (substring-level) dedup ----------------------------------
+  /** Substring-LEVEL dedup: drop maximal token spans whose every
+    * 5-shingle appears in >= 2 documents — the suffix-array scrub of
+    * Lee et al. 2022, which catches a boilerplate paragraph pasted
+    * mid-document at ANY offset (dedup_lines only sees aligned whole
+    * segments). See [[graft.ops.Dedup.scrubRepeatedSpans]]; the engine
+    * travels on positional FNV64 shingle hashes, the oracle rebuilds
+    * string shingles — equality proves the hashed run collision-free.
+    */
+  def dedupSubstrings(s: SparkSession, dir: String): DataFrame =
+    Dedup.scrubRepeatedSpans(docs(s, dir), "doc_id", "text", k = 5, minDocs = 2)
+      .orderBy("doc_id")
+
+  val dedupSubstringsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS sh
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+      |  WHERE len(t) >= 5),
+      |shared AS (
+      |  SELECT p.doc_id, p.i FROM pos p
+      |  JOIN (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS nd
+      |        FROM pos GROUP BY sh) WHERE nd >= 2) f USING (sh)),
+      |isl AS (SELECT doc_id, i,
+      |  i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |  FROM shared),
+      |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 4 AS e FROM isl
+      |       GROUP BY doc_id, g),
+      |mk AS (SELECT doc_id, s, e,
+      |  CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |  THEN 1 ELSE 0 END AS brk FROM sp),
+      |mg AS (SELECT doc_id, s, e,
+      |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mk),
+      |merged AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM mg
+      |           GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |        CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+      |        FROM merged GROUP BY doc_id),
+      |tok1 AS (SELECT doc_id, i, t[i] AS tok FROM toks,
+      |         LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+      |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS i FROM merged),
+      |kept AS (
+      |  SELECT tok1.doc_id, string_agg(tok1.tok, ' ' ORDER BY tok1.i) AS ct
+      |  FROM tok1 LEFT JOIN cov ON cov.doc_id = tok1.doc_id AND cov.i = tok1.i
+      |  WHERE cov.i IS NULL GROUP BY tok1.doc_id)
+      |SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  COALESCE(agg.n_spans, 0) AS n_spans,
+      |  COALESCE(agg.n_removed, 0) AS n_removed,
+      |  COALESCE(kept.ct, '') AS clean_text
+      |FROM toks
+      |LEFT JOIN agg USING (doc_id)
+      |LEFT JOIN kept ON kept.doc_id = toks.doc_id
+      |ORDER BY toks.doc_id""".stripMargin
+
   // -- leading-boilerplate prefix dedup ---------------------------------------
   /** Shared-PREFIX collapse: pages that open with the same first K
     * tokens (navbars, cookie banners, licence headers) are dup
@@ -1277,6 +1334,7 @@ object LlmQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_prefix" -> (dedupPrefix _),
+    "dedup_substrings" -> (dedupSubstrings _),
     "dedup_lines" -> (dedupLines _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_quality_score" -> (textQuality _),
@@ -1318,6 +1376,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_prefix" -> dedupPrefixSql,
+    "dedup_substrings" -> dedupSubstringsSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
