@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen'd cosine similarity over two `array<float>` columns.
@@ -168,6 +168,85 @@ object LshBuckets {
   }
 }
 
+/** Cosine between a float query vector and a PER-VECTOR-AFFINE int8
+  * QUANTIZED corpus vector, dequantized on the fly: codes are stored
+  * int8 (offset by -128, so the 0..255 affine level of element i is
+  * `codes[i] + 128` and its value is `(codes[i] + 128) * scale + lo`)
+  * — genuinely 1 byte per dimension in Tungsten's packed array. The scoring loop of the
+  * IVF-SQ index probe ([[graft.ops.Similarity.ivfPqTopK]]) — the codes
+  * array is what the inverted cells store (4× smaller than float32),
+  * so the hot path never materializes a dequantized array: one codegen
+  * pass computes dot and both norms, like [[CosineSimilarity]].
+  *
+  * Numerics are the declarative double formulation exactly (sequential
+  * accumulation from index 0; `code * scale + lo` per element in
+  * doubles; `dot / (sqrt(na) * sqrt(nb))`), so a DuckDB
+  * `list_dot_product` over `list_transform(codes, q -> q*scale+lo)`
+  * reproduces it bit-for-bit — the oracle relies on that.
+  */
+case class QuantizedCosine(query: Expression, codes: Expression,
+    lo: Expression, scale: Expression) extends QuaternaryExpression {
+
+  override def first: Expression = query
+  override def second: Expression = codes
+  override def third: Expression = lo
+  override def fourth: Expression = scale
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (query.dataType, codes.dataType, lo.dataType, scale.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ByteType, _), DoubleType, DoubleType) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<tinyint>, double, double), got " +
+        s"(${query.dataType.simpleString}, ${codes.dataType.simpleString}, " +
+        s"${lo.dataType.simpleString}, ${scale.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_q"
+
+  override protected def nullSafeEval(q: Any, c: Any, l: Any, s: Any): Any = {
+    val x = q.asInstanceOf[ArrayData]
+    val y = c.asInstanceOf[ArrayData]
+    val loV = l.asInstanceOf[Double]
+    val scV = s.asInstanceOf[Double]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = (y.getByte(i) + 128) * scV + loV
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, l, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($q.numElements(), $c.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $q.getFloat($i);
+         |  double y = ($c.getByte($i) + 128) * $s + $l;
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, sec: Expression,
+      t: Expression, fo: Expression): QuantizedCosine =
+    copy(query = f, codes = sec, lo = t, scale = fo)
+}
+
 /** Function registration: both an idempotent in-session helper and a
   * `SparkSessionExtensions` hook
   * (`spark.sql.extensions=graft.functions.GraftExtensions`).
@@ -191,6 +270,12 @@ object GraftFunctions {
     LshBuckets(exprs(0), intArg(exprs(1), "nTables"), intArg(exprs(2), "nPlanes"))
   }
 
+  val cosineQBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 4,
+      s"graft_cosine_q requires (query, codes, lo, scale), got ${exprs.length} args")
+    QuantizedCosine(exprs(0), exprs(1), exprs(2), exprs(3))
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering per query spams "replaced a previously
     // registered function" warnings into the bench/verify output
@@ -199,6 +284,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_cosine", cosineBuilder, "built-in")
     if (!reg.functionExists(FunctionIdentifier("graft_lsh_buckets")))
       reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBucketsBuilder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_cosine_q")))
+      reg.createOrReplaceTempFunction("graft_cosine_q", cosineQBuilder, "built-in")
   }
 }
 
@@ -212,5 +299,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       GraftFunctions.lshBucketsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_q"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName, "graft_cosine_q"),
+      GraftFunctions.cosineQBuilder))
   }
 }

@@ -148,6 +148,88 @@ object Similarity {
         col("c_id").as("neighbor_id"), col("cos_sim"))
   }
 
+  /** IVF with SCALAR-QUANTIZED cells (faiss's IVF-SQ8 shape): the
+    * inverted file stores per-vector-affine int8 codes — 4× smaller
+    * than float32, the index that still fits in executor memory when
+    * the float corpus doesn't. Probe order: (1) coarse-quantize the
+    * query to its `nProbe` nearest cells (same bounded centroid
+    * broadcast as [[ivfTopK]]); (2) score every cell member QUANTIZED
+    * — `graft_cosine_q` dequantizes inside one codegen loop, the float
+    * corpus vector is never touched; (3) keep the top `rerank`
+    * candidates per query; (4) re-score ONLY those against the exact
+    * float vectors (an id join back to the raw store — at scale, the
+    * k×rerank row fetch a serving tier does) and emit the exact top-k.
+    * `rerank >= k` absorbs quantized-ordering jitter: a true neighbor
+    * may rank below an impostor by quantized score, but never below
+    * `rerank` when the quantization error is small against the
+    * neighbor-score gaps (the audit column `recon_err` =
+    * |exact − quantized| cosine is the per-row evidence).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, nProbe: Int, k: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = broadcast(
+      corpus.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+        .orderBy(xxhash64(col("cell")), col("cell")).limit(nCells))
+    // per-vector affine int8: the SAME scheme as embedding_quantize_int8
+    // (lo/scale doubles, levels 0..255), stored offset -128 as tinyint
+    val quantized = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+      .withColumn("lo", expr("array_min(transform(c_v, x -> cast(x as double)))"))
+      .withColumn("hi", expr("array_max(transform(c_v, x -> cast(x as double)))"))
+      .withColumn("scale", (col("hi") - col("lo")) / lit(255.0d))
+      .withColumn("codes", expr("CASE WHEN hi = lo " +
+        "THEN transform(c_v, x -> CAST(-128 AS TINYINT)) " +
+        "ELSE transform(c_v, x -> CAST(cast(round((cast(x as double) - lo) " +
+        "/ scale) as bigint) - 128 AS TINYINT)) END"))
+      .drop("hi")
+    // cell assignment at build time uses the full-precision vector
+    // (faiss does the same); the float vector is then DROPPED — cells
+    // carry only (cell, c_id, codes, lo, scale)
+    val cells = quantized
+      .crossJoin(cents)
+      .withColumn("cent_sim",
+        call_function("graft_cosine", col("c_v"), col("centroid")))
+      .groupBy("c_id")
+      .agg(
+        max_by(col("cell"), struct(col("cent_sim"), negate(col("cell")))).as("cell"),
+        first(col("codes")).as("codes"),
+        first(col("lo")).as("lo"),
+        first(col("scale")).as("scale"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+      .crossJoin(cents)
+      .withColumn("cent_sim",
+        call_function("graft_cosine", col("q_v"), col("centroid")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nProbe)
+      .drop("centroid", "cent_sim", "crank")
+    val wApprox = Window.partitionBy("q_id")
+      .orderBy(col("q_cos").desc, col("c_id"))
+    val candidates = probes.join(cells, "cell")
+      .withColumn("q_cos", call_function("graft_cosine_q",
+        col("q_v"), col("codes"), col("lo"), col("scale")))
+      .withColumn("qrank", row_number().over(wApprox))
+      .filter(col("qrank") <= rerank)
+      .select("q_id", "q_v", "c_id", "q_cos")
+    val wExact = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    candidates
+      .join(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_exact")), "c_id")
+      .withColumn("cos_sim",
+        call_function("graft_cosine", col("q_v"), col("c_exact")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("rank"),
+        col("c_id").as("neighbor_id"), col("cos_sim"),
+        col("q_cos").as("q_cos_sim"),
+        abs(col("cos_sim") - col("q_cos")).as("recon_err"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table LSH buckets the
     * vectors, pairs form only within a shared (table, bucket) — never
     * O(n²) — and survive iff cosine ≥ threshold. Returns the verified

@@ -1132,6 +1132,64 @@ object LlmQueries {
 
   val annIvfSql: String = annBruteforceSql
 
+  // -- IVF with scalar-quantized (int8) cells ---------------------------------
+  /** The serving-memory regime: inverted cells store int8 codes (4×
+    * smaller), candidates score quantized via the codegen'd
+    * `graft_cosine_q`, and only the top `rerank` per query touch float
+    * vectors again. Same exhaustive nProbe=nCells coverage as
+    * [[annIvf]], so the rescored top-5 must EQUAL exact brute force —
+    * plus per-row quantization evidence (`q_cos_sim`, `recon_err`) the
+    * oracle recomputes independently from the SQL-side quantizer.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfPqTopK(
+        e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nCells = 16, nProbe = 16, k = 5, rerank = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT q.query_id, c.neighbor_id,
+      |    list_dot_product(q.qv, c.cv) /
+      |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos_sim
+      |  FROM q CROSS JOIN c),
+      |topk AS (
+      |  SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      |    FROM scored)
+      |  WHERE rnk <= 5),
+      |ex AS (
+      |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      |  WHERE vec_id >= 10),
+      |sc AS (SELECT vec_id, MIN(x) AS lo, MAX(x) AS hi,
+      |       (MAX(x) - MIN(x)) / 255.0 AS scale FROM ex GROUP BY 1),
+      |dq AS (
+      |  SELECT ex.vec_id,
+      |    array_agg(CASE WHEN sc.hi = sc.lo THEN sc.lo
+      |      ELSE CAST(ROUND((ex.x - sc.lo) / sc.scale) AS BIGINT) * sc.scale + sc.lo
+      |      END ORDER BY ex.i) AS dv
+      |  FROM ex JOIN sc USING (vec_id) GROUP BY ex.vec_id),
+      |qc AS (
+      |  SELECT t.query_id, t.neighbor_id,
+      |    list_dot_product(q.qv, dq.dv) /
+      |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(dq.dv, dq.dv))) AS q_cos_sim
+      |  FROM topk t
+      |  JOIN q ON q.query_id = t.query_id
+      |  JOIN dq ON dq.vec_id = t.neighbor_id)
+      |SELECT t.query_id, t.rank, t.neighbor_id, t.cos_sim, qc.q_cos_sim,
+      |  ABS(t.cos_sim - qc.q_cos_sim) AS recon_err
+      |FROM topk t
+      |JOIN qc ON qc.query_id = t.query_id AND qc.neighbor_id = t.neighbor_id
+      |ORDER BY t.query_id, t.rank""".stripMargin
+
   // -- k-NN join within labels ------------------------------------------------
   def knnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinWithinGroups(embs(s, dir), "vec_id", "embedding", "label", k = 3)
@@ -1362,6 +1420,7 @@ object LlmQueries {
     "ann_bruteforce_cosine" -> (annBruteforce _),
     "ann_lsh_cosine" -> (annLsh _),
     "ann_ivf_cosine" -> (annIvf _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
@@ -1411,6 +1470,7 @@ object LlmQueries {
     "ann_bruteforce_cosine" -> annBruteforceSql,
     "ann_lsh_cosine" -> annLshSql,
     "ann_ivf_cosine" -> annIvfSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "embedding_knn_join" -> knnJoinSql,
     "multimodal_pipeline" -> multimodalSql)
 }

@@ -42,6 +42,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row corpus-total broadcast normalizes per-source weights",
     "ann_ivf_cosine" ->
       "broadcast-small centroid set (√n rows) crossed for probe assignment — the IVF design",
+    "ann_ivf_pq" ->
+      "same bounded centroid broadcast-cross as ann_ivf_cosine; cell scoring and rescore are equi-joins",
     "embedding_kmeans" ->
       "k×dims centroid control frame broadcast-crossed for assignment (collapses map-side to one row per vector); the corpus never shuffles",
     "ann_bruteforce_cosine" ->
