@@ -1033,6 +1033,83 @@ object LlmQueries {
       |    * CAST(td AS DOUBLE)) AS BIGINT) AS expected_per_epoch
       |FROM per, tot ORDER BY source""".stripMargin
 
+  // -- the composed training-mix plan -----------------------------------------
+  /** The artifact a training run actually consumes: per-source caps,
+    * τ=1/2 mix reweighting, and curriculum deciles composed into ONE
+    * per-(source, bucket) sampling plan — cell sizes, source share,
+    * per-epoch source quota, and the cell quota/rate the loader
+    * applies. Three data shuffles total, each already paid by the
+    * component ops: the per-source cap window, the cutpoint-bucket
+    * histogram ([[graft.ops.Buckets.ntileByHistogram]] — no global
+    * sort), and the (source, bucket) cell aggregation; everything
+    * after runs on the tiny cells frame (≤ sources × 10 rows).
+    * Quota arithmetic: fixed-point weights and integer `div` for the
+    * within-source allocation, so the oracle hash-matches exactly.
+    */
+  def dataMixPlan(s: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val wCap = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = docs(s, dir)
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+      .withColumn("n_tokens", size(tokenize(col("text"))))
+    val cells = Buckets.ntileByHistogram(kept, "n_tokens", "doc_id", 10)
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("cell_docs"),
+        sum(col("n_tokens").cast("long")).as("cell_tokens"))
+    val bySource = cells.groupBy("source")
+      .agg(sum(col("cell_docs")).as("src_docs"))
+      .withColumn("weight_fixed",
+        floor(sqrt(col("src_docs").cast("double")) * 1e6).cast("long"))
+    val tot = bySource.agg(sum(col("weight_fixed")).as("__tw"),
+      sum(col("src_docs")).as("__td"))
+    cells.join(bySource, "source")
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("share",
+        col("weight_fixed").cast("double") / col("__tw").cast("double"))
+      .withColumn("src_quota",
+        floor(col("share") * col("__td").cast("double")).cast("long"))
+      .withColumn("cell_quota", expr("(src_quota * cell_docs) div src_docs"))
+      .withColumn("sample_rate",
+        col("cell_quota").cast("double") / col("cell_docs").cast("double"))
+      .select("source", "bucket", "cell_docs", "cell_tokens", "share",
+        "src_quota", "cell_quota", "sample_rate")
+      .orderBy("source", "bucket")
+  }
+
+  val dataMixPlanSql: String =
+    """WITH kept AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id) AS rn FROM documents)
+      |  WHERE rn <= 15),
+      |b AS (SELECT doc_id, source, n_tokens,
+      |  CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+      |  FROM kept),
+      |cells AS (SELECT source, bucket, COUNT(*) AS cell_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS cell_tokens FROM b GROUP BY 1, 2),
+      |bysrc AS (SELECT source, CAST(SUM(cell_docs) AS BIGINT) AS src_docs,
+      |  CAST(FLOOR(SQRT(CAST(SUM(cell_docs) AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |    AS weight_fixed
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(weight_fixed) AS BIGINT) AS tw,
+      |               CAST(SUM(src_docs) AS BIGINT) AS td FROM bysrc),
+      |alloc AS (SELECT s.source, s.src_docs,
+      |  CAST(s.weight_fixed AS DOUBLE) / CAST(t.tw AS DOUBLE) AS share,
+      |  CAST(FLOOR(CAST(s.weight_fixed AS DOUBLE) / CAST(t.tw AS DOUBLE)
+      |    * CAST(t.td AS DOUBLE)) AS BIGINT) AS src_quota
+      |  FROM bysrc s, tot t)
+      |SELECT c.source, c.bucket, c.cell_docs, c.cell_tokens, a.share,
+      |  a.src_quota,
+      |  CAST((a.src_quota * c.cell_docs) // a.src_docs AS BIGINT) AS cell_quota,
+      |  CAST((a.src_quota * c.cell_docs) // a.src_docs AS DOUBLE)
+      |    / CAST(c.cell_docs AS DOUBLE) AS sample_rate
+      |FROM cells c JOIN alloc a USING (source)
+      |ORDER BY c.source, c.bucket""".stripMargin
+
   // -- corpus-frequency rare-token stats (CCNet-style quality proxy) --------
   /** Per-doc rare-token statistics against the corpus vocabulary: the
     * quality signal a perplexity filter computes, kept integer-exact
@@ -1413,6 +1490,7 @@ object LlmQueries {
     "embedding_kmeans" -> (embeddingKmeans _),
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "data_mix_weights" -> (dataMixWeights _),
+    "data_mix_plan" -> (dataMixPlan _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
     "text_repetition" -> (textRepetition _),
@@ -1463,6 +1541,7 @@ object LlmQueries {
     "embedding_kmeans" -> embeddingKmeansSql,
     "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
     "data_mix_weights" -> dataMixWeightsSql,
+    "data_mix_plan" -> dataMixPlanSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     "data_contamination_ngram" -> dataContaminationNgramSql,
     "text_repetition" -> textRepetitionSql,

@@ -40,6 +40,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row (min,max) span crossed with a ~row-per-week scaffold to derive bucket keys; the range join itself is the hash equi-join asserted below",
     "data_mix_weights" ->
       "1-row corpus-total broadcast normalizes per-source weights",
+    "data_mix_plan" ->
+      "same 1-row totals broadcast; all other joins are equi-joins on source/bucket",
     "ann_ivf_cosine" ->
       "broadcast-small centroid set (√n rows) crossed for probe assignment — the IVF design",
     "ann_ivf_pq" ->
