@@ -1758,7 +1758,161 @@ object CdcQueries {
       |  conflict AS is_dlq
       |FROM cls ORDER BY user_id""".stripMargin
 
+  // -- 33: the FLAGSHIP end-to-end pipeline in one planned query -----------
+  /** The full reference deployment as ONE Catalyst plan: changefeed
+    * ndjson round-trip (DSv2 source) → consistent-mode conveyor
+    * acceptance (checkpoint bootstrapped from the first-20-day proposal
+    * log, identity reduce on the unique mutation id) → userscript with
+    * `lookup` against the already-applied first-10-day target state,
+    * `deletesTo` tombstone routing, and dispatch → per-route three-way
+    * mergeOrDlq (before = the looked-up target image) → last-one-wins
+    * apply per route. Every stage is an existing oracle-proven
+    * component (cdc_changefeed_files, cdc_conveyor_modes,
+    * cdc_userscript_lookup, cdc_userscript_deletes_to, cdc_merge_dlq);
+    * this entry proves they COMPOSE into one lazy plan with no
+    * materialization barrier between stages. One summary row per
+    * route: admitted rows, dead letters, final keys, final cents,
+    * frontier reached.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val envelope = events(s, dir).select(
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(to_json(struct(col("event_id"), col("user_id"),
+          col("event_type"), col("value")))).as("after"),
+      to_json(array(col("user_id"), col("event_id"))).as("key"),
+      concat((unix_micros(col("ts").cast("timestamp")) * 1000).cast("string"),
+        lit(".0000000000")).as("updated"))
+    val outDir = fixture(dir, "pipeline_e2e")(p =>
+      envelope.write.mode("overwrite").json(p))
+    val dataSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val keyArr = from_json(col("key"), ArrayType(LongType))
+    val parsed = Changefeed.read(s, outDir)
+      .select(keyArr.getItem(0).as("user_id"), keyArr.getItem(1).as("event_id"),
+        from_json(col("data"), dataSchema).as("d"),
+        col("hlc.nanos").as("nanos"), col("is_delete"))
+      .select(col("user_id"), col("event_id"), col("nanos"), col("is_delete"),
+        col("d.event_type").as("event_type"), cents(col("d.value")).as("cents"),
+        pmod(col("user_id"), lit(4L)).as("part"))
+    val ordE = struct(col("nanos"), col("event_id"))
+    // era cuts: days 0-10 are the ALREADY-APPLIED target; later
+    // mutations are the in-flight feed whose first 20 days back the
+    // conveyor checkpoint
+    val cuts = parsed.agg(min(col("nanos")).as("__min"))
+      .select((col("__min") + lit(10L * 86400L * 1000000000L)).as("__cut1"),
+        (col("__min") + lit(20L * 86400L * 1000000000L)).as("__cut2"))
+    val wc = parsed.crossJoin(broadcast(cuts))
+    val target = Msort.latestByKey(
+        wc.filter(col("nanos") <= col("__cut1")), Seq("user_id"), ordE)
+      .filter(!col("is_delete"))
+      .select(col("user_id"), col("cents"))
+    val batch = wc.filter(col("nanos") > col("__cut1"))
+    val proposals = batch.filter(col("nanos") <= col("__cut2"))
+    val conveyor = new Conveyor.Conveyors(Conveyor.Config())
+      .get("pipeline_e2e", proposals, col("part"), col("nanos"),
+        col("event_id"), nowUs = 0L)
+    val accepted = conveyor
+      .accept(batch.drop("__cut1", "__cut2"), Seq("user_id", "event_id"),
+        ordE, col("nanos"))
+      .drop("speculative", "part")
+    val script = graft.script.UserScript.compile(
+      """{"stages": [
+        |   {"op": "map", "cols": {
+        |      "__op": "case when is_delete then 'd' else 'u' end"}},
+        |   {"op": "lookup", "table": "target",
+        |    "on": {"user_id": "user_id"},
+        |    "select": {"target_cents": "cents"}}],
+        | "deletesTo": "tombstones",
+        | "dispatch": {
+        |   "routes": [{"name": "billing", "when": "event_type = 'purchase'"}],
+        |   "default": "telemetry"}}""".stripMargin,
+      sides = Map("target" -> target))
+    val routed = script.dispatch(accepted)
+    def summarize(route: String, inDf: DataFrame, dlq: Option[DataFrame],
+        state: DataFrame): DataFrame =
+      inDf.agg(count(lit(1)).as("n_in"))
+        .crossJoin(dlq.map(_.agg(count(lit(1)).as("n_dlq")))
+          .getOrElse(inDf.sparkSession.sql("SELECT CAST(0 AS BIGINT) AS n_dlq")))
+        .crossJoin(state.agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(col("cents")), lit(0L)).as("cents_final"),
+          max(col("nanos")).as("max_nanos")))
+        .select(lit(route).as("route"), col("n_in"), col("n_dlq"),
+          col("n_keys"), col("cents_final"), col("max_nanos"))
+    routed.toSeq.map { case (route, df) =>
+      if (route == "tombstones")
+        summarize(route, df, None,
+          Msort.latestByKey(df, Seq("user_id"), ordE)
+            .withColumn("cents", lit(null).cast("long")))
+      else {
+        val p = graft.Pipeline(df, keys = Seq("user_id"), order = ordE)
+          .mergeOrDlq(col("target_cents"), col("cents"))
+        summarize(route, df, p.deadLetters, p.latestByKey().state)
+      }
+    }.reduce(_ unionByName _).orderBy("route")
+  }
+
+  val pipelineE2eSql: String =
+    """WITH m AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+      |    CASE WHEN event_type = 'error' THEN NULL
+      |         ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS cents,
+      |    epoch_us(ts) * 1000 AS nanos,
+      |    event_type = 'error' AS is_delete,
+      |    user_id % 4 AS part
+      |  FROM events),
+      |c AS (SELECT MIN(nanos) + 864000000000000 AS cut1,
+      |             MIN(nanos) + 1728000000000000 AS cut2 FROM m),
+      |init AS (SELECT m.* FROM m, c WHERE nanos <= cut1),
+      |tgt AS (SELECT user_id, cents FROM (
+      |    SELECT user_id, cents, is_delete, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM init) WHERE rn = 1 AND NOT is_delete),
+      |batch AS (SELECT m.* FROM m, c WHERE nanos > cut1),
+      |f AS (SELECT part, MAX(nanos) AS fr FROM batch, c
+      |      WHERE nanos <= cut2 GROUP BY part),
+      |r AS (SELECT MIN(fr) AS resolved FROM f),
+      |acc AS (SELECT b.* FROM batch b, r WHERE b.nanos <= r.resolved),
+      |s AS (SELECT a.*, CASE WHEN is_delete THEN 'd' ELSE 'u' END AS op,
+      |    t.cents AS target_cents
+      |  FROM acc a LEFT JOIN tgt t USING (user_id)),
+      |rt AS (SELECT s.*, CASE WHEN op = 'd' THEN 'tombstones'
+      |    WHEN event_type = 'purchase' THEN 'billing'
+      |    ELSE 'telemetry' END AS route FROM s),
+      |ups AS (SELECT rt.*, lag(cents) OVER (
+      |    PARTITION BY route, user_id ORDER BY nanos, event_id) AS target_value
+      |  FROM rt WHERE route <> 'tombstones'),
+      |st AS (SELECT *, CASE
+      |    WHEN target_value IS NULL OR target_value = target_cents THEN 'clean'
+      |    WHEN target_value = cents THEN 'idempotent'
+      |    ELSE 'conflict' END AS status FROM ups),
+      |dl AS (SELECT route, COUNT(*) AS n_dlq FROM st
+      |       WHERE status = 'conflict' GROUP BY route),
+      |fin AS (SELECT route, user_id, cents, nanos FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY route, user_id
+      |      ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM st WHERE status <> 'conflict') WHERE rn = 1),
+      |tf AS (SELECT user_id, nanos FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY nanos DESC, event_id DESC) AS rn
+      |    FROM rt WHERE route = 'tombstones') WHERE rn = 1),
+      |ni AS (SELECT route, COUNT(*) AS n_in FROM rt GROUP BY route),
+      |fs AS (SELECT route, COUNT(*) AS n_keys,
+      |    CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_final,
+      |    MAX(nanos) AS max_nanos FROM fin GROUP BY route
+      |  UNION ALL
+      |  SELECT 'tombstones', COUNT(*), CAST(0 AS BIGINT), MAX(nanos) FROM tf)
+      |SELECT ni.route, ni.n_in, COALESCE(dl.n_dlq, 0) AS n_dlq,
+      |  fs.n_keys, fs.cents_final, fs.max_nanos
+      |FROM ni
+      |LEFT JOIN dl USING (route)
+      |JOIN fs USING (route)
+      |ORDER BY ni.route""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_pipeline_e2e" -> (pipelineE2e _),
     "cdc_incremental_apply" -> (incrementalApply _),
     "cdc_asof_join" -> (asofJoin _),
     "cdc_latest_by_key" -> (latestByKey _),
@@ -1839,6 +1993,7 @@ object CdcQueries {
     "cdc_schema_drift" -> schemaDriftSql,
     "cdc_merge_dlq" -> mergeDlqSql,
     "cdc_dlq_replay" -> dlqReplaySql,
+    "cdc_pipeline_e2e" -> pipelineE2eSql,
     "cdc_checkpoint_frontier" -> checkpointFrontierSql,
     "cdc_userscript_dsl" -> userscriptDslSql,
     "cdc_merge_wire_before" -> mergeWireBeforeSql,

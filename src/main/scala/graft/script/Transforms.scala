@@ -199,7 +199,11 @@ object Transforms {
         // reduce — an empty route list must not throw)
         val noneMatched = routes.map(_._2)
           .foldLeft(lit(true))((acc, p) => acc && !coalesce(p, lit(false)))
-        routed + (name -> df.filter(noneMatched))
+        val dflt = df.filter(noneMatched)
+        // a default named like an explicit route must UNION with it —
+        // plain Map + would overwrite and silently drop the routed rows
+        routed + (name -> routed.get(name)
+          .map(_.unionByName(dflt)).getOrElse(dflt))
     }
   }
 }

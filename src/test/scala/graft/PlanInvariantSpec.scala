@@ -32,6 +32,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row frontier cuts; islands themselves join per (source, band) equi keys",
     "cdc_conveyor_modes" ->
       "1-row resolved/cut scalars plus the 1-row selected-mode frame",
+    "cdc_pipeline_e2e" ->
+      "1-row era cuts + the conveyor's 1-row resolved gate + 1-row per-route summary crosses; every data-bearing join is an equi-join",
     "cdc_objstore_resolved" ->
       "1-row max-RESOLVED marker broadcast brackets the file rows",
     "q15_top_supplier" ->

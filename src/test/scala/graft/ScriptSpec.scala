@@ -255,6 +255,22 @@ class ScriptSpec extends SparkSpec {
     assert(e2.getMessage.contains("already exist"))
   }
 
+  test("dispatch default named like an explicit route unions, not clobbers") {
+    // regression: Map + used to OVERWRITE the routed frame with the
+    // default's (often empty) remainder, silently dropping every row
+    // the explicit route matched
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "kind")
+    val routed = graft.script.Transforms.dispatch(df,
+      routes = Seq("t" -> (col("kind") === "a")), defaultRoute = Some("t"))
+    assert(routed.keySet === Set("t"))
+    assert(routed("t").count() === 3)
+    // and a disjoint default still receives only the remainder
+    val split = graft.script.Transforms.dispatch(df,
+      routes = Seq("t" -> (col("kind") === "a")), defaultRoute = Some("rest"))
+    assert(split("t").count() === 2 && split("rest").count() === 1)
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val direct = muts.groupBy("op")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
