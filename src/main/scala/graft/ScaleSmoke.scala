@@ -52,7 +52,7 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
-    if (!reps100 && !new java.io.File(s"$out/embeddings.parquet").exists()) {
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
       Tables.embeddings(spark, base).select(col("*"), repCol)
         .select((col("vec_id") * mult + col("__r")).as("vec_id"),
@@ -95,6 +95,20 @@ object ScaleSmoke {
         .filter(pmod(col("gno"), lit(997L)) =!= 0) // rollback holes
       graft.cdc.TxnLog.gtidFrontier(txns, "source", "gno")
     }
+    // shared by the 10× and 100× suites: the vector-index incremental
+    // probe (the same core StreamingVecDedup.ingest runs per batch) at
+    // dup-grade 0.8 with AUTO granularity — see the 10× rationale below
+    val embeddingIncr = (s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir)
+      val orig = if (dir == base) col("vec_id")
+                 else floor(col("vec_id") / lit(mult)).cast("long")
+      val ix = graft.ops.Similarity.buildEmbeddingIndex(
+        e.filter(pmod(orig, lit(4)) =!= 0), "vec_id", "embedding",
+        nPlanes = 0, nTables = 0, threshold = 0.8)
+      graft.ops.Similarity.incrementalVecDupPairs(
+        e.filter(pmod(orig, lit(4)) === 0), ix,
+        "vec_id", "embedding", threshold = 0.8)
+    }
     // Expected-exponent bound per op, from the r7 10× measurements:
     // LSH families tracked ≤ n^1.33 (band-bucket candidate cost), the
     // banded GTID islands and per-key CDC ops tracked ~linear. A 3×
@@ -106,7 +120,9 @@ object ScaleSmoke {
       if (reps100) Seq(
         ("dedup_minhash_lsh", 1.33, LlmQueries.dedupMinhashLsh _),
         ("dedup_incremental", 1.33, LlmQueries.dedupIncremental _),
-        ("gtid_islands_single_source", 1.0, gtidSingleSource))
+        ("gtid_islands_single_source", 1.0, gtidSingleSource),
+        ("dedup_embedding_incr@0.8", 1.33, embeddingIncr),
+        ("dedup_apply", 1.33, LlmQueries.dedupApply _))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),
@@ -121,24 +137,13 @@ object ScaleSmoke {
         // oracle query's pinned 4×64 @0.45 config is exactness-at-test-
         // scale, and at 0.45 the TRUE answer is quadratic in corpus
         // size (random-pair admissions — see the @0.8 rationale)
-        ("dedup_embedding_incr@0.8", 1.33, (s: SparkSession, dir: String) => {
-          val e = Tables.embeddings(s, dir)
-          // split on the ORIGINAL id (scaled ids are orig*mult+replica):
-          // the batch must be a quarter of EVERY replica, mirroring the
-          // base-scale quarter-corpus split. Splitting on the raw id
-          // would select whole replicas (vec_id % 4 == replica % 4),
-          // whose cross-replica cosines are ~0 by construction — the
-          // cross-scoring legs would run on a structurally empty
-          // workload and a quadratic there couldn't bend the ratio.
-          val orig = if (dir == base) col("vec_id")
-                     else floor(col("vec_id") / lit(mult)).cast("long")
-          val ix = graft.ops.Similarity.buildEmbeddingIndex(
-            e.filter(pmod(orig, lit(4)) =!= 0), "vec_id", "embedding",
-            nPlanes = 0, nTables = 0, threshold = 0.8)
-          graft.ops.Similarity.incrementalVecDupPairs(
-            e.filter(pmod(orig, lit(4)) === 0), ix,
-            "vec_id", "embedding", threshold = 0.8)
-        }),
+        // split on the ORIGINAL id (scaled ids are orig*mult+replica):
+        // the batch must be a quarter of EVERY replica, mirroring the
+        // base-scale quarter-corpus split — splitting on the raw id
+        // selects whole replicas whose cross-replica cosines are ~0 by
+        // construction, leaving the cross-scoring legs structurally
+        // empty (a quadratic there could not bend the ratio)
+        ("dedup_embedding_incr@0.8", 1.33, embeddingIncr),
         // explode(dims) + two key-partitioned shuffles — expect ~linear
         ("embedding_label_coherence", 1.0, LlmQueries.embeddingLabelCoherence _),
         // fixed k: assignment is corpus × broadcast-k (linear), update
@@ -147,6 +152,13 @@ object ScaleSmoke {
         // two hash aggs over (segment, doc) + a broadcastable
         // frequency join + per-doc regroup — expect ~linear
         ("dedup_lines", 1.0, LlmQueries.dedupLines _),
+        // positional shingle df + semi-join + per-doc islands — the
+        // replica suffix preserves intra-replica span structure, so
+        // output and work both scale linearly
+        ("dedup_substrings", 1.0, LlmQueries.dedupSubstrings _),
+        // histogram + broadcast + boundary-group ranks — the whole
+        // point is ~linear wall where exact ntile is a global sort
+        ("data_curriculum_cutpoints", 1.0, LlmQueries.dataCurriculumCutpoints _),
         // measured at DUP-GRADE threshold 0.8, not the query's exploratory
         // 0.45: at dim 64, cross-corpus cosine has σ = 1/√64 = 0.125, so a
         // 0.45 cutoff (3.6σ) admits ~1e-4 of the ~2e8 random cross-replica
