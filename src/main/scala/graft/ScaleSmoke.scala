@@ -159,6 +159,26 @@ object ScaleSmoke {
         // histogram + broadcast + boundary-group ranks — the whole
         // point is ~linear wall where exact ntile is a global sort
         ("data_curriculum_cutpoints", 1.0, LlmQueries.dataCurriculumCutpoints _),
+        // per-row regex canonicalization + one hash groupBy — ~linear
+        ("dedup_url", 1.0, LlmQueries.dedupUrl _),
+        // per-word codegen'd replace chain + one rollup — ~linear
+        ("text_bpe_apply", 1.0, LlmQueries.textBpeApply _),
+        // pure per-row hash + 16-group audit — ~linear
+        ("data_shard_assign", 1.0, LlmQueries.dataShardAssign _),
+        // CC over the @0.8 auto-granularity edge set (same regime
+        // rationale as the cosine rows below — at the query's
+        // exploratory 0.45 the TRUE pair set is quadratic)
+        ("dedup_embedding_apply@0.8", 1.33, (s: SparkSession, dir: String) => {
+          val e = Tables.embeddings(s, dir)
+          val edges = graft.ops.Similarity.embeddingNearDups(
+            e, "vec_id", "embedding", nPlanes = 0, nTables = 0,
+            threshold = 0.8).select("id_a", "id_b")
+          val cl = graft.ops.Dedup.dupClusters(e.select("vec_id"), "vec_id", edges)
+          e.join(cl.select("vec_id", "is_dup"), "vec_id")
+            .groupBy("label")
+            .agg(count(lit(1)).as("n_vecs"),
+              sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"))
+        }),
         // measured at DUP-GRADE threshold 0.8, not the query's exploratory
         // 0.45: at dim 64, cross-corpus cosine has σ = 1/√64 = 0.125, so a
         // 0.45 cutoff (3.6σ) admits ~1e-4 of the ~2e8 random cross-replica

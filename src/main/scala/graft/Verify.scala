@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev only): comma-separated query subset
+    val Array(sfDir, outDir) = args.take(2)
+    val selected =
+      if (args.length > 2) {
+        val keep = args(2).split(",").toSet
+        SparkEntry.queries.view.filterKeys(keep).toMap
+      } else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Logging.quietWindowExec()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

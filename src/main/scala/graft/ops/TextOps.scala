@@ -141,6 +141,28 @@ object TextOps {
           ipRe, "<IP>"))
   }
 
+  /** Canonicalize a URL for dedup keying — the common-crawl curation
+    * rule set: lowercase; drop the fragment; drop the scheme and a
+    * leading `www.`; strip trailing slashes from the host+path; drop
+    * tracking query parameters (`utm_*`, `ref=…`) and SORT the
+    * survivors so parameter order never splits a group. Pure
+    * codegen'd string expressions (regexp chains + one array
+    * filter/sort on the split query string) — zero shuffle; the
+    * dedup itself is then one hash groupBy on the canonical key.
+    * (`utm_%` uses LIKE's single-char `_` wildcard — it also matches
+    * `utmX…`, which is the intended prefix family.)
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(lower(url), "#.*$", "")
+    val noScheme = regexp_replace(regexp_replace(noFrag, "^https?://", ""),
+      "^www\\.", "")
+    val hostPath = regexp_replace(split_part(noScheme, lit("?"), lit(1)), "/+$", "")
+    val params = filter(split(split_part(noScheme, lit("?"), lit(2)), "&"),
+      p => !(p.like("utm_%") || p.like("ref=%") || (p === lit(""))))
+    val qs = array_join(array_sort(params), "&")
+    concat(hostPath, when(qs === "", "").otherwise(concat(lit("?"), qs)))
+  }
+
   /** Marker-word language heuristic: deterministic, order-sensitive
     * CASE over language-specific function words.
     */

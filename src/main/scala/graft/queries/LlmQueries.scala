@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Buckets, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Bpe, Buckets, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +31,79 @@ object LlmQueries {
       |SELECT f.doc_id, f.fp, g.group_size, g.canonical_id,
       |  f.doc_id <> g.canonical_id AS is_dup
       |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin
+
+  // -- URL-canonicalization dedup ---------------------------------------------
+  /** Common-crawl-style URL dedup: canonicalize each page's URL
+    * ([[graft.ops.TextOps.canonicalizeUrl]] — scheme/www/fragment/
+    * trailing-slash/tracking-param normalization with sorted surviving
+    * params) and collapse pages sharing the canonical key. The synthetic
+    * corpus has no URL column, so — like the PII op's injected PII — the
+    * query derives a deterministic dirty URL per document (scheme, www,
+    * trailing slash, utm/ref noise and a fragment all varying by doc id;
+    * the SIGNIFICANT parts are (source, doc_id%40, sometimes id=doc_id%7))
+    * and the oracle re-derives both the dirty URL and the
+    * canonicalization independently. One hash groupBy on the canonical
+    * key — never pairwise, zero-shuffle normalization.
+    */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val dirty = concat(
+      when(id % 3 === 0, "https://").otherwise("http://"),
+      when(id % 2 === 0, "www.").otherwise(""),
+      col("source"), lit(".example.com"),
+      lit("/p/"), (id % 40).cast("string"),
+      when(id % 6 === 0, "/").otherwise(""),
+      when(id % 4 === 1, "?utm_source=rss")
+        .when(id % 4 === 2, concat(lit("?id="), (id % 7).cast("string")))
+        .when(id % 4 === 3,
+          concat(lit("?utm_campaign=x&id="), (id % 7).cast("string"), lit("&ref=tw")))
+        .otherwise(""),
+      when(id % 5 === 0, "#top").otherwise(""))
+    val withUrl = docs(s, dir)
+      .withColumn("canonical_url", TextOps.canonicalizeUrl(dirty))
+    val groups = withUrl.groupBy("canonical_url")
+      .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical_id"))
+    withUrl.select("doc_id", "canonical_url")
+      .join(groups, "canonical_url")
+      .select(col("doc_id"), col("canonical_url"), col("group_size"),
+        col("canonical_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val dedupUrlSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |    source || '.example.com' || '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 1 THEN '?utm_source=rss'
+      |          WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+      |          WHEN doc_id % 4 = 3 THEN '?utm_campaign=x&id=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=tw'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+      |      '^https?://', ''), '^www\.', '') AS stripped
+      |  FROM u),
+      |p AS (
+      |  SELECT doc_id,
+      |    regexp_replace(split_part(stripped, '?', 1), '/+$', '') AS hostpath,
+      |    -- array_to_string([]) is NULL in DuckDB (Spark's array_join gives '')
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(split_part(stripped, '?', 2), '&'),
+      |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%' OR x = ''))), '&'), '') AS qs
+      |  FROM c),
+      |k AS (
+      |  SELECT doc_id,
+      |    hostpath || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+      |  FROM p),
+      |g AS (SELECT canonical_url, COUNT(*) AS group_size, MIN(doc_id) AS canonical_id
+      |      FROM k GROUP BY canonical_url)
+      |SELECT k.doc_id, k.canonical_url, g.group_size, g.canonical_id,
+      |  k.doc_id <> g.canonical_id AS is_dup
+      |FROM k JOIN g USING (canonical_url) ORDER BY doc_id""".stripMargin
 
   /** Shared oracle scaffolding: DuckDB rebuilds the 3-gram STRING
     * shingle sets (the engine compares FNV64 hash sets — equality
@@ -481,6 +554,65 @@ object LlmQueries {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -- learned-BPE subword tokenization ---------------------------------------
+  /** The 16 merges `graft.ops.Bpe.train` learns from the sf0.01 corpus
+    * (word-frequency table, deterministic count-desc/lexicographic
+    * tie-break — re-derivable by re-running the trainer; BpeSpec proves
+    * the trainer against a single-node reference implementation). The
+    * QUERY pins the table so the tokenizer is a fixed artifact applied
+    * to any corpus — exactly how a trained tokenizer ships.
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"))
+
+  /** Subword tokenization with the LEARNED merge table: every word
+    * becomes a delimiter-separated symbol string and each merge is one
+    * literal non-overlapping replace (= the greedy BPE scan; see
+    * [[graft.ops.Bpe]]), applied in training order — k merges = k
+    * nested codegen'd replaces, zero shuffle until the per-source
+    * rollup. Output: per-source word/subword counts and the
+    * tokens-per-word fertility the tokenizer team actually monitors.
+    */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(tokenize(col("text"))).as("word"))
+      .where(col("word") =!= "")
+      .withColumn("syms", Bpe.applyMerges(Bpe.toSymbols(col("word")), bpeMerges))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(Bpe.symbolCount(col("syms")).cast("long")).as("n_subwords"))
+      .withColumn("tokens_per_word",
+        col("n_subwords").cast("double") / col("n_words"))
+      .orderBy("source")
+
+  val textBpeApplySql: String = {
+    def q(s: String) = s.replace("'", "''")
+    // double-delimiter encoding (see graft.ops.Bpe): pattern consumes
+    // only the INNER half of each ␁␁ boundary so adjacent disjoint
+    // occurrences both match in one left-to-right replace pass
+    def pat(a: String, b: String): String =
+      s"chr(1) || '${q(a)}' || chr(1) || chr(1) || '${q(b)}' || chr(1)"
+    def rep(ab: String): String = s"chr(1) || '${q(ab)}' || chr(1)"
+    val base = "chr(1) || chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g')"
+    val chain = bpeMerges.foldLeft(base) { case (e, (a, b)) =>
+      s"replace($e, ${pat(a, b)}, ${rep(a + b)})"
+    }
+    s"""WITH toks AS (SELECT source, doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+      |w AS (SELECT source, doc_id, unnest(t) AS word FROM toks),
+      |m AS (SELECT source, doc_id, $chain AS s FROM w WHERE word <> ''),
+      |c AS (SELECT source, doc_id,
+      |        CAST((length(s) - length(replace(s, chr(1), ''))) // 2 - 1 AS BIGINT) AS n
+      |      FROM m)
+      |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_words,
+      |  CAST(SUM(n) AS BIGINT) AS n_subwords,
+      |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS tokens_per_word
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // -- deterministic stratified train/val/test split ---------------------------
   /** Split assignment must be a pure function of the row key — never
     * `sample()` — so reruns, retries, and different partitionings give
@@ -583,6 +715,50 @@ object LlmQueries {
       |        < (COALESCE(TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER), 0) % 4 + 1) * 25
       |      THEN n_chars END), 0) AS BIGINT) AS kept_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // -- deterministic output sharding (training-file layout) -------------------
+  /** Assign every document a deterministic output SHARD — the file
+    * layout a training run reads (shard count = data-loader worker
+    * count). The assignment is a pure Lehmer hash of the doc id
+    * (multiplier 48271, deliberately different from the sampling
+    * split's 16807 so shard and sample decisions are independent):
+    * zero-shuffle, rerun/retry/partition stable, computable wherever
+    * the row lands — at 100 TB the write is
+    * `df.write.partitionBy("shard")` with no repartition needed, and
+    * the ONE aggregation here is the balance audit (16 groups,
+    * map-side combined). `skew` = shard's doc share vs the ideal
+    * 1/nShards; the hash keeps it ~1.0 at any corpus size.
+    */
+  def dataShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 16
+    val shard = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L)) % nShards
+    val perShard = docs(s, dir)
+      .withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+    // the skew audit window runs over the 16-row AGGREGATE, not the corpus
+    val w = Window.partitionBy()
+    perShard
+      .withColumn("skew",
+        col("n_docs") * nShards / sum("n_docs").over(w).cast("double"))
+      .orderBy("shard")
+  }
+
+  val dataShardAssignSql: String =
+    """WITH a AS (
+      |  SELECT ((doc_id % 2147483647) * 48271) % 2147483647 % 16 AS shard,
+      |    n_chars, doc_id
+      |  FROM documents),
+      |g AS (SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+      |        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |      FROM a GROUP BY shard)
+      |SELECT shard, n_docs, n_chars, min_doc, max_doc,
+      |  n_docs * 16 / CAST(SUM(n_docs) OVER () AS DOUBLE) AS skew
+      |FROM g ORDER BY shard""".stripMargin
 
   // -- per-source document caps (domain caps) ---------------------------------
   /** Common-crawl-style DOMAIN CAP: no source may contribute more than
@@ -1375,6 +1551,47 @@ object LlmQueries {
       |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -- materialize the semantically-deduplicated embedding corpus -------------
+  /** The ship-it step for EMBEDDING dedup (vector sibling of
+    * `dedup_apply`): connected components over the verified near-dup
+    * pair graph (the same recall-guaranteed LSH edge set
+    * `dedup_embedding_cosine` proves exact), canonical = each
+    * cluster's min vec_id, and per-LABEL retention stats — the audit a
+    * semantic-dedup pass publishes before a training run consumes the
+    * survivors. Edge set is linear in true near-dups, CC is
+    * pointer-doubling (O(log d) rounds), the per-label rollup is one
+    * aggregation; nothing here is pairwise in the corpus.
+    */
+  def dedupEmbeddingApply(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val edges = Similarity.embeddingNearDups(e, "vec_id", "embedding",
+      nPlanes = 4, nTables = 64, threshold = 0.45).select("id_a", "id_b")
+    val cl = Dedup.dupClusters(e.select("vec_id"), "vec_id", edges)
+    e.join(cl.select("vec_id", "is_dup"), "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
+  val dedupEmbeddingApplySql: String =
+    """WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib
+      |  FROM ev a JOIN ev b ON b.vec_id > a.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+      |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+      |reach(id, lab) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+      |lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+      |SELECT m.label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM embeddings m JOIN lab l ON l.id = m.vec_id
+      |GROUP BY m.label ORDER BY m.label""".stripMargin
+
   // -- incremental embedding near-dup against a prebuilt vector index --------
   /** The nightly EMBEDDING dedup pass: new vectors (vec_id % 4 == 0)
     * probe an index built from the standing corpus — the corpus is
@@ -1469,6 +1686,7 @@ object LlmQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_prefix" -> (dedupPrefix _),
+    "dedup_url" -> (dedupUrl _),
     "dedup_substrings" -> (dedupSubstrings _),
     "dedup_lines" -> (dedupLines _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1478,11 +1696,13 @@ object LlmQueries {
     "data_chunk_overlap" -> (dataChunkOverlap _),
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
+    "text_bpe_apply" -> (textBpeApply _),
     "text_ngram_stats" -> (textNgramStats _),
     "text_rare_token_stats" -> (textRareTokens _),
     "data_split_stratified" -> (dataSplitStratified _),
     "data_decontamination" -> (dataDecontamination _),
     "data_sample_by_source" -> (dataSampleBySource _),
+    "data_shard_assign" -> (dataShardAssign _),
     "data_source_caps" -> (dataSourceCaps _),
     "data_curriculum_buckets" -> (dataCurriculumBuckets _),
     "data_curriculum_cutpoints" -> (dataCurriculumCutpoints _),
@@ -1504,6 +1724,7 @@ object LlmQueries {
     "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
+    "dedup_embedding_apply" -> (dedupEmbeddingApply _),
     "dedup_ngram_coverage" -> (dedupNgramCoverage _),
     "multimodal_pipeline" -> (multimodal _))
 
@@ -1513,11 +1734,13 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_prefix" -> dedupPrefixSql,
+    "dedup_url" -> dedupUrlSql,
     "dedup_substrings" -> dedupSubstringsSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_apply" -> dedupApplySql,
+    "dedup_embedding_apply" -> dedupEmbeddingApplySql,
     "dedup_ngram_coverage" -> dedupNgramCoverageSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_incremental" -> dedupEmbeddingIncrementalSql,
@@ -1527,11 +1750,13 @@ object LlmQueries {
     "data_chunk_overlap" -> dataChunkOverlapSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
+    "text_bpe_apply" -> textBpeApplySql,
     "text_ngram_stats" -> textNgramStatsSql,
     "text_rare_token_stats" -> textRareTokensSql,
     "data_split_stratified" -> dataSplitSql,
     "data_decontamination" -> dataDecontaminationSql,
     "data_sample_by_source" -> dataSampleBySourceSql,
+    "data_shard_assign" -> dataShardAssignSql,
     "data_source_caps" -> dataSourceCapsSql,
     "data_curriculum_buckets" -> dataCurriculumBucketsSql,
     // the cutpoint mode must produce BIT-IDENTICAL buckets — it shares
