@@ -165,6 +165,14 @@ object ScaleSmoke {
         ("text_bpe_apply", 1.0, LlmQueries.textBpeApply _),
         // pure per-row hash + 16-group audit — ~linear
         ("data_shard_assign", 1.0, LlmQueries.dataShardAssign _),
+        // posexplode + 64-group map-combined agg — ~linear
+        ("embedding_dim_stats", 1.0, LlmQueries.embeddingDimStats _),
+        // corpus_curation_e2e is deliberately NOT a smoke row: the
+        // replica suffix every word gets ("the" → "the_3") zeroes the
+        // Gopher stopword hits, so at 10× the quality gate drops ~all
+        // docs and the dedup stage measures nothing (observed 0.4×,
+        // vacuous). Its stages are covered: scrub/gate are per-row,
+        // the dedup stage is dedup_apply's measured edge set + CC.
         // CC over the @0.8 auto-granularity edge set (same regime
         // rationale as the cosine rows below — at the query's
         // exploratory 0.45 the TRUE pair set is quadratic)

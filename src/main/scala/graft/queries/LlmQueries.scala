@@ -1286,6 +1286,117 @@ object LlmQueries {
       |FROM cells c JOIN alloc a USING (source)
       |ORDER BY c.source, c.bucket""".stripMargin
 
+  // -- the FLAGSHIP corpus-curation pipeline in one planned query -------------
+  /** The full LLM-corpus curation deployment as ONE Catalyst plan
+    * (LLM-side sibling of `cdc_pipeline_e2e`): PII scrub → Gopher/C4
+    * quality gate on the SCRUBBED text → near-dup clustering (identity
+    * collapse + minhash-LSH + exact-Jaccard verify, J ≥ 0.8) over the
+    * survivors → canonical-keep materialization → per-source
+    * publication stats. Every stage is an existing oracle-proven
+    * component (text_pii_scrub, text_gopher_filters,
+    * dedup_clusters/dedup_apply); this entry proves they COMPOSE
+    * into one lazy plan — scrubbed text flows straight into the
+    * tokenizer of the quality gate and the shingler of the dedup
+    * stage with no materialization barrier. Output: per source, raw
+    * count, quality survivors, post-dedup keepers, kept chars, and
+    * how many survivors carried (scrubbed) PII.
+    */
+  def corpusCurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val raw = docs(s, dir)
+    val scrubbed = TextOps.piiScrub(raw, "text")
+      .select(col("doc_id"), col("source"), col("scrubbed").as("text"),
+        (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"))
+    val sur = TextOps.gopherFilters(scrubbed, "text")
+      .filter(col("keep"))
+      .select("doc_id", "source", "text", "has_pii")
+    val edges = Dedup.verifiedDupEdges(sur, "doc_id", "text",
+      threshold = 0.8, numHashes = 32, bands = 16)
+    val cl = Dedup.dupClusters(sur, "doc_id", edges)
+    val surStats = sur.join(cl.select("doc_id", "is_dup"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("__n_pass"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("__n_kept"),
+        sum(when(!col("is_dup"), length(col("text")).cast("long"))
+          .otherwise(0L)).as("__kept_chars"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("__n_pii_docs"))
+    raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      .join(surStats, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("__n_pass"), lit(0L)).as("n_pass"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(col("__n_pii_docs"), lit(0L)).as("n_pii_docs"))
+      .orderBy("source")
+  }
+
+  val corpusCurationE2eSql: String =
+    """WITH RECURSIVE scr AS (
+      |  SELECT doc_id, source,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |      '\d+\.\d+\.\d+\.\d+', '<IP>', 'g') AS t,
+      |    (len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,}')) +
+      |     len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) +
+      |     len(regexp_extract_all(text, '\d+\.\d+\.\d+\.\d+'))) > 0 AS has_pii
+      |  FROM documents),
+      |gw AS (
+      |  SELECT doc_id, t,
+      |    regexp_split_to_array(lower(trim(t)), '\s+') AS gtoks,
+      |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) AS nn
+      |  FROM scr),
+      |gs AS (
+      |  SELECT doc_id, t, nn,
+      |    CAST(len(gtoks) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(gtoks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+      |    CAST(len(list_filter(gtoks,
+      |      x -> x IN ('the','a','an','and','or','of','to','in','is','on'))) AS BIGINT) AS stop_hits,
+      |    CAST(length(t) - length(regexp_replace(t, '#', '', 'g')) AS BIGINT) AS n_hash,
+      |    CAST((length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3 AS BIGINT) AS n_ell
+      |  FROM gw),
+      |keepers AS (
+      |  SELECT doc_id FROM gs
+      |  WHERE (n_words BETWEEN 30 AND 100000) AND (nn / n_words BETWEEN 3.0 AND 10.0)
+      |    AND (CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1)
+      |    AND (CAST(alpha_words AS DOUBLE) / n_words > 0.8)
+      |    AND stop_hits >= 2
+      |    AND NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')),
+      |sur AS (SELECT s.doc_id, s.source, s.t, s.has_pii
+      |        FROM scr s JOIN keepers USING (doc_id)),
+      |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(t)), '\s+') AS t FROM sur),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+      |       WHERE len(t) > 3
+      |       UNION
+      |       SELECT doc_id, array_to_string(t, ' ') AS s FROM toks WHERE len(t) <= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
+      |          FROM sh a JOIN sh b ON b.s = a.s AND b.doc_id > a.doc_id GROUP BY 1, 2),
+      |jac AS (SELECT i.ia AS id_a, i.ib AS id_b,
+      |          CAST(i.n_inter AS DOUBLE) / CAST(za.n + zb.n - i.n_inter AS DOUBLE) AS jaccard
+      |        FROM inter i JOIN sizes za ON za.doc_id = i.ia
+      |        JOIN sizes zb ON zb.doc_id = i.ib),
+      |e1 AS (SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.8),
+      |edges AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM sur
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+      |lab AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+      |ks AS (
+      |  SELECT s.source, COUNT(*) AS n_pass,
+      |    SUM(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END) AS n_kept,
+      |    SUM(CASE WHEN l.id = l.cluster_id THEN length(s.t) ELSE 0 END) AS kept_chars,
+      |    SUM(CASE WHEN s.has_pii THEN 1 ELSE 0 END) AS n_pii_docs
+      |  FROM sur s JOIN lab l ON l.id = s.doc_id GROUP BY s.source),
+      |nr AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source)
+      |SELECT nr.source, nr.n_raw,
+      |  CAST(COALESCE(ks.n_pass, 0) AS BIGINT) AS n_pass,
+      |  CAST(COALESCE(ks.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(ks.kept_chars, 0) AS BIGINT) AS kept_chars,
+      |  CAST(COALESCE(ks.n_pii_docs, 0) AS BIGINT) AS n_pii_docs
+      |FROM nr LEFT JOIN ks USING (source) ORDER BY nr.source""".stripMargin
+
   // -- corpus-frequency rare-token stats (CCNet-style quality proxy) --------
   /** Per-doc rare-token statistics against the corpus vocabulary: the
     * quality signal a perplexity filter computes, kept integer-exact
@@ -1442,6 +1553,93 @@ object LlmQueries {
       |FROM topk t
       |JOIN qc ON qc.query_id = t.query_id AND qc.neighbor_id = t.neighbor_id
       |ORDER BY t.query_id, t.rank""".stripMargin
+
+  // -- mutual k-NN graph ------------------------------------------------------
+  /** k-NN GRAPH construction — the input to graph-based diversity
+    * sampling and semantic clustering: top-5 neighbors per vector with
+    * a MUTUAL flag (both endpoints list each other). Scoring rides
+    * [[graft.ops.Similarity.ivfTopK]] at nProbe = nCells (exhaustive
+    * on the isotropic fixture, so the oracle is the exact all-pairs
+    * window); at 100 TB the same query runs pruned — nCells ∝ √n,
+    * nProbe fixed — which is the IVF regime AnnPruningSpec
+    * demonstrates on clustered corpora. Self-matches are excluded by
+    * ranking k+1 then re-ranking the non-self survivors (duplicate
+    * vectors may outrank self on the id tie-break, so self is dropped
+    * by VALUE, not by assuming rank 1). The mutual flag is one
+    * self-equi-join of the edge list on the reversed key.
+    */
+  def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val sub = embs(s, dir).filter(pmod(col("vec_id"), lit(8)) === 0)
+    val base = Similarity.ivfTopK(sub, sub, "vec_id", "embedding",
+      nCells = 16, nProbe = 16, k = 6)
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val edges = base.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank2", row_number().over(w).cast("long"))
+      .filter(col("rank2") <= 5)
+      .select(col("query_id"), col("rank2").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+    val rev = edges.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(true).as("__mut"))
+    edges.join(rev, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("mutual", coalesce(col("__mut"), lit(false)))
+      .drop("__mut")
+      .orderBy("query_id", "rank")
+  }
+
+  val annKnnGraphSql: String =
+    """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 8 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      |  FROM s a JOIN s b ON b.vec_id <> a.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM p),
+      |k AS (SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_sim
+      |      FROM r WHERE rnk <= 5)
+      |SELECT k.query_id, k.rank, k.neighbor_id, k.cos_sim,
+      |  EXISTS(SELECT 1 FROM k k2 WHERE k2.query_id = k.neighbor_id
+      |           AND k2.neighbor_id = k.query_id) AS mutual
+      |FROM k ORDER BY query_id, rank""".stripMargin
+
+  // -- per-dimension embedding statistics -------------------------------------
+  /** Per-DIMENSION corpus statistics — the normalization /
+    * sanity-audit frame an embedding pipeline publishes (dead or
+    * exploding dimensions, feature scaling): count, float min/max
+    * (order-independent exact), and quantized integer sums /
+    * sum-of-squares (round(x·1000) longs, the label-coherence
+    * precedent) so the distributed aggregation is order-independent
+    * exact math and hash-matches the oracle; mean_q is ONE double
+    * division at the end. One posexplode + one 64-group aggregation —
+    * map-side combined, ~linear, no global sort.
+    */
+  def embeddingDimStats(s: SparkSession, dir: String): DataFrame = {
+    val qx = round(col("x").cast("double") * 1000).cast("long")
+    embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("long").as("dim"), col("x"), qx.as("qx"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_v"), max("x").as("max_v"),
+        sum("qx").as("sum_q"),
+        sum(col("qx") * col("qx")).as("ssq_q"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
+      .orderBy("dim")
+  }
+
+  val embeddingDimStatsSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i AS dim, embedding[i] AS x,
+      |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i))
+      |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+      |  MIN(x) AS min_v, MAX(x) AS max_v,
+      |  CAST(SUM(qx) AS BIGINT) AS sum_q,
+      |  CAST(SUM(qx * qx) AS BIGINT) AS ssq_q,
+      |  CAST(SUM(qx) AS DOUBLE) / COUNT(*) AS mean_q
+      |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
 
   // -- k-NN join within labels ------------------------------------------------
   def knnJoin(s: SparkSession, dir: String): DataFrame =
@@ -1719,12 +1917,15 @@ object LlmQueries {
     "ann_lsh_cosine" -> (annLsh _),
     "ann_ivf_cosine" -> (annIvf _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "ann_knn_graph" -> (annKnnGraph _),
+    "embedding_dim_stats" -> (embeddingDimStats _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
     "dedup_embedding_apply" -> (dedupEmbeddingApply _),
+    "corpus_curation_e2e" -> (corpusCurationE2e _),
     "dedup_ngram_coverage" -> (dedupNgramCoverage _),
     "multimodal_pipeline" -> (multimodal _))
 
@@ -1741,6 +1942,7 @@ object LlmQueries {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_apply" -> dedupApplySql,
     "dedup_embedding_apply" -> dedupEmbeddingApplySql,
+    "corpus_curation_e2e" -> corpusCurationE2eSql,
     "dedup_ngram_coverage" -> dedupNgramCoverageSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_incremental" -> dedupEmbeddingIncrementalSql,
@@ -1775,6 +1977,8 @@ object LlmQueries {
     "ann_lsh_cosine" -> annLshSql,
     "ann_ivf_cosine" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "ann_knn_graph" -> annKnnGraphSql,
+    "embedding_dim_stats" -> embeddingDimStatsSql,
     "embedding_knn_join" -> knnJoinSql,
     "multimodal_pipeline" -> multimodalSql)
 }

@@ -46,6 +46,8 @@ class PlanInvariantSpec extends SparkSpec {
       "same 1-row totals broadcast; all other joins are equi-joins on source/bucket",
     "ann_ivf_cosine" ->
       "broadcast-small centroid set (√n rows) crossed for probe assignment — the IVF design",
+    "ann_knn_graph" ->
+      "same bounded centroid broadcast-cross as ann_ivf_cosine (self-kNN at nProbe=nCells); edge list and mutual flag are equi-joins",
     "ann_ivf_pq" ->
       "same bounded centroid broadcast-cross as ann_ivf_cosine; cell scoring and rescore are equi-joins",
     "embedding_kmeans" ->
