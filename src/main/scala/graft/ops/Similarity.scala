@@ -761,7 +761,16 @@ object Similarity {
     * small and fixed (curation wants stable buckets, not convergence).
     */
   def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L): DataFrame = {
+      k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L): DataFrame =
+    kmeansCore(df, idCol, vecCol, k, iterations, quantScale)
+      .select(col(idCol), col("cluster"), col("dist2"))
+
+  /** [[kmeansAssignments]] plus the quantized vector column `__q` the
+    * assignment already computed — [[semanticDedup]] reuses it for the
+    * within-cluster pair scoring instead of re-quantizing the corpus.
+    */
+  private def kmeansCore(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, quantScale: Long): DataFrame = {
     require(k > 0, "k must be positive")
     require(iterations > 0, "iterations must be positive")
     val q = df.select(col(idCol), transform(col(vecCol),
@@ -794,6 +803,62 @@ object Similarity {
 
     var cent = cent0
     for (_ <- 1 until iterations) cent = update(assign(cent))
-    assign(cent).select(col(idCol), col("cluster"), col("dist2"))
+    assign(cent)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering THEN within-cluster pair pruning — the
+    * published recipe for web-scale embedding dedup, because restricting
+    * the pairwise stage to k-means cells turns O(n²) into
+    * O(Σ cellᵢ²), bounded when k grows with n (k ≈ n/target-cell-size
+    * keeps cells constant-sized, so total pair work stays ~linear).
+    *
+    * Stages, all exact so a SQL oracle can replay them: (1)
+    * [[kmeansAssignments]] integer k-means (the cell structure);
+    * (2) within-cell pairs scored by quantized-integer cosine (BIGINT
+    * dot/norms, one fixed-order double at the end — order-independent,
+    * so the oracle hash-matches); (3) edges ≥ `threshold` →
+    * pointer-doubling connected components ([[Dedup.dupClusters]],
+    * O(log d) rounds); (4) the SemDeDup KEEP rule: each semantic-dup
+    * group keeps its member FARTHEST from its k-means centroid (max
+    * integer dist2, ties to the lowest id) — the paper keeps the
+    * least-typical example, arguing centroid-near members are the
+    * redundant ones. Cross-cell near-dups are out of scope BY DESIGN
+    * (that approximation is the algorithm); the oracle re-derives the
+    * same cells exactly, so outputs still hash-match.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L,
+      threshold: Double = 0.45): DataFrame = {
+    val assigned = kmeansCore(df, idCol, vecCol, k, iterations, quantScale)
+      .withColumn("__n2", expr(
+        "aggregate(__q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
+      col("__q").as("__qa"), col("__n2").as("__na2"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cluster"),
+      col("__q").as("__qb"), col("__n2").as("__nb2"))
+    // one equi-join on the cell id: pair work is Σ cellᵢ², never n²
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__dot", expr("aggregate(zip_with(__qa, __qb, " +
+        "(x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", col("__dot").cast("double") /
+        (sqrt(col("__na2").cast("double")) * sqrt(col("__nb2").cast("double"))))
+    val edges = pairs.filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b")
+    val cc = Dedup.dupClusters(df.select(col(idCol)), idCol, edges)
+      .select(col(idCol), col("cluster_id").as("sem_group"),
+        col("cluster_size").as("group_size"))
+    val labeled = assigned.select(col(idCol), col("cluster"), col("dist2"))
+      .join(cc, Seq(idCol))
+    // keeper = max dist2 (farthest from centroid), ties to lowest id:
+    // min(struct(-dist2, id)) — dist2 >= 0 so the negation never overflows
+    val keepers = labeled.groupBy("sem_group")
+      .agg(min(struct((-col("dist2")).as("__nd"), col(idCol).as("__id")))
+        .as("__k"))
+      .select(col("sem_group"), col("__k.__id").as("__keeper"))
+    labeled.join(keepers, Seq("sem_group"))
+      .select(col(idCol), col("cluster"), col("dist2"), col("sem_group"),
+        col("group_size"), (col(idCol) === col("__keeper")).as("keep"))
   }
 }

@@ -893,8 +893,12 @@ object LlmQueries {
       k = 8, iterations = 2)
       .orderBy("vec_id")
 
-  val embeddingKmeansSql: String =
-    """WITH q AS (
+  /** The exact-integer k-means re-derivation (k=8, 2 passes), shared by
+    * `embedding_kmeans` and `dedup_semantic` — ends in `asg(vec_id,
+    * cluster, dist2)` plus the quantized-element frame `q(vec_id, i, qx)`.
+    */
+  private val kmeansAsgCte: String =
+    """q AS (
       |  SELECT vec_id, i,
       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
       |  FROM embeddings,
@@ -923,12 +927,330 @@ object LlmQueries {
       |d2 AS (
       |  SELECT q.vec_id, c1.cluster,
       |    CAST(SUM((q.qx - c1.cv) * (q.qx - c1.cv)) AS BIGINT) AS dist2
-      |  FROM q JOIN c1 ON c1.i = q.i GROUP BY 1, 2)
-      |SELECT vec_id, cluster, dist2 FROM (
-      |  SELECT vec_id, cluster, dist2,
-      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
-      |  FROM d2) WHERE rn = 1
-      |ORDER BY vec_id""".stripMargin
+      |  FROM q JOIN c1 ON c1.i = q.i GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT vec_id, cluster, dist2 FROM (
+      |    SELECT vec_id, cluster, dist2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  val embeddingKmeansSql: String =
+    s"""WITH $kmeansAsgCte
+      |SELECT vec_id, cluster, dist2 FROM asg ORDER BY vec_id""".stripMargin
+
+  // -- SemDeDup: cluster-then-prune semantic dedup ----------------------------
+  /** [[graft.ops.Similarity.semanticDedup]] — the SemDeDup recipe
+    * (cluster with exact integer k-means, pairwise cosine ONLY within
+    * each cell, keep each dup group's member farthest from its
+    * centroid). Threshold 0.45 for the same reason as
+    * `dedup_embedding_cosine`: the isotropic corpus tops out near cos
+    * 0.53. The oracle replays every stage — cells, quantized-integer
+    * pair cosines, transitive closure, the max-dist2 keep rule — so a
+    * wrong cell assignment, a missed within-cell pair, or a wrong
+    * keeper all hash-fail.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
+        k = 8, iterations = 2, threshold = 0.45)
+      .orderBy("vec_id")
+
+  val dedupSemanticSql: String =
+    s"""WITH RECURSIVE $kmeansAsgCte,
+      |n2 AS (SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS n2 FROM q GROUP BY 1),
+      |pr AS (
+      |  SELECT x.vec_id AS ia, y.vec_id AS ib,
+      |    CAST(SUM(qa.qx * qb.qx) AS BIGINT) AS dot
+      |  FROM asg x JOIN asg y ON y.cluster = x.cluster AND y.vec_id > x.vec_id
+      |  JOIN q qa ON qa.vec_id = x.vec_id
+      |  JOIN q qb ON qb.vec_id = y.vec_id AND qb.i = qa.i
+      |  GROUP BY 1, 2),
+      |ed0 AS (
+      |  SELECT ia, ib FROM pr
+      |  JOIN n2 na ON na.vec_id = pr.ia
+      |  JOIN n2 nb ON nb.vec_id = pr.ib
+      |  WHERE CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.45),
+      |edges AS (SELECT ia AS a, ib AS b FROM ed0 UNION SELECT ib, ia FROM ed0),
+      |reach(id, lab) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+      |lab AS (SELECT id, MIN(lab) AS sem_group FROM reach GROUP BY id),
+      |gsz AS (SELECT sem_group, COUNT(*) AS group_size FROM lab GROUP BY 1),
+      |kp AS (
+      |  SELECT l.id, l.sem_group,
+      |    ROW_NUMBER() OVER (PARTITION BY l.sem_group ORDER BY a.dist2 DESC, l.id) AS rn
+      |  FROM lab l JOIN asg a ON a.vec_id = l.id)
+      |SELECT a.vec_id, a.cluster, a.dist2, l.sem_group,
+      |  CAST(g.group_size AS BIGINT) AS group_size, kp.rn = 1 AS keep
+      |FROM asg a
+      |JOIN lab l ON l.id = a.vec_id
+      |JOIN gsz g USING (sem_group)
+      |JOIN kp ON kp.id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  // -- semantic (embedding-level) decontamination -----------------------------
+  /** Embedding-space decontamination: training vectors semantically
+    * close to any EVAL vector (cos ≥ 0.45) are flagged before a
+    * training run — the pass that catches paraphrased leakage the
+    * n-gram overlap check (`data_contamination_ngram`) cannot see.
+    * Spark-first shape: the eval set (vec_id % 10 == 0, the
+    * deterministic stand-in for a benchmark suite) PROBES an LSH index
+    * built over the training corpus ([[graft.ops.Similarity]]
+    * incremental probe — train is hashed once, the probe is O(eval),
+    * exactly the nightly-benchmark-refresh cost profile at 100 TB).
+    * 4×64 granularity ⇒ per-pair candidate-miss < 4e-6 at 0.45, so
+    * flagged pairs equal the exhaustive cross-set oracle. Per train
+    * vector: hit count, worst (highest) cosine and its eval id
+    * (ties to the lowest id — one struct max, order-independent).
+    */
+  def dataDecontaminationSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val evalSet = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val ix = Similarity.buildEmbeddingIndex(train, "vec_id", "embedding",
+      nPlanes = 4, nTables = 64)
+    val isEvalA = pmod(col("id_a"), lit(10)) === 0
+    val isEvalB = pmod(col("id_b"), lit(10)) === 0
+    val pairs = Similarity.incrementalVecDupPairs(evalSet, ix, "vec_id",
+        "embedding", threshold = 0.45)
+      .filter(isEvalA =!= isEvalB) // cross pairs only: eval-vs-eval is not leakage
+      .select(when(isEvalA, col("id_b")).otherwise(col("id_a")).as("train_id"),
+        when(isEvalA, col("id_a")).otherwise(col("id_b")).as("eval_id"),
+        col("cos_sim"))
+    pairs.groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(struct(col("cos_sim").as("c"), (-col("eval_id")).as("n"))).as("__m"))
+      .select(col("train_id"), col("n_eval_hits"),
+        col("__m.c").as("max_cos"), (-col("__m.n")).as("worst_eval_id"))
+      .orderBy("train_id")
+  }
+
+  val dataDecontaminationSemanticSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (
+      |  SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+      |    list_dot_product(t.v, q.v) /
+      |      (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos_sim
+      |  FROM e t JOIN e q ON t.vec_id % 10 <> 0 AND q.vec_id % 10 = 0),
+      |h AS (SELECT * FROM p WHERE cos_sim >= 0.45),
+      |a AS (SELECT train_id, COUNT(*) AS n_eval_hits FROM h GROUP BY 1),
+      |w AS (
+      |  SELECT train_id, eval_id AS worst_eval_id, cos_sim AS max_cos,
+      |    ROW_NUMBER() OVER (PARTITION BY train_id ORDER BY cos_sim DESC, eval_id) AS rn
+      |  FROM h)
+      |SELECT a.train_id, a.n_eval_hits, w.max_cos, w.worst_eval_id
+      |FROM a JOIN w ON w.train_id = a.train_id AND w.rn = 1
+      |ORDER BY a.train_id""".stripMargin
+
+  // -- token-distribution drift between corpus snapshots ----------------------
+  /** Distribution drift between two corpus snapshots (here the doc_id
+    * parity halves — the deterministic stand-in for "last month's crawl
+    * vs this month's") — the data-quality monitor a recurring ingest
+    * runs before a training mix is refreshed. Drift is measured as
+    * total-variation distance over the token unigram distributions,
+    * kept EXACT until the last step: per-token `|cnt_a·t_b − cnt_b·t_a|`
+    * is integer cross-multiplication (comparing the fractions
+    * cnt_a/t_a vs cnt_b/t_b without dividing), summed in
+    * decimal(38,0); TV = that sum over 2·t_a·t_b as one double chain.
+    * One conditional aggregation builds both snapshots' counts (no
+    * self-join of the token stream), 1-row totals broadcast, top-20
+    * drifters via TakeOrdered (never a global sort at scale).
+    */
+  def dataSnapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      (pmod(col("doc_id"), lit(2)) === 0).as("is_a"),
+      explode(tokenize(col("text"))).as("token"))
+    val ct = toks.groupBy("token").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = ct.agg(sum("cnt_a").as("t_a"), sum("cnt_b").as("t_b"))
+    val drifted = ct.crossJoin(broadcast(totals))
+      .withColumn("drift_num",
+        abs(col("cnt_a") * col("t_b") - col("cnt_b") * col("t_a")))
+    val tv = drifted
+      .agg(sum(col("drift_num").cast("decimal(38,0)")).as("__num"),
+        min("t_a").as("__ta"), min("t_b").as("__tb"))
+      .select((col("__num").cast("double") /
+        (lit(2.0d) * col("__ta").cast("double") * col("__tb").cast("double")))
+        .as("tv_distance"))
+    drifted.crossJoin(broadcast(tv))
+      .withColumn("share_a", col("cnt_a").cast("double") / col("t_a").cast("double"))
+      .withColumn("share_b", col("cnt_b").cast("double") / col("t_b").cast("double"))
+      .select("token", "cnt_a", "cnt_b", "share_a", "share_b",
+        "drift_num", "tv_distance")
+      .orderBy(col("drift_num").desc, col("token"))
+      .limit(20)
+  }
+
+  val dataSnapshotDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 2 = 0 AS is_a,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |ct AS (
+      |  SELECT token,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      |  FROM toks GROUP BY token),
+      |tt AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS t_a, CAST(SUM(cnt_b) AS BIGINT) AS t_b FROM ct),
+      |dr AS (
+      |  SELECT token, cnt_a, cnt_b, t_a, t_b,
+      |    ABS(cnt_a * t_b - cnt_b * t_a) AS drift_num
+      |  FROM ct CROSS JOIN tt),
+      |tv AS (
+      |  SELECT CAST(SUM(CAST(drift_num AS DECIMAL(38,0))) AS DOUBLE) /
+      |    (2.0 * CAST(MIN(t_a) AS DOUBLE) * CAST(MIN(t_b) AS DOUBLE)) AS tv_distance
+      |  FROM dr)
+      |SELECT token, cnt_a, cnt_b,
+      |  CAST(cnt_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS share_a,
+      |  CAST(cnt_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS share_b,
+      |  drift_num, tv.tv_distance
+      |FROM dr CROSS JOIN tv
+      |ORDER BY drift_num DESC, token
+      |LIMIT 20""".stripMargin
+
+  // -- per-source TF-IDF top terms --------------------------------------------
+  /** Per-source characteristic terms by TF-IDF — the corpus-profiling
+    * pass that tells a curation run what each source is ABOUT (and
+    * flags template/boilerplate sources whose top terms are
+    * navigation). Score kept in pure integers so both engines rank
+    * identically with no float log: `score = (tf · 10⁶ · n_docs) div
+    * df` — monotone in tf·(N/df), the fixed-point cousin of
+    * tf·idf (the 10⁶ scale preserves resolution through the integer
+    * division). Two map-combined aggregations (term frequency per
+    * source; document frequency per term), one equi-join on the term,
+    * a 1-row corpus-total broadcast, and a per-SOURCE window — sources
+    * rank in parallel, no global sort.
+    */
+  def textTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), col("source"),
+      explode(tokenize(col("text"))).as("term"))
+    val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("(tf * 1000000L * n_docs) div df"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("source", "rank", "term", "tf", "df", "score")
+      .orderBy("source", "rank")
+  }
+
+  val textTfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM toks) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.source, tf.term, tf.tf, df.df,
+      |    (tf.tf * 1000000 * n.n_docs) // df.df AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT source, CAST(rnk AS BIGINT) AS rank, term, tf, df, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+      |  FROM sc)
+      |WHERE rnk <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  // -- Z-order layout key ------------------------------------------------------
+  /** [[graft.ops.Layout.zOrderKey]] — Morton-interleaved layout key
+    * over (n_tokens, n_chars) plus the locality AUDIT that justifies
+    * it: bucketing the curve's top 6 bits (64 z-ranges) bounds the
+    * span of BOTH dimensions inside every bucket, which is exactly why
+    * a z-sorted write prunes files on either predicate. Key and
+    * quantization are pure per-row bit expressions (zero shuffle);
+    * the audit is one 64-group aggregate joined back. The oracle
+    * restates the interleave formula bit for bit.
+    */
+  def dataZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("qa", least(size(tokenize(col("text"))).cast("long"), lit(255L)))
+      .withColumn("qb", least(expr("n_chars div 4"), lit(255L)))
+      .withColumn("zval", graft.ops.Layout.zOrderKey(col("qa"), col("qb"), bits = 8))
+      .withColumn("bucket", expr("zval div 1024"))
+    val audit = d.groupBy("bucket").agg(
+      count(lit(1)).as("bucket_n"),
+      (max("qa") - min("qa")).as("span_a"),
+      (max("qb") - min("qb")).as("span_b"))
+    d.select("doc_id", "qa", "qb", "zval", "bucket")
+      .join(audit, "bucket")
+      .select("doc_id", "qa", "qb", "zval", "bucket", "bucket_n", "span_a", "span_b")
+      .orderBy("doc_id")
+  }
+
+  val dataZorderLayoutSql: String = {
+    val interleave = (0 until 8).map(i =>
+      s"(((qa >> $i) & 1) << ${2 * i + 1}) + (((qb >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH z AS (
+      |  SELECT doc_id,
+      |    LEAST(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT), 255) AS qa,
+      |    LEAST(n_chars // 4, 255) AS qb
+      |  FROM documents),
+      |k AS (SELECT doc_id, qa, qb, CAST($interleave AS BIGINT) AS zval FROM z),
+      |kb AS (SELECT *, zval // 1024 AS bucket FROM k),
+      |a AS (
+      |  SELECT bucket, COUNT(*) AS bucket_n,
+      |    MAX(qa) - MIN(qa) AS span_a, MAX(qb) - MIN(qb) AS span_b
+      |  FROM kb GROUP BY bucket)
+      |SELECT kb.doc_id, kb.qa, kb.qb, kb.zval, kb.bucket,
+      |  a.bucket_n, a.span_a, a.span_b
+      |FROM kb JOIN a USING (bucket)
+      |ORDER BY kb.doc_id""".stripMargin
+  }
+
+  // -- KMV distinct-count sketch ----------------------------------------------
+  /** [[graft.ops.Sketches.kmvEstimates]] — per-source KMV (k-minimum-
+    * values) distinct-document sketches plus a `__ALL__` scope built
+    * from the SAME hash set, demonstrating the merge property (the
+    * union's sketch is the k smallest of the union — exactly what the
+    * associative partial combine computes at scale). k=32 so the bound
+    * scopes genuinely estimate (expected |rel_err| ≈ 1/√(k−2) ≈ 18 %)
+    * while small sources fall back to the exact rule. Deterministic
+    * end to end — the oracle re-derives the hash, the k-th minimum and
+    * the one-division estimate bit-for-bit, so the sketch's error is
+    * AUDITED, not trusted.
+    */
+  def sketchDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir).select(col("source"),
+      graft.ops.Sketches.uniformHash(lower(trim(col("text")))).as("h"))
+    val scoped = hashed.select(col("source").as("scope"), col("h"))
+      .unionByName(hashed.select(lit("__ALL__").as("scope"), col("h")))
+    graft.ops.Sketches.kmvEstimates(scoped, k = 32).orderBy("scope")
+  }
+
+  val sketchDistinctKmvSql: String =
+    """WITH hs AS (
+      |  SELECT source, CAST(concat('0x', substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |sc AS (
+      |  SELECT DISTINCT scope, h FROM (
+      |    SELECT source AS scope, h FROM hs
+      |    UNION ALL
+      |    SELECT '__ALL__' AS scope, h FROM hs)),
+      |rk AS (
+      |  SELECT scope, h, ROW_NUMBER() OVER (PARTITION BY scope ORDER BY h) AS rn
+      |  FROM sc),
+      |sk AS (
+      |  SELECT scope, MAX(h) AS kth_hash, COUNT(*) AS sketch_size
+      |  FROM rk WHERE rn <= 32 GROUP BY scope),
+      |ex AS (SELECT scope, COUNT(*) AS n_exact FROM sc GROUP BY scope)
+      |SELECT ex.scope, ex.n_exact, sk.sketch_size, sk.kth_hash,
+      |  CASE WHEN sk.sketch_size < 32 THEN CAST(ex.n_exact AS DOUBLE)
+      |       ELSE 31.0 * (1152921504606846976.0 / CAST(sk.kth_hash AS DOUBLE))
+      |  END AS est,
+      |  ABS(CASE WHEN sk.sketch_size < 32 THEN CAST(ex.n_exact AS DOUBLE)
+      |           ELSE 31.0 * (1152921504606846976.0 / CAST(sk.kth_hash AS DOUBLE))
+      |      END - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE) AS rel_err
+      |FROM ex JOIN sk USING (scope)
+      |ORDER BY ex.scope""".stripMargin
 
   // -- int8 embedding quantization --------------------------------------------
   /** Per-vector affine int8 quantization — the serving/storage
@@ -1906,6 +2228,12 @@ object LlmQueries {
     "data_curriculum_cutpoints" -> (dataCurriculumCutpoints _),
     "embedding_label_coherence" -> (embeddingLabelCoherence _),
     "embedding_kmeans" -> (embeddingKmeans _),
+    "dedup_semantic" -> (dedupSemantic _),
+    "sketch_distinct_kmv" -> (sketchDistinctKmv _),
+    "data_zorder_layout" -> (dataZorderLayout _),
+    "text_tfidf_top_terms" -> (textTfidfTopTerms _),
+    "data_snapshot_drift" -> (dataSnapshotDrift _),
+    "data_decontamination_semantic" -> (dataDecontaminationSemantic _),
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "data_mix_weights" -> (dataMixWeights _),
     "data_mix_plan" -> (dataMixPlan _),
@@ -1966,6 +2294,12 @@ object LlmQueries {
     "data_curriculum_cutpoints" -> dataCurriculumBucketsSql,
     "embedding_label_coherence" -> embeddingLabelCoherenceSql,
     "embedding_kmeans" -> embeddingKmeansSql,
+    "dedup_semantic" -> dedupSemanticSql,
+    "sketch_distinct_kmv" -> sketchDistinctKmvSql,
+    "data_zorder_layout" -> dataZorderLayoutSql,
+    "text_tfidf_top_terms" -> textTfidfTopTermsSql,
+    "data_snapshot_drift" -> dataSnapshotDriftSql,
+    "data_decontamination_semantic" -> dataDecontaminationSemanticSql,
     "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
     "data_mix_weights" -> dataMixWeightsSql,
     "data_mix_plan" -> dataMixPlanSql,

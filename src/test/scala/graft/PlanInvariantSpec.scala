@@ -42,6 +42,10 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row (min,max) span crossed with a ~row-per-week scaffold to derive bucket keys; the range join itself is the hash equi-join asserted below",
     "data_mix_weights" ->
       "1-row corpus-total broadcast normalizes per-source weights",
+    "text_tfidf_top_terms" ->
+      "1-row corpus doc-count broadcast scales the fixed-point idf",
+    "data_snapshot_drift" ->
+      "1-row snapshot-totals and 1-row TV-distance broadcasts; the count build is a single conditional aggregation",
     "data_mix_plan" ->
       "same 1-row totals broadcast; all other joins are equi-joins on source/bucket",
     "ann_ivf_cosine" ->
@@ -52,6 +56,8 @@ class PlanInvariantSpec extends SparkSpec {
       "same bounded centroid broadcast-cross as ann_ivf_cosine; cell scoring and rescore are equi-joins",
     "embedding_kmeans" ->
       "k×dims centroid control frame broadcast-crossed for assignment (collapses map-side to one row per vector); the corpus never shuffles",
+    "dedup_semantic" ->
+      "same k-means centroid broadcast-cross as embedding_kmeans (SemDeDup's cell stage); the within-cell pair stage is an equi-join on the cell id",
     "ann_bruteforce_cosine" ->
       "brute force IS the semantics (the exact top-k oracle): broadcast-small query set scored against every corpus vector",
     "q22_sales_opportunity" ->
