@@ -165,6 +165,39 @@ object ScaleSmoke {
         ("text_bpe_apply", 1.0, LlmQueries.textBpeApply _),
         // pure per-row hash + 16-group audit — ~linear
         ("data_shard_assign", 1.0, LlmQueries.dataShardAssign _),
+        // per-scope window over distinct hashes — scopes rank in
+        // parallel, sketch work ~linear in distinct values
+        ("sketch_distinct_kmv", 1.0, LlmQueries.sketchDistinctKmv _),
+        // pure per-row bit expression + 64-group audit join — ~linear
+        ("data_zorder_layout", 1.0, LlmQueries.dataZorderLayout _),
+        // two map-combined aggs + term equi-join + per-source window
+        ("text_tfidf_top_terms", 1.0, LlmQueries.textTfidfTopTerms _),
+        // one conditional agg + scalar crosses + TakeOrdered — ~linear
+        ("data_snapshot_drift", 1.0, LlmQueries.dataSnapshotDrift _),
+        // SemDeDup's contract is constant-SIZED cells: k scales with n
+        // (8 → 8·reps), so the within-cell pair stage stays ~linear.
+        // The n×k broadcast assignment term grows with k — fine at this
+        // scale; the extreme-scale refinement is two-level assignment
+        // (coarse codebook → cell), the same trick IVF rows use.
+        ("dedup_semantic", 1.33, (s: SparkSession, dir: String) => {
+          val k = if (dir == base) 8 else 8 * reps
+          graft.ops.Similarity.semanticDedup(Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = k, iterations = 2, threshold = 0.45)
+        }),
+        // eval probe of the train index at dup-grade 0.8 with auto
+        // granularity (same regime rationale as the @0.8 rows): split
+        // on the ORIGINAL id so the eval set is 10% of every replica
+        ("decon_semantic@0.8", 1.33, (s: SparkSession, dir: String) => {
+          val e = Tables.embeddings(s, dir)
+          val orig = if (dir == base) col("vec_id")
+                     else floor(col("vec_id") / lit(mult)).cast("long")
+          val ix = graft.ops.Similarity.buildEmbeddingIndex(
+            e.filter(pmod(orig, lit(10)) =!= 0), "vec_id", "embedding",
+            nPlanes = 0, nTables = 0, threshold = 0.8)
+          graft.ops.Similarity.incrementalVecDupPairs(
+            e.filter(pmod(orig, lit(10)) === 0), ix,
+            "vec_id", "embedding", threshold = 0.8)
+        }),
         // posexplode + 64-group map-combined agg — ~linear
         ("embedding_dim_stats", 1.0, LlmQueries.embeddingDimStats _),
         // corpus_curation_e2e is deliberately NOT a smoke row: the

@@ -302,6 +302,59 @@ object Analytics {
       |  CAST(SUM(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Cohort retention — the activity-over-time matrix every analytics
+    * deployment ships: cohort = DAY of a user's first event, cell =
+    * how many of that cohort were active in week k after it (daily
+    * cohorts × weekly offsets, the granularity matching this stream's
+    * one-month span; the month×month variant is the same plan with a
+    * coarser index). Time is carried as the INTEGER epoch-day from
+    * `datediff` — no timestamp arithmetic whose truncation could
+    * diverge between engines — and retention is one double division
+    * at the edge. Shape: distinct (user, week-bucket) collapses the
+    * event volume first (map-side combine), the cohort derivation
+    * re-groups the SAME user-keyed shuffle, and the per-cohort sizes
+    * broadcast back — the event table is read once and shuffles once
+    * on user_id.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), epoch).cast("long").as("d"))
+    val cohorts = days.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val weeks = days.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        expr("(d - cohort_day) div 7").as("week_offset"))
+      .distinct()
+    val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    val active = weeks.groupBy("cohort_day", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .select("cohort_day", "week_offset", "n_active", "cohort_size", "retention")
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH dd AS (
+      |  SELECT user_id,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+      |  FROM events),
+      |co AS (SELECT user_id, MIN(d) AS cohort_day FROM dd GROUP BY 1),
+      |wk AS (
+      |  SELECT DISTINCT dd.user_id, co.cohort_day,
+      |    (dd.d - co.cohort_day) // 7 AS week_offset
+      |  FROM dd JOIN co USING (user_id)),
+      |sz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM co GROUP BY 1),
+      |ac AS (
+      |  SELECT cohort_day, week_offset, COUNT(*) AS n_active
+      |  FROM wk GROUP BY 1, 2)
+      |SELECT ac.cohort_day, ac.week_offset, ac.n_active, sz.cohort_size,
+      |  CAST(ac.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+      |FROM ac JOIN sz USING (cohort_day)
+      |ORDER BY cohort_day, week_offset""".stripMargin
+
   /** Pivot: orders per market segment × order year. `groupBy.pivot`
     * with explicit pivot values (never let Spark scan for distinct
     * pivot keys at 100 TB — declare them).
@@ -816,6 +869,7 @@ object Analytics {
     "q4_priority_check" -> (q4PriorityCheck _),
     "q6_revenue_forecast" -> (q6Forecast _),
     "q_rolling_7d" -> (rolling7d _),
+    "q_cohort_retention" -> (cohortRetention _),
     "q_pivot_segment_year" -> (pivotSegmentYear _),
     "q_salted_agg" -> (saltedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -841,6 +895,7 @@ object Analytics {
     "q4_priority_check" -> q4Sql,
     "q6_revenue_forecast" -> q6Sql,
     "q_rolling_7d" -> rolling7dSql,
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_pivot_segment_year" -> pivotSql,
     "q_salted_agg" -> saltedAggSql,
     "q1_pricing_summary" -> q1Sql,
