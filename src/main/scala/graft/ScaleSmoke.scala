@@ -174,6 +174,14 @@ object ScaleSmoke {
         ("text_tfidf_top_terms", 1.0, LlmQueries.textTfidfTopTerms _),
         // one conditional agg + scalar crosses + TakeOrdered — ~linear
         ("data_snapshot_drift", 1.0, LlmQueries.dataSnapshotDrift _),
+        // distinct(user, week) + user-keyed regroup + broadcast sizes
+        ("q_cohort_retention", 1.0, graft.queries.Analytics.cohortRetention _),
+        // per-doc block regroup + per-doc sentinel window — ~linear
+        ("data_span_corruption", 1.0, LlmQueries.dataSpanCorruption _),
+        // vocab TakeOrdered + broadcast membership + one agg — ~linear
+        ("data_vocab_coverage", 1.0, LlmQueries.dataVocabCoverage _),
+        // per-source windows + 1-row length-vector broadcast — ~linear
+        ("data_interleave_order", 1.0, LlmQueries.dataInterleaveOrder _),
         // SemDeDup's contract is constant-SIZED cells: k scales with n
         // (8 → 8·reps), so the within-cell pair stage stays ~linear.
         // The n×k broadcast assignment term grows with k — fine at this

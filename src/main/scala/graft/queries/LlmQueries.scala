@@ -989,6 +989,163 @@ object LlmQueries {
       |JOIN kp ON kp.id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  // -- T5/UL2 span corruption -------------------------------------------------
+  /** Span-corruption preprocessing (the T5/UL2 denoising objective's
+    * data prep): mask ~20 % of each document's 3-token blocks, replace
+    * each masked block with an incrementing `<extra_id_k>` sentinel,
+    * and emit the (corrupted input, targets) pair a seq2seq trainer
+    * consumes. Mask selection is a pure Lehmer hash of
+    * (doc_id·1009 + block) — rerun/retry/partition stable, and the
+    * oracle re-derives it exactly (the `data_split_stratified`
+    * precedent). Sentinel numbering is a per-DOC running count
+    * (window partitioned by doc — docs number in parallel); block
+    * text and the final pieces reassemble order-preserving via
+    * array_sort structs, never a global sort.
+    */
+  def dataSpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val m = 2147483647L
+    val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("block", expr("pos div 3"))
+    val blocks = toks.groupBy("doc_id", "block")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, tok))), p -> p.tok), ' ')").as("btext"))
+      .withColumn("masked",
+        pmod(pmod(col("doc_id") * 1009L + col("block"), lit(m)) * 69621L,
+          lit(m)) % 5 === 0)
+    val w = Window.partitionBy("doc_id").orderBy("block")
+    val idx = blocks.withColumn("sent_idx",
+      sum(when(col("masked"), 1L).otherwise(0L)).over(w) -
+        when(col("masked"), 1L).otherwise(0L))
+    idx.groupBy("doc_id").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        expr("array_join(transform(array_sort(collect_list(struct(block, " +
+          "CASE WHEN masked THEN concat('<extra_id_', sent_idx, '>') " +
+          "ELSE btext END AS piece))), p -> p.piece), ' ')").as("corrupted"),
+        // collect_list drops the NULL unmasked entries: targets carry
+        // sentinels + the masked content only, in block order
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN masked THEN struct(block, " +
+          "concat('<extra_id_', sent_idx, '> ', btext) AS piece) END)), " +
+          "p -> p.piece), ' ')").as("targets"))
+      .orderBy("doc_id")
+  }
+
+  val dataSpanCorruptionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, i - 1 AS pos, t[i] AS tok, (i - 1) // 3 AS block
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |        FROM documents),
+      |    LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+      |bl AS (
+      |  SELECT doc_id, block, string_agg(tok, ' ' ORDER BY pos) AS btext,
+      |    ((doc_id * 1009 + block) % 2147483647) * 69621 % 2147483647 % 5 = 0 AS masked
+      |  FROM toks GROUP BY doc_id, block),
+      |ix AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN masked THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY block ROWS UNBOUNDED PRECEDING)
+      |      - CASE WHEN masked THEN 1 ELSE 0 END AS sent_idx
+      |  FROM bl)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_blocks,
+      |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  string_agg(CASE WHEN masked THEN '<extra_id_' || CAST(sent_idx AS VARCHAR) || '>'
+      |                  ELSE btext END, ' ' ORDER BY block) AS corrupted,
+      |  COALESCE(string_agg(CASE WHEN masked
+      |    THEN '<extra_id_' || CAST(sent_idx AS VARCHAR) || '> ' || btext END,
+      |    ' ' ORDER BY block), '') AS targets
+      |FROM ix GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -- source-interleaved training order --------------------------------------
+  /** The GLOBAL training-stream order (round-robin interleave of
+    * sources: position-0 docs of every source first, then position-1,
+    * …) computed WITHOUT a global sort: each doc's rank under
+    * (pos_in_source, source) is a closed form over the per-source
+    * length vector — `rank = pos + Σ_{s'≠s} (min(pos, len_s') +
+    * 1{s'<s ∧ len_s' > pos})` — evaluated per row against a 1-row
+    * broadcast of the (source, length) control frame. The only
+    * shuffles are the per-SOURCE position windows (sources rank in
+    * parallel) and the tiny length aggregate; at 100 TB the write is
+    * `repartitionByRange(interleave_rank)` and no stage ever total-
+    * orders the corpus. The oracle computes the same rank as a global
+    * window — proving the closed form IS the total order.
+    */
+  def dataInterleaveOrder(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "source")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pos = d.withColumn("pos_in_source",
+      row_number().over(w).cast("long") - 1)
+    val lens = docs(s, dir).groupBy("source").agg(count(lit(1)).as("len"))
+      .agg(expr("array_sort(collect_list(struct(source, len)))").as("__lens"))
+    pos.crossJoin(broadcast(lens))
+      .withColumn("interleave_rank", expr(
+        "pos_in_source + aggregate(filter(__lens, e -> e.source != source), " +
+          "CAST(0 AS BIGINT), (acc, e) -> acc + least(pos_in_source, e.len) + " +
+          "(CASE WHEN e.source < source AND e.len > pos_in_source THEN 1 ELSE 0 END))"))
+      .select("doc_id", "source", "pos_in_source", "interleave_rank")
+      .orderBy("doc_id")
+  }
+
+  val dataInterleaveOrderSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT)
+      |      AS pos_in_source
+      |  FROM documents)
+      |SELECT doc_id, source, pos_in_source,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY pos_in_source, source) - 1 AS BIGINT)
+      |    AS interleave_rank
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
+  // -- tokenizer vocabulary coverage ------------------------------------------
+  /** Per-source vocabulary coverage audit: with a top-V corpus
+    * vocabulary (V=1000, ties broken by term — deterministic), what
+    * fraction of each source's tokens would an embedding table miss
+    * (OOV rate), and how many distinct OOV types does the source
+    * carry? The gate a tokenizer/vocab refresh runs per source before
+    * training. Vocab selection is TakeOrdered (never a global sort of
+    * the term frame at scale), membership is a broadcast left join,
+    * the rollup is one conditional aggregation.
+    */
+  def dataVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(tokenize(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(1000)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("tok"))).as("n_oov_types"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
+  val dataVocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |vf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn FROM vf)
+      |  WHERE rn <= 1000)
+      |SELECT t.source,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(COUNT(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS BIGINT) AS n_oov_types,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS oov_rate
+      |FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+
   // -- semantic (embedding-level) decontamination -----------------------------
   /** Embedding-space decontamination: training vectors semantically
     * close to any EVAL vector (cos ≥ 0.45) are flagged before a
@@ -2234,6 +2391,9 @@ object LlmQueries {
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
     "data_snapshot_drift" -> (dataSnapshotDrift _),
     "data_decontamination_semantic" -> (dataDecontaminationSemantic _),
+    "data_span_corruption" -> (dataSpanCorruption _),
+    "data_vocab_coverage" -> (dataVocabCoverage _),
+    "data_interleave_order" -> (dataInterleaveOrder _),
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "data_mix_weights" -> (dataMixWeights _),
     "data_mix_plan" -> (dataMixPlan _),
@@ -2300,6 +2460,9 @@ object LlmQueries {
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
     "data_snapshot_drift" -> dataSnapshotDriftSql,
     "data_decontamination_semantic" -> dataDecontaminationSemanticSql,
+    "data_span_corruption" -> dataSpanCorruptionSql,
+    "data_vocab_coverage" -> dataVocabCoverageSql,
+    "data_interleave_order" -> dataInterleaveOrderSql,
     "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
     "data_mix_weights" -> dataMixWeightsSql,
     "data_mix_plan" -> dataMixPlanSql,

@@ -44,6 +44,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row corpus-total broadcast normalizes per-source weights",
     "text_tfidf_top_terms" ->
       "1-row corpus doc-count broadcast scales the fixed-point idf",
+    "data_interleave_order" ->
+      "1-row (source, length) control-vector broadcast — the closed-form rank that replaces the global sort",
     "data_snapshot_drift" ->
       "1-row snapshot-totals and 1-row TV-distance broadcasts; the count build is a single conditional aggregation",
     "data_mix_plan" ->
