@@ -830,9 +830,14 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L,
       threshold: Double = 0.45): DataFrame = {
+    // materialize the assignment ONCE: it feeds both pair legs, the
+    // label join and the keeper derivation — without this, each of the
+    // four consumers replays the full k-means lineage (its iterated
+    // broadcast-cross assignments), measured ~2× the query's wall
     val assigned = kmeansCore(df, idCol, vecCol, k, iterations, quantScale)
       .withColumn("__n2", expr(
         "aggregate(__q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      .localCheckpoint(true)
     val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
       col("__q").as("__qa"), col("__n2").as("__na2"))
     val b = assigned.select(col(idCol).as("id_b"), col("cluster"),
