@@ -2082,6 +2082,67 @@ object LlmQueries {
       |           AND k2.neighbor_id = k.query_id) AS mutual
       |FROM k ORDER BY query_id, rank""".stripMargin
 
+  // -- semantic communities over the mutual kNN graph -------------------------
+  /** Connected components over the MUTUAL-kNN edge set (the standard
+    * mutual-kNN clustering step downstream of `ann_knn_graph`: mutual
+    * edges are the noise-robust ones, and their components are the
+    * semantic communities diversity sampling draws from). Same
+    * exhaustive-regime IVF construction as `ann_knn_graph` (oracle =
+    * exact all-pairs top-5), mutual filter = one reversed-key
+    * self-equi-join, CC = pointer doubling (O(log d) rounds), labels
+    * joined back for interpretability. Never pairwise in the corpus —
+    * the edge set is ≤ 5n before the mutual filter.
+    */
+  def annGraphComponents(s: SparkSession, dir: String): DataFrame = {
+    val sub = embs(s, dir).filter(pmod(col("vec_id"), lit(8)) === 0)
+    val base = Similarity.ivfTopK(sub, sub, "vec_id", "embedding",
+      nCells = 16, nProbe = 16, k = 6)
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val top5 = base.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank2", row_number().over(w))
+      .filter(col("rank2") <= 5)
+      .select("query_id", "neighbor_id")
+    val rev = top5.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"), lit(true).as("__mut"))
+    val mutual = top5.join(rev, Seq("query_id", "neighbor_id"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val cl = Dedup.dupClusters(sub.select("vec_id"), "vec_id", mutual)
+      .select(col("vec_id"), col("cluster_id").as("component"),
+        col("cluster_size").as("comp_size"))
+    sub.select("vec_id", "label").join(cl, "vec_id")
+      .select("vec_id", "label", "component", "comp_size")
+      .orderBy("vec_id")
+  }
+
+  val annGraphComponentsSql: String =
+    """WITH RECURSIVE s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 8 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      |  FROM s a JOIN s b ON b.vec_id <> a.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM p),
+      |k AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+      |m AS (
+      |  SELECT k.query_id AS a, k.neighbor_id AS b FROM k
+      |  WHERE EXISTS(SELECT 1 FROM k k2 WHERE k2.query_id = k.neighbor_id
+      |                 AND k2.neighbor_id = k.query_id)
+      |    AND k.query_id < k.neighbor_id),
+      |edges AS (SELECT a, b FROM m UNION SELECT b, a FROM m),
+      |reach(id, lab) AS (
+      |  SELECT vec_id, vec_id FROM s
+      |  UNION
+      |  SELECT e.b, r2.lab FROM reach r2 JOIN edges e ON e.a = r2.id),
+      |lab AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+      |cs AS (SELECT component, COUNT(*) AS comp_size FROM lab GROUP BY 1)
+      |SELECT s.vec_id, s.label, lab.component,
+      |  CAST(cs.comp_size AS BIGINT) AS comp_size
+      |FROM s JOIN lab ON lab.id = s.vec_id JOIN cs USING (component)
+      |ORDER BY s.vec_id""".stripMargin
+
   // -- per-dimension embedding statistics -------------------------------------
   /** Per-DIMENSION corpus statistics — the normalization /
     * sanity-audit frame an embedding pipeline publishes (dead or
@@ -2406,6 +2467,7 @@ object LlmQueries {
     "ann_ivf_cosine" -> (annIvf _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_knn_graph" -> (annKnnGraph _),
+    "ann_graph_components" -> (annGraphComponents _),
     "embedding_dim_stats" -> (embeddingDimStats _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -2475,6 +2537,7 @@ object LlmQueries {
     "ann_ivf_cosine" -> annIvfSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_knn_graph" -> annKnnGraphSql,
+    "ann_graph_components" -> annGraphComponentsSql,
     "embedding_dim_stats" -> embeddingDimStatsSql,
     "embedding_knn_join" -> knnJoinSql,
     "multimodal_pipeline" -> multimodalSql)

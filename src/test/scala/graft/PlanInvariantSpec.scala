@@ -54,12 +54,17 @@ class PlanInvariantSpec extends SparkSpec {
       "broadcast-small centroid set (√n rows) crossed for probe assignment — the IVF design",
     "ann_knn_graph" ->
       "same bounded centroid broadcast-cross as ann_ivf_cosine (self-kNN at nProbe=nCells); edge list and mutual flag are equi-joins",
+    // ann_graph_components runs the same centroid broadcast-cross, but
+    // it executes inside dupClusters' eager per-round checkpoints, so
+    // the FINAL plan the gate sees starts from checkpointed RDDs — no
+    // whitelist entry needed (the stale-pruning assert enforces this)
     "ann_ivf_pq" ->
       "same bounded centroid broadcast-cross as ann_ivf_cosine; cell scoring and rescore are equi-joins",
     "embedding_kmeans" ->
       "k×dims centroid control frame broadcast-crossed for assignment (collapses map-side to one row per vector); the corpus never shuffles",
-    "dedup_semantic" ->
-      "same k-means centroid broadcast-cross as embedding_kmeans (SemDeDup's cell stage); the within-cell pair stage is an equi-join on the cell id",
+    // dedup_semantic's k-means broadcast-cross executes inside the
+    // eager assignment checkpoint (see semanticDedup), so the final
+    // plan carries only equi-joins — no whitelist entry needed
     "ann_bruteforce_cosine" ->
       "brute force IS the semantics (the exact top-k oracle): broadcast-small query set scored against every corpus vector",
     "q22_sales_opportunity" ->
