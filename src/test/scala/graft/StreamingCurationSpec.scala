@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming CURATION loop — the nightly-ingest shape a training
+  * corpus actually runs: per micro-batch, PII scrub → Gopher/C4
+  * quality gate → incremental near-dup probe+fold against the
+  * standing index ([[Dedup.StreamingDedup]], O(batch) per night).
+  * This spec proves the loop ≡ the one-shot batch chain
+  * (`corpus_curation_e2e`'s stages) over the same corpus: identical
+  * verified pair set, identical per-source retention — and that
+  * dedup runs on the SCRUBBED text (a near-dup differing only by a
+  * redacted email is still caught).
+  */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stop = "the and of to in"
+  // ~40 words, quality-passing: enough stopword hits, mean word
+  // length in range, all-alpha words
+  private def para(theme: String, tail: String): String =
+    s"$stop quick brown foxes wander across $theme meadows while " +
+      s"rivers flow gently under bridges and travelers rest beside " +
+      s"warm fires telling stories about distant mountains $tail " +
+      s"$stop evening winds carry voices far away"
+
+  private val t1 = para("green", "before dawn")
+  private val t1near = para("green", "after dawn") // one word differs
+  private val t2 = para("silver", "beyond hills")
+  private val t2mail = t2.replace("telling stories",
+    "telling alice@example.com stories") // scrubs to a 1-token diff of t2
+
+  private def curateBatch(b: DataFrame): DataFrame =
+    TextOps.gopherFilters(
+        TextOps.piiScrub(b, "text")
+          .select(col("doc_id"), col("source"), col("scrubbed").as("text")),
+        "text")
+      .filter(col("keep"))
+      .select("doc_id", "source", "text")
+
+  test("streaming scrub→gate→dedup loop ≡ the batch curation chain") {
+    val batches = Seq(
+      Seq((1L, "a", t1), (5L, "a", "too short to pass the word gate")),
+      Seq((2L, "b", t1near), (6L, "b", s"code block { inside } $t2")),
+      Seq((3L, "a", t2), (4L, "b", t2mail))
+    ).map(_.toDF("doc_id", "source", "text"))
+
+    // the loop: start from an EMPTY index so every pair (including
+    // batch-internal ones) surfaces through ingest exactly once
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val state = new Dedup.StreamingDedup(
+      Dedup.buildDedupIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text"),
+      tmp, compactEvery = 2, "doc_id", "text", threshold = 0.8)
+    val survivors = batches.map(curateBatch)
+    val streamedPairs = survivors
+      .map(b => state.ingest(b.select("doc_id", "text")))
+      .reduce(_ unionByName _)
+
+    def norm(df: DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .sorted.toSeq
+
+    // batch chain over the SAME corpus: scrub → gate → verified pairs
+    val allSurvivors = survivors.reduce(_ unionByName _)
+    val batchPairs = Dedup.verifiedDupPairs(
+      allSurvivors, "doc_id", "text", threshold = 0.8)
+
+    val streamed = norm(streamedPairs)
+    assert(streamed == norm(batchPairs), "loop pair set must equal batch chain")
+    // the quality gate dropped 5 and 6 BEFORE dedup ever saw them
+    assert(streamed.flatMap(p => Seq(p._1, p._2)).toSet == Set(1L, 2L, 3L, 4L))
+    // dedup ran on the SCRUBBED text: 3≈4 differ only by the redacted
+    // email token, and the cross-batch near-dup 1≈2 crossed the boundary
+    assert(streamed.exists(p => (p._1, p._2) == (3L, 4L)))
+    assert(streamed.exists(p => (p._1, p._2) == (1L, 2L)))
+
+    // per-source retention from the loop's pairs == the batch chain's
+    def retention(pairs: DataFrame) =
+      Dedup.dupClusters(allSurvivors, "doc_id", pairs.select("id_a", "id_b"))
+        .join(allSurvivors.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pass"),
+          sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"))
+        .as[(String, Long, Long)].collect().sorted.toSeq
+    val streamedRetention = retention(streamedPairs)
+    assert(streamedRetention == retention(batchPairs))
+    // canonical keeps: 1 survives (2 is its dup), 3 survives (4 is its
+    // dup) — source a keeps both its passing docs, b keeps none
+    assert(streamedRetention == Seq(("a", 2L, 2L), ("b", 2L, 0L)))
+  }
+}
