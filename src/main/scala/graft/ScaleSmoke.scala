@@ -122,7 +122,12 @@ object ScaleSmoke {
         ("dedup_incremental", 1.33, LlmQueries.dedupIncremental _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),
         ("dedup_embedding_incr@0.8", 1.33, embeddingIncr),
-        ("dedup_apply", 1.33, LlmQueries.dedupApply _))
+        ("dedup_apply", 1.33, LlmQueries.dedupApply _),
+        // the text-scrub family one order beyond its 10× rows: both are
+        // df-gate + per-doc regroup plans with no pairwise term, so the
+        // 100× wall should track ~linear like the 10× measurements did
+        ("dedup_lines", 1.0, LlmQueries.dedupLines _),
+        ("dedup_substrings", 1.0, LlmQueries.dedupSubstrings _))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),

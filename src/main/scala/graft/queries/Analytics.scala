@@ -355,6 +355,76 @@ object Analytics {
       |FROM ac JOIN sz USING (cohort_day)
       |ORDER BY cohort_day, week_offset""".stripMargin
 
+  /** Strict-order windowed funnel — the production funnel shape
+    * (`q_event_funnel` is the unordered conditional-min variant):
+    * signup → first click STRICTLY AFTER it → first purchase strictly
+    * after THAT click, all within 7 days of signup, rolled up per
+    * signup-day cohort with stepwise conversion rates. Three
+    * conditional-min aggregations all keyed on user_id — the event
+    * table's one shuffle key — so the step joins co-partition with no
+    * extra exchange; the event-type predicates push to the scans.
+    * Interval arithmetic (`ts + INTERVAL 7 DAY`) and the epoch-day
+    * cohort index are engine-portable exact.
+    */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val cl = ev.filter(col("event_type") === "click")
+      .join(su, "user_id")
+      .filter(col("ts") > col("t_signup") &&
+        col("ts") <= col("t_signup") + expr("INTERVAL 7 DAY"))
+      .groupBy("user_id")
+      .agg(min("ts").as("t_click"), min("t_signup").as("t_signup"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(cl, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_signup") + expr("INTERVAL 7 DAY"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    val epoch = to_date(lit("1970-01-01"))
+    su.join(cl.select(col("user_id"), lit(true).as("__c")), Seq("user_id"), "left")
+      .join(pu.select(col("user_id"), lit(true).as("__p")), Seq("user_id"), "left")
+      .groupBy(datediff(to_date(col("t_signup")), epoch).cast("long")
+        .as("signup_day"))
+      .agg(count(lit(1)).as("n_signup"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("n_purchased"))
+      .withColumn("click_rate",
+        col("n_clicked").cast("double") / col("n_signup").cast("double"))
+      .withColumn("purchase_rate",
+        col("n_purchased").cast("double") / col("n_signup").cast("double"))
+      .orderBy("signup_day")
+  }
+
+  val funnelWindowedSql: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(ts) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |cl AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click, MIN(su.t_signup) AS t_signup
+      |  FROM events e JOIN su USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > su.t_signup
+      |    AND e.ts <= su.t_signup + INTERVAL 7 DAY
+      |  GROUP BY e.user_id),
+      |pu AS (
+      |  SELECT c.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN cl c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_signup + INTERVAL 7 DAY
+      |  GROUP BY c.user_id)
+      |SELECT
+      |  CAST(datediff('day', DATE '1970-01-01', CAST(su.t_signup AS DATE)) AS BIGINT)
+      |    AS signup_day,
+      |  COUNT(*) AS n_signup,
+      |  CAST(COUNT(cl.user_id) AS BIGINT) AS n_clicked,
+      |  CAST(COUNT(pu.user_id) AS BIGINT) AS n_purchased,
+      |  CAST(COUNT(cl.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS click_rate,
+      |  CAST(COUNT(pu.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS purchase_rate
+      |FROM su
+      |LEFT JOIN cl ON cl.user_id = su.user_id
+      |LEFT JOIN pu ON pu.user_id = su.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Pivot: orders per market segment × order year. `groupBy.pivot`
     * with explicit pivot values (never let Spark scan for distinct
     * pivot keys at 100 TB — declare them).
@@ -870,6 +940,7 @@ object Analytics {
     "q6_revenue_forecast" -> (q6Forecast _),
     "q_rolling_7d" -> (rolling7d _),
     "q_cohort_retention" -> (cohortRetention _),
+    "q_funnel_windowed" -> (funnelWindowed _),
     "q_pivot_segment_year" -> (pivotSegmentYear _),
     "q_salted_agg" -> (saltedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -896,6 +967,7 @@ object Analytics {
     "q6_revenue_forecast" -> q6Sql,
     "q_rolling_7d" -> rolling7dSql,
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_funnel_windowed" -> funnelWindowedSql,
     "q_pivot_segment_year" -> pivotSql,
     "q_salted_agg" -> saltedAggSql,
     "q1_pricing_summary" -> q1Sql,

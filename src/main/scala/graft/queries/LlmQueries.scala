@@ -1059,6 +1059,63 @@ object LlmQueries {
       |FROM ix GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // -- code-vs-prose detection -------------------------------------------------
+  /** Heuristic code detection — the routing gate a mixed crawl runs
+    * before prose-only quality filters mangle source files (code goes
+    * to the code pipeline, prose to Gopher/C4). Signals are the
+    * standard shape heuristics, all codegen'd: brace/semicolon counts
+    * (length-diff trick — no regex engine in the hot path for single
+    * chars), code-keyword hits, and per-word ratios; the verdict is a
+    * boolean expression over them. The synthetic corpus has no code,
+    * so — like the PII op's injected PII — docs with id % 7 == 0 get a
+    * deterministic snippet appended, and the oracle re-derives the
+    * injection and every signal independently.
+    */
+  def textCodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(col("text"),
+      when(id % 7 === 0, concat(lit(" function f"), id.cast("string"),
+        lit("() { var x = "), (id % 97).cast("string"),
+        lit("; return x * x; } // generated"))).otherwise(lit("")))
+    def charCount(c: Column, ch: String): Column =
+      (length(c) - length(regexp_replace(c, lit("\\" + ch), lit("")))).cast("long")
+    docs(s, dir).select(col("doc_id"), t.as("t"))
+      .withColumn("n_braces", charCount(col("t"), "{") + charCount(col("t"), "}"))
+      .withColumn("n_semis",
+        (length(col("t")) - length(regexp_replace(col("t"), ";", ""))).cast("long"))
+      .withColumn("keyword_hits", regexp_count(col("t"),
+        lit("\\b(function|var|return|def|class|import)\\b")).cast("long"))
+      .withColumn("n_words", size(split(trim(col("t")), "\\s+")).cast("long"))
+      .withColumn("brace_ratio",
+        col("n_braces").cast("double") / col("n_words").cast("double"))
+      .withColumn("is_code",
+        col("n_braces") >= 2 && (col("n_semis") >= 1 || col("keyword_hits") >= 2))
+      .select("doc_id", "n_braces", "n_semis", "keyword_hits", "n_words",
+        "brace_ratio", "is_code")
+      .orderBy("doc_id")
+  }
+
+  val textCodeDetectSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' function f' || CAST(doc_id AS VARCHAR) || '() { var x = ' ||
+      |              CAST(doc_id % 97 AS VARCHAR) || '; return x * x; } // generated'
+      |         ELSE '' END AS t
+      |  FROM documents),
+      |sg AS (
+      |  SELECT doc_id,
+      |    CAST(length(t) - length(replace(t, '{', '')) +
+      |         length(t) - length(replace(t, '}', '')) AS BIGINT) AS n_braces,
+      |    CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS n_semis,
+      |    CAST(len(regexp_extract_all(t, '\b(function|var|return|def|class|import)\b')) AS BIGINT) AS keyword_hits,
+      |    CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) AS n_words
+      |  FROM inj)
+      |SELECT doc_id, n_braces, n_semis, keyword_hits, n_words,
+      |  CAST(n_braces AS DOUBLE) / CAST(n_words AS DOUBLE) AS brace_ratio,
+      |  n_braces >= 2 AND (n_semis >= 1 OR keyword_hits >= 2) AS is_code
+      |FROM sg ORDER BY doc_id""".stripMargin
+
   // -- source-interleaved training order --------------------------------------
   /** The GLOBAL training-stream order (round-robin interleave of
     * sources: position-0 docs of every source first, then position-1,
@@ -2450,6 +2507,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
     "data_zorder_layout" -> (dataZorderLayout _),
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
+    "text_code_detect" -> (textCodeDetect _),
     "data_snapshot_drift" -> (dataSnapshotDrift _),
     "data_decontamination_semantic" -> (dataDecontaminationSemantic _),
     "data_span_corruption" -> (dataSpanCorruption _),
@@ -2520,6 +2578,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
     "data_zorder_layout" -> dataZorderLayoutSql,
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
+    "text_code_detect" -> textCodeDetectSql,
     "data_snapshot_drift" -> dataSnapshotDriftSql,
     "data_decontamination_semantic" -> dataDecontaminationSemanticSql,
     "data_span_corruption" -> dataSpanCorruptionSql,
