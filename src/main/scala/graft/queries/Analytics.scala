@@ -425,6 +425,57 @@ object Analytics {
       |LEFT JOIN pu ON pu.user_id = su.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Daily purchase-count anomaly gate — the ops-monitoring query
+    * every event pipeline runs (alert when a day deviates > 3σ from
+    * the period mean). The whole 3σ test is INTEGER-EXACT cross-
+    * multiplication, so both engines agree bit-for-bit with no float
+    * mean/variance: with `dev_i = cnt_i·n − total`, the condition
+    * `(cnt_i−μ)² > 9σ²` is exactly `dev_i²·n > 9·Σ dev_j²` (multiply
+    * through by n³). The z column is one double chain for
+    * readability; the VERDICT never touches a float. One day-grain
+    * aggregation plus two 1-row control broadcasts (mean inputs, then
+    * the variance numerator).
+    */
+  def purchaseAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(datediff(to_date(col("ts")), epoch).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val m = daily.agg(count(lit(1)).as("n_days"),
+      sum("n_purchases").as("total"))
+    val dev = daily.crossJoin(broadcast(m))
+      .withColumn("dev_num", col("n_purchases") * col("n_days") - col("total"))
+    val v = dev.agg(sum((col("dev_num") * col("dev_num")).cast("decimal(38,0)"))
+      .as("var_num"))
+    dev.crossJoin(broadcast(v))
+      .withColumn("z", (col("dev_num").cast("double") *
+        sqrt(col("n_days").cast("double"))) / sqrt(col("var_num").cast("double")))
+      .withColumn("is_anomaly",
+        (col("dev_num") * col("dev_num")).cast("decimal(38,0)") * col("n_days") >
+          col("var_num") * 9)
+      .select("day", "n_purchases", "dev_num", "z", "is_anomaly")
+      .orderBy("day")
+  }
+
+  val purchaseAnomalyDaysSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+      |    COUNT(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS n_days, CAST(SUM(n_purchases) AS BIGINT) AS total FROM daily),
+      |dev AS (
+      |  SELECT day, n_purchases, n_days,
+      |    n_purchases * n_days - total AS dev_num
+      |  FROM daily CROSS JOIN m),
+      |v AS (SELECT SUM(CAST(dev_num * dev_num AS DECIMAL(38,0))) AS var_num FROM dev)
+      |SELECT day, n_purchases, dev_num,
+      |  (CAST(dev_num AS DOUBLE) * sqrt(CAST(n_days AS DOUBLE))) /
+      |    sqrt(CAST(var_num AS DOUBLE)) AS z,
+      |  CAST(dev_num * dev_num AS DECIMAL(38,0)) * n_days > var_num * 9 AS is_anomaly
+      |FROM dev CROSS JOIN v
+      |ORDER BY day""".stripMargin
+
   /** Pivot: orders per market segment × order year. `groupBy.pivot`
     * with explicit pivot values (never let Spark scan for distinct
     * pivot keys at 100 TB — declare them).
@@ -941,6 +992,7 @@ object Analytics {
     "q_rolling_7d" -> (rolling7d _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_windowed" -> (funnelWindowed _),
+    "q_purchase_anomaly_days" -> (purchaseAnomalyDays _),
     "q_pivot_segment_year" -> (pivotSegmentYear _),
     "q_salted_agg" -> (saltedAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -968,6 +1020,7 @@ object Analytics {
     "q_rolling_7d" -> rolling7dSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_funnel_windowed" -> funnelWindowedSql,
+    "q_purchase_anomaly_days" -> purchaseAnomalyDaysSql,
     "q_pivot_segment_year" -> pivotSql,
     "q_salted_agg" -> saltedAggSql,
     "q1_pricing_summary" -> q1Sql,

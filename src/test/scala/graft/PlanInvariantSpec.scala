@@ -48,6 +48,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row (source, length) control-vector broadcast — the closed-form rank that replaces the global sort",
     "data_snapshot_drift" ->
       "1-row snapshot-totals and 1-row TV-distance broadcasts; the count build is a single conditional aggregation",
+    "q_purchase_anomaly_days" ->
+      "1-row mean-input and 1-row variance-numerator control broadcasts for the integer-exact 3-sigma gate",
     "data_mix_plan" ->
       "same 1-row totals broadcast; all other joins are equi-joins on source/bucket",
     "ann_ivf_cosine" ->
