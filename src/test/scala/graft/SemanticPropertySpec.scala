@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.Similarity
+import scala.util.Random
+
+/** Property check for [[Similarity.semanticDedup]]: on seeded random
+  * vector corpora (identical groups, perturbed near-dups, unrelated
+  * noise) the distributed pipeline must emit EXACTLY what a naive
+  * in-memory reimplementation of the SemDeDup recipe produces —
+  * quantization, seeded k-means with portable floor-division updates,
+  * within-cell quantized cosine, min-label components, and the
+  * farthest-from-centroid keep rule, step for step. Catches any drift
+  * between the Spark expressions and the documented semantics that a
+  * single fixture oracle might not exercise.
+  */
+class SemanticPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveSemantic(rows: Seq[(Long, Array[Float])], k: Int,
+      iterations: Int, qs: Long, thr: Double)
+      : Map[Long, (Long, Long, Long, Long, Boolean)] = {
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => BigDecimal(x.toDouble * qs)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val q = rows.map { case (id, v) => (id, quant(v)) }.sortBy(_._1)
+    val qm = q.toMap
+    val ids = q.map(_._1)
+    var cents: Seq[(Long, Array[Long])] =
+      q.take(k).zipWithIndex.map { case ((_, qv), i) => (i.toLong, qv) }
+    def assign(): Map[Long, (Long, Long)] = q.map { case (id, qv) =>
+      val (d2, c) = cents.map { case (c, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min
+      id -> (c, d2)
+    }.toMap
+    for (_ <- 1 until iterations) {
+      val a = assign()
+      cents = q.groupBy(p => a(p._1)._1).toSeq.sortBy(_._1).map {
+        case (c, members) =>
+          val n = members.size.toLong
+          (c, members.head._2.indices
+            .map(d => Math.floorDiv(members.map(_._2(d)).sum, n)).toArray)
+      }
+    }
+    val fin = assign()
+    val n2 = q.map { case (id, qv) => id -> qv.map(x => x * x).sum }.toMap
+    val edges = for {
+      a <- ids; b <- ids
+      if a < b && fin(a)._1 == fin(b)._1
+      dot = qm(a).zip(qm(b)).map { case (x, y) => x * y }.sum
+      cos = dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+      if cos >= thr
+    } yield (a, b)
+    val label = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((a, b) <- edges) {
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label(a) = m; changed = true }
+        if (label(b) != m) { label(b) = m; changed = true }
+      }
+      for (i <- ids) {
+        val l = label(label(i))
+        if (l != label(i)) { label(i) = l; changed = true }
+      }
+    }
+    val groups = ids.groupBy(label)
+    ids.map { id =>
+      val g = label(id)
+      val mem = groups(g)
+      val keeper = mem.map(i => (-fin(i)._2, i)).min._2 // max dist2, tie min id
+      id -> (fin(id)._1, fin(id)._2, g, mem.size.toLong, id == keeper)
+    }.toMap
+  }
+
+  test("semanticDedup == naive SemDeDup reimplementation on random corpora") {
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new Random(seed)
+      def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val bases = Seq.fill(4)(vec())
+      val rows: Seq[(Long, Array[Float])] = (1L to 28L).map { i =>
+        rnd.nextInt(4) match {
+          case 0 => (i, bases(rnd.nextInt(bases.length))) // identical member
+          case 1 => // tight perturbation: a near-dup inside the same cell
+            val b = bases(rnd.nextInt(bases.length))
+            (i, b.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+          case _ => (i, vec()) // unrelated noise
+        }
+      }
+      val want = naiveSemantic(rows, k = 4, iterations = 2, qs = 1000L, thr = 0.7)
+      val got = Similarity.semanticDedup(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 4, iterations = 2, threshold = 0.7)
+        .collect().map { r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getBoolean(5))
+        }.toMap
+      assert(got == want, s"seed $seed: pipeline diverged from naive SemDeDup")
+      // non-degenerate: the corpus must actually contain dup groups
+      assert(want.values.exists(v => v._4 > 1), s"seed $seed: no dup groups")
+      assert(want.values.exists(v => !v._5), s"seed $seed: nothing pruned")
+    }
+  }
+}
