@@ -276,6 +276,25 @@ object GraftFunctions {
     QuantizedCosine(exprs(0), exprs(1), exprs(2), exprs(3))
   }
 
+  // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+  // own runtime row-level filtering but does not expose them in the
+  // SQL registry; graft's Membership ops surface them (same codegen'd
+  // implementations, nothing re-implemented). The analyzer wraps a raw
+  // AggregateFunction returned from a registry builder.
+  val bloomAggBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3,
+      s"graft_bloom_agg requires (hash, expectedItems, numBits), got ${exprs.length} args")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprs(0), exprs(1), exprs(2))
+  }
+
+  val mightContainBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"graft_might_contain requires (bloom, hash), got ${exprs.length} args")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     // idempotent: re-registering per query spams "replaced a previously
     // registered function" warnings into the bench/verify output
@@ -286,6 +305,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBucketsBuilder, "built-in")
     if (!reg.functionExists(FunctionIdentifier("graft_cosine_q")))
       reg.createOrReplaceTempFunction("graft_cosine_q", cosineQBuilder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg")))
+      reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_might_contain")))
+      reg.createOrReplaceTempFunction("graft_might_contain", mightContainBuilder, "built-in")
   }
 }
 

@@ -989,6 +989,36 @@ object LlmQueries {
       |JOIN kp ON kp.id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  // -- bloom-prefiltered decontamination --------------------------------------
+  /** The 100 TB execution shape of `data_decontamination`: when the
+    * train fingerprint set is too large to broadcast exactly, its
+    * Bloom filter is not — [[graft.ops.Membership]] embeds the filter
+    * as a plan literal, `might_contain` pre-filters the probing side
+    * with zero shuffle, and the exact semi-join runs only on the
+    * candidates (no false negatives, so output ≡ the plain
+    * semi-join). Shares `data_decontamination`'s oracle — the driver
+    * proves the two modes produce BIT-IDENTICAL reports, the
+    * curriculum cutpoints precedent.
+    */
+  def dataDecontaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val bucket = splitBucket(col("doc_id"))
+    val withSplit = docs(s, dir)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val trainFps = withSplit.filter(col("split") === "train").select("fp").distinct()
+    val test = withSplit.filter(col("split") =!= "train")
+    val bloom = graft.ops.Membership.buildBloom(trainFps, "fp",
+      expectedItems = 100000L, numBits = 1L << 20)
+    val contaminated = graft.ops.Membership.bloomCandidates(test, bloom, "fp")
+      .join(trainFps, Seq("fp"), "left_semi")
+    test.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(contaminated.groupBy("split").agg(count(lit(1)).as("n_contaminated")),
+        Seq("split"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .orderBy("split")
+  }
+
   // -- T5/UL2 span corruption -------------------------------------------------
   /** Span-corruption preprocessing (the T5/UL2 denoising objective's
     * data prep): mask ~20 % of each document's 3-token blocks, replace
@@ -2496,6 +2526,7 @@ object LlmQueries {
     "text_rare_token_stats" -> (textRareTokens _),
     "data_split_stratified" -> (dataSplitStratified _),
     "data_decontamination" -> (dataDecontamination _),
+    "data_decontamination_bloom" -> (dataDecontaminationBloom _),
     "data_sample_by_source" -> (dataSampleBySource _),
     "data_shard_assign" -> (dataShardAssign _),
     "data_source_caps" -> (dataSourceCaps _),
@@ -2565,6 +2596,9 @@ object LlmQueries {
     "text_rare_token_stats" -> textRareTokensSql,
     "data_split_stratified" -> dataSplitSql,
     "data_decontamination" -> dataDecontaminationSql,
+    // the bloom-prefiltered mode must produce a BIT-IDENTICAL report —
+    // it shares the exact mode's oracle (the curriculum precedent)
+    "data_decontamination_bloom" -> dataDecontaminationSql,
     "data_sample_by_source" -> dataSampleBySourceSql,
     "data_shard_assign" -> dataShardAssignSql,
     "data_source_caps" -> dataSourceCapsSql,
