@@ -43,6 +43,14 @@ for name, sql in sorted(oracle.items()):
             if w_dt:
                 wv = pd.to_datetime(wv).dt.tz_localize(None) if getattr(wv.dt, 'tz', None) is None else pd.to_datetime(wv).dt.tz_convert(None)
                 gv = pd.to_datetime(gv).dt.tz_localize(None) if getattr(gv.dt, 'tz', None) is None else pd.to_datetime(gv).dt.tz_convert(None)
+            elif str(wv.dtype) != str(gv.dtype):
+                # DTYPE-STRICT (r10): the driver hashes a serialized frame, so a
+                # DuckDB HUGEINT/DOUBLE next to a Spark BIGINT hash-mismatches even
+                # when every value compares equal (r9's data_shard_assign).  Mirror
+                # that: any non-datetime dtype inequality is a local FAIL, forcing
+                # the oracle SQL to carry explicit CASTs.
+                mismatch = f"col {c}: dtype mismatch want={wv.dtype} got={gv.dtype}"
+                break
             eq = (wv.astype(object).where(pd.notna(wv), None) ==
                   gv.astype(object).where(pd.notna(gv), None)) | (pd.isna(wv) & pd.isna(gv))
             if not eq.all():

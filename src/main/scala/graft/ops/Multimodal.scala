@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   * decode stage parses them with `ImageIO.read` /
   * `AudioSystem.getAudioInputStream`, deriving every checked column
   * (dims, sample count, checksum, mean) from the decoded raster or PCM
-  * frames. Video byte decode stays a deterministic md5 stub (no video
-  * codec exists in the JDK), but the Spark-side shape — binary column
-  * schema, metadata struct, typed `mapPartitions` batching (the Scala
-  * analogue of `mapInPandas`: one iterator per partition so codec/model
-  * init amortizes, exactly how a GPU feature extractor is wired), and
-  * the per-media-type partitioning contract — is identical for all
-  * three.
+  * frames. Video decode is REAL too: rows carry an uncompressed
+  * RIFF/AVI file (written and re-parsed by the same hand-rolled RIFF
+  * chunk discipline as the WAVE path — no JDK video codec exists, but
+  * AVI's container is plain RIFF and its DIB frames are plain
+  * bitmaps), and every checked column derives from the parsed frames.
+  * The Spark-side shape — binary column schema, metadata struct, typed
+  * `mapPartitions` batching (the Scala analogue of `mapInPandas`: one
+  * iterator per partition so codec/model init amortizes, exactly how a
+  * GPU feature extractor is wired), and the per-media-type
+  * partitioning contract — is identical for all three. The md5 path
+  * remains only as the degrade-to-opaque fallback for genuinely coded
+  * formats.
   */
 object Multimodal {
 
@@ -36,11 +41,11 @@ object Multimodal {
       feature: Array[Float])
 
   /** Attach a binary payload + metadata to each document. Image rows
-    * get a REAL PNG, audio rows a REAL WAV (rendered per partition —
-    * stands in for fetching media bytes from object storage); video
-    * rows get synthetic bytes derived from the doc id and text.
-    * Fixture dims and pixel/sample content are pure functions of the
-    * id, so an oracle can predict what a correct decode must recover.
+    * get a REAL PNG, audio rows a REAL WAV, video rows a REAL
+    * uncompressed RIFF/AVI (all rendered per partition — stands in
+    * for fetching media bytes from object storage). Fixture dims and
+    * pixel/sample content are pure functions of the id, so an oracle
+    * can predict what a correct decode must recover.
     */
   def attachPayloads(docs: DataFrame, id: String, text: String): DataFrame = {
     val meta = docs.select(
@@ -58,6 +63,7 @@ object Multimodal {
         r.media_type match {
           case "image" => r.copy(payload = renderPng(r.doc_id, r.width, r.height))
           case "audio" => r.copy(payload = renderWav(r.doc_id, r.width, r.height))
+          case "video" => r.copy(payload = renderAvi(r.doc_id, r.width, r.height))
           case _ => r
         }
       }
@@ -107,11 +113,134 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic VIDEO fixture: a REAL uncompressed RIFF/AVI file
+    * (the same hand-rolled chunk discipline as the WAVE path — AVI's
+    * container IS RIFF), 8-bit palettized DIB frames, `frames`
+    * frames at 4 fps, frame f pixel (x, y) = base + x + y + f with
+    * base = id % 128 (dims ≤ 23 and frames ≤ 4 keep values < 256).
+    * The all-frames pixel sum has the closed form
+    * `F·(w·h·base + h·w(w−1)/2 + w·h(h−1)/2) + w·h·F(F−1)/2`, so SQL
+    * can verify a decode. Layout written here and re-parsed by
+    * [[decodeAvi]]: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh
+    * 'vids'/'DIB ', strf BITMAPINFOHEADER+256-gray palette}} →
+    * LIST(movi){'00db' bottom-up DIB frames, 4-byte row stride}.
+    */
+  private[ops] def renderAvi(docId: Long, w: Int, h: Int, frames: Int = 4): Array[Byte] = {
+    val base = (docId % 128).toInt
+    val stride = (w + 3) & ~3
+    val frameBytes = stride * h
+    val out = new ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+
+    // sizes, innermost out: strf = 40 BITMAPINFOHEADER + 256 RGBQUAD
+    val strfSz = 40 + 256 * 4
+    val strlSz = 4 + (8 + 56) + (8 + strfSz)       // 'strl' + strh + strf
+    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)       // 'hdrl' + avih + LIST strl
+    val moviSz = 4 + frames * (8 + frameBytes)     // 'movi' + 00db chunks
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)   // 'AVI ' + LIST hdrl + LIST movi
+
+    fourcc("RIFF"); le32(riffSz); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlSz); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(250000); le32(frameBytes * 4); le32(0); le32(0) // µs/frame, bytes/sec, pad, flags
+    le32(frames); le32(0); le32(1); le32(frameBytes)     // totalFrames, initial, streams, bufSize
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + 4 reserved
+    fourcc("LIST"); le32(strlSz); fourcc("strl")
+    fourcc("strh"); le32(56)
+    fourcc("vids"); fourcc("DIB "); le32(0); le32(0)     // type, handler, flags, prio/lang
+    le32(0); le32(1); le32(4); le32(0)                   // initialFrames, scale, rate (4 fps), start
+    le32(frames); le32(frameBytes); le32(-1); le32(0)    // length, bufSize, quality, sampleSize
+    le32(0); le32(w | (h << 16))                         // rcFrame: (0,0)-(w,h) as 4 int16s
+    fourcc("strf"); le32(strfSz)
+    le32(40); le32(w); le32(h); le32((8 << 16) | 1)      // biSize, w, h, planes=1|bpp=8
+    le32(0); le32(frameBytes); le32(0); le32(0)          // BI_RGB, sizeImage, ppm x/y
+    le32(256); le32(0)                                   // clrUsed, clrImportant
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); out.write(0); c += 1 } // gray RGBQUADs
+    fourcc("LIST"); le32(moviSz); fourcc("movi")
+    var f = 0
+    while (f < frames) {
+      fourcc("00db"); le32(frameBytes)
+      var y = h - 1                                      // DIB rows are bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < stride) {
+          out.write(if (x < w) base + x + y + f else 0)  // stride padding is zeros
+          x += 1
+        }
+        y -= 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  private[ops] case class AviFrames(width: Int, height: Int, frames: Array[Array[Int]])
+
+  /** A real RIFF/AVI chunk-walk parse (the video analogue of the WAVE
+    * parser): validates RIFF/'AVI ', reads dims + bit depth from the
+    * BITMAPINFOHEADER in strf, then decodes every '00db'/'00dc' movi
+    * chunk as a bottom-up 8-bit DIB with 4-byte row stride, returning
+    * per-frame pixel rasters (row-major, top-down). None for anything
+    * malformed or compressed — one corrupt object must degrade to the
+    * opaque path, never fail a 100 TB job.
+    */
+  private[ops] def decodeAvi(bytes: Array[Byte]): Option[AviFrames] = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    try {
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var w = -1; var h = -1; var bpp = -1; var compression = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      // walk (listEnd-bounded) chunk sequences; LISTs recurse one level at a time
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off); val sz = le32(off + 4)
+          val body = off + 8
+          if (body + sz > end) return // truncated chunk: stop, keep what parsed
+          if (id == "LIST" && sz >= 4) {
+            val listType = fourcc(body)
+            walk(body + 4, body + sz, inMovi || listType == "movi")
+          } else if (id == "strf" && sz >= 40) {
+            w = le32(body + 4); h = le32(body + 8)
+            bpp = (le32(body + 12) >>> 16) & 0xffff
+            compression = le32(body + 16)
+          } else if (inMovi && (id == "00db" || id == "00dc") &&
+              w > 0 && h > 0 && bpp == 8 && compression == 0) {
+            val stride = (w + 3) & ~3
+            if (sz >= stride * h) {
+              val px = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                val rowOff = body + (h - 1 - y) * stride // flip bottom-up → top-down
+                var x = 0
+                while (x < w) { px(y * w + x) = bytes(rowOff + x) & 0xff; x += 1 }
+                y += 1
+              }
+              frames += px
+            }
+          }
+          off = body + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, bytes.length, inMovi = false)
+      if (w > 0 && h > 0 && frames.nonEmpty) Some(AviFrames(w, h, frames.toArray))
+      else None
+    } catch { case _: Exception => None }
+  }
+
   /** Partition-batched decode: iterate once per partition, REAL
-    * `ImageIO.read` for image rows and a real `AudioSystem` WAV parse
-    * for audio rows — dims, sample counts, checksum and mean all come
-    * from the decoded raster/frames, so a broken decoder fails the
-    * oracle. Video (and any undecodable payload) falls back to the md5
+    * `ImageIO.read` for image rows, a real `AudioSystem` WAV parse for
+    * audio rows, and a real RIFF/AVI chunk-walk for video rows — dims,
+    * sample/frame counts, checksum and mean all come from the decoded
+    * raster/frames, so a broken decoder fails the oracle. Payloads no
+    * parser accepts (genuinely coded formats) fall back to the md5
     * stub (independently computable).
     */
   def decodeFeatures(media: DataFrame, featureDim: Int = 8): Dataset[DecodedRow] = {
@@ -160,13 +289,48 @@ object Multimodal {
           case _: java.io.IOException => None
         }
 
+      // real AVI parse → per-frame rasters; columns derive from the
+      // DECODED pixels (band feature = mean over a contiguous slice of
+      // the flattened frame-order pixel stream, same shape as audio)
+      def decodeVideo(r: MediaRow): Option[DecodedRow] =
+        decodeAvi(r.payload).map { av =>
+          val nf = av.frames.length
+          val n = av.width.toLong * av.height * nf
+          var sum = 0L
+          val bandSum = new Array[Long](featureDim)
+          val bandN = new Array[Long](featureDim)
+          var i = 0L
+          var f = 0
+          while (f < nf) {
+            val px = av.frames(f)
+            var j = 0
+            while (j < px.length) {
+              val v = px(j)
+              sum += v; val b = (i * featureDim / n).toInt
+              bandSum(b) += v; bandN(b) += 1
+              i += 1; j += 1
+            }
+            f += 1
+          }
+          val checksum = hex(digest.digest(
+            s"vid:${av.width}x${av.height}:$nf:$sum".getBytes("UTF-8")))
+          val feature = Array.tabulate(featureDim) { b =>
+            if (bandN(b) == 0) 0f
+            else (bandSum(b).toDouble / bandN(b) / 255.0).toFloat
+          }
+          DecodedRow(r.doc_id, r.media_type, n.toInt, checksum,
+            sum.toDouble / n / 255.0, av.width, av.height, feature)
+        }
+
       rows.map { r =>
         // ImageIO.read returns NULL (not an exception) for bytes no
         // registered reader decodes — same degrade-to-opaque contract
         val img = if (r.media_type == "image")
           ImageIO.read(new ByteArrayInputStream(r.payload)) else null
         val audio = if (r.media_type == "audio") decodeAudio(r) else None
+        val video = if (r.media_type == "video") decodeVideo(r) else None
         if (audio.isDefined) audio.get
+        else if (video.isDefined) video.get
         else if (img != null) {
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
@@ -250,20 +414,30 @@ object Multimodal {
 
   case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
 
-  /** Frame-sampling stage for video payloads: emits every `everyMs`
-    * "frame" as its own row (one row in → many out, the real fan-out
-    * shape); frame bytes are a deterministic stub slice (no video codec
-    * in this container — the one remaining stub).
+  /** Frame-sampling stage for video payloads: a REAL AVI parse emits
+    * one row per DECODED frame (one row in → many out, the real
+    * fan-out shape), frame bytes = the frame's leading pixels, ts from
+    * the sample cadence. Payloads no parser accepts (coded formats)
+    * keep the deterministic stub fan-out, so one corrupt object
+    * degrades instead of failing the job.
     */
   def sampleFrames(media: DataFrame, durationMs: Long, everyMs: Long): Dataset[FrameRow] = {
     implicit val inEnc = Encoders.product[MediaRow]
     implicit val outEnc = Encoders.product[FrameRow]
     media.as[MediaRow].filter(_.media_type == "video").mapPartitions { rows =>
       rows.flatMap { r =>
-        (0L until durationMs by everyMs).zipWithIndex.map { case (ts, i) =>
-          val off = (i * 4) % math.max(1, r.payload.length)
-          FrameRow(r.doc_id, i, ts, r.payload.drop(off).take(8))
-        }.iterator
+        decodeAvi(r.payload) match {
+          case Some(av) =>
+            av.frames.iterator.zipWithIndex.map { case (px, i) =>
+              val head = px.take(8).map(v => v.toByte)
+              FrameRow(r.doc_id, i, i.toLong * everyMs, head)
+            }
+          case None =>
+            (0L until durationMs by everyMs).zipWithIndex.map { case (ts, i) =>
+              val off = (i * 4) % math.max(1, r.payload.length)
+              FrameRow(r.doc_id, i, ts, r.payload.drop(off).take(8))
+            }.iterator
+        }
       }
     }
   }

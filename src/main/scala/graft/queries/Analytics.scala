@@ -446,14 +446,15 @@ object Analytics {
       sum("n_purchases").as("total"))
     val dev = daily.crossJoin(broadcast(m))
       .withColumn("dev_num", col("n_purchases") * col("n_days") - col("total"))
-    val v = dev.agg(sum((col("dev_num") * col("dev_num")).cast("decimal(38,0)"))
-      .as("var_num"))
+    // Square in DECIMAL, not Long: dev_num can exceed ~3e9 at the 100 TB
+    // target, where a LongType product would silently wrap pre-cast.
+    val devSq = col("dev_num").cast("decimal(18,0)") *
+      col("dev_num").cast("decimal(18,0)")
+    val v = dev.agg(sum(devSq).as("var_num"))
     dev.crossJoin(broadcast(v))
       .withColumn("z", (col("dev_num").cast("double") *
         sqrt(col("n_days").cast("double"))) / sqrt(col("var_num").cast("double")))
-      .withColumn("is_anomaly",
-        (col("dev_num") * col("dev_num")).cast("decimal(38,0)") * col("n_days") >
-          col("var_num") * 9)
+      .withColumn("is_anomaly", devSq * col("n_days") > col("var_num") * 9)
       .select("day", "n_purchases", "dev_num", "z", "is_anomaly")
       .orderBy("day")
   }
@@ -468,11 +469,11 @@ object Analytics {
       |  SELECT day, n_purchases, n_days,
       |    n_purchases * n_days - total AS dev_num
       |  FROM daily CROSS JOIN m),
-      |v AS (SELECT SUM(CAST(dev_num * dev_num AS DECIMAL(38,0))) AS var_num FROM dev)
+      |v AS (SELECT SUM(CAST(dev_num AS DECIMAL(18,0)) * CAST(dev_num AS DECIMAL(18,0))) AS var_num FROM dev)
       |SELECT day, n_purchases, dev_num,
       |  (CAST(dev_num AS DOUBLE) * sqrt(CAST(n_days AS DOUBLE))) /
       |    sqrt(CAST(var_num AS DOUBLE)) AS z,
-      |  CAST(dev_num * dev_num AS DECIMAL(38,0)) * n_days > var_num * 9 AS is_anomaly
+      |  CAST(dev_num AS DECIMAL(18,0)) * CAST(dev_num AS DECIMAL(18,0)) * n_days > var_num * 9 AS is_anomaly
       |FROM dev CROSS JOIN v
       |ORDER BY day""".stripMargin
 
@@ -847,7 +848,7 @@ object Analytics {
   }
 
   val q22Sql: String =
-    """SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+    """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
       |FROM customer c
       |WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)

@@ -753,7 +753,7 @@ object LlmQueries {
       |  SELECT ((doc_id % 2147483647) * 48271) % 2147483647 % 16 AS shard,
       |    n_chars, doc_id
       |  FROM documents),
-      |g AS (SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+      |g AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
       |        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |      FROM a GROUP BY shard)
       |SELECT shard, n_docs, n_chars, min_doc, max_doc,
@@ -825,8 +825,8 @@ object LlmQueries {
     bucketed
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
-        min(col("n_tokens")).as("min_tokens"),
-        max(col("n_tokens")).as("max_tokens"),
+        min(col("n_tokens")).cast("long").as("min_tokens"),
+        max(col("n_tokens")).cast("long").as("max_tokens"),
         sum(col("n_chars")).as("n_chars"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("bucket")
@@ -1309,11 +1309,19 @@ object LlmQueries {
       sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
     val totals = ct.agg(sum("cnt_a").as("t_a"), sum("cnt_b").as("t_b"))
+    // Cross-multiply in DECIMAL(18,0)×DECIMAL(18,0)→DECIMAL(38,0): corpus
+    // token totals reach ~1e14 at 100 TB, so a Long product would wrap
+    // silently pre-cast. The exact decimal value drives the sum AND the
+    // ordering; the emitted column is its double image (decimal output
+    // columns hash differently across engines — Spark parquet Decimal vs
+    // DuckDB float64 — so decimals never leave the plan).
     val drifted = ct.crossJoin(broadcast(totals))
-      .withColumn("drift_num",
-        abs(col("cnt_a") * col("t_b") - col("cnt_b") * col("t_a")))
+      .withColumn("drift_exact",
+        abs(col("cnt_a").cast("decimal(18,0)") * col("t_b").cast("decimal(18,0)") -
+          col("cnt_b").cast("decimal(18,0)") * col("t_a").cast("decimal(18,0)")))
+      .withColumn("drift_num", col("drift_exact").cast("double"))
     val tv = drifted
-      .agg(sum(col("drift_num").cast("decimal(38,0)")).as("__num"),
+      .agg(sum(col("drift_exact")).as("__num"),
         min("t_a").as("__ta"), min("t_b").as("__tb"))
       .select((col("__num").cast("double") /
         (lit(2.0d) * col("__ta").cast("double") * col("__tb").cast("double")))
@@ -1322,9 +1330,10 @@ object LlmQueries {
       .withColumn("share_a", col("cnt_a").cast("double") / col("t_a").cast("double"))
       .withColumn("share_b", col("cnt_b").cast("double") / col("t_b").cast("double"))
       .select("token", "cnt_a", "cnt_b", "share_a", "share_b",
-        "drift_num", "tv_distance")
-      .orderBy(col("drift_num").desc, col("token"))
+        "drift_num", "drift_exact", "tv_distance")
+      .orderBy(col("drift_exact").desc, col("token"))
       .limit(20)
+      .drop("drift_exact")
   }
 
   val dataSnapshotDriftSql: String =
@@ -1340,18 +1349,19 @@ object LlmQueries {
       |tt AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS t_a, CAST(SUM(cnt_b) AS BIGINT) AS t_b FROM ct),
       |dr AS (
       |  SELECT token, cnt_a, cnt_b, t_a, t_b,
-      |    ABS(cnt_a * t_b - cnt_b * t_a) AS drift_num
+      |    ABS(CAST(cnt_a AS DECIMAL(18,0)) * CAST(t_b AS DECIMAL(18,0)) -
+      |        CAST(cnt_b AS DECIMAL(18,0)) * CAST(t_a AS DECIMAL(18,0))) AS drift_exact
       |  FROM ct CROSS JOIN tt),
       |tv AS (
-      |  SELECT CAST(SUM(CAST(drift_num AS DECIMAL(38,0))) AS DOUBLE) /
+      |  SELECT CAST(SUM(drift_exact) AS DOUBLE) /
       |    (2.0 * CAST(MIN(t_a) AS DOUBLE) * CAST(MIN(t_b) AS DOUBLE)) AS tv_distance
       |  FROM dr)
       |SELECT token, cnt_a, cnt_b,
       |  CAST(cnt_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS share_a,
       |  CAST(cnt_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS share_b,
-      |  drift_num, tv.tv_distance
+      |  CAST(drift_exact AS DOUBLE) AS drift_num, tv.tv_distance
       |FROM dr CROSS JOIN tv
-      |ORDER BY drift_num DESC, token
+      |ORDER BY drift_exact DESC, token
       |LIMIT 20""".stripMargin
 
   // -- per-source TF-IDF top terms --------------------------------------------
@@ -1375,11 +1385,23 @@ object LlmQueries {
     val df = toks.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    // The fixed-point numerator tf·10⁶·n_docs wraps Long at corpus scale
+    // (tf ~1e12, n_docs ~1e11 at 100 TB), so the whole floor-division runs
+    // in DECIMAL: floor(a/b) computed EXACTLY as (a − a mod b)/b — the
+    // subtraction makes the quotient an integer, so the decimal division
+    // introduces no rounding for either engine. Ranking uses the exact
+    // value; the emitted score is its double image (decimal output columns
+    // hash differently across engines).
+    val numExact = col("tf").cast("decimal(18,0)") *
+      lit(1000000L).cast("decimal(18,0)") * col("n_docs").cast("decimal(18,0)")
+    val dfDec = col("df").cast("decimal(18,0)")
+    val scoreExact = (numExact - pmod(numExact, dfDec)) / dfDec
     val scored = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
-      .withColumn("score", expr("(tf * 1000000L * n_docs) div df"))
+      .withColumn("score_exact", scoreExact)
+      .withColumn("score", col("score_exact").cast("double"))
     val w = Window.partitionBy("source")
-      .orderBy(col("score").desc, col("term"))
+      .orderBy(col("score_exact").desc, col("term"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("source", "rank", "term", "tf", "df", "score")
@@ -1395,10 +1417,11 @@ object LlmQueries {
       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
       |sc AS (
       |  SELECT tf.source, tf.term, tf.tf, df.df,
-      |    (tf.tf * 1000000 * n.n_docs) // df.df AS score
+      |    (CAST(tf.tf AS HUGEINT) * 1000000 * n.n_docs) // df.df AS score_exact
       |  FROM tf JOIN df USING (term) CROSS JOIN n)
-      |SELECT source, CAST(rnk AS BIGINT) AS rank, term, tf, df, score FROM (
-      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+      |SELECT source, CAST(rnk AS BIGINT) AS rank, term, tf, df,
+      |  CAST(score_exact AS DOUBLE) AS score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_exact DESC, term) AS rnk
       |  FROM sc)
       |WHERE rnk <= 5
       |ORDER BY source, rank""".stripMargin
@@ -2462,7 +2485,12 @@ object LlmQueries {
     * n = w*h*4 samples) decoded with javax.sound.sampled; the oracle
     * recomputes the sample sum in closed form (base*n + 78*(n//13) +
     * r*(r-1)/2), the md5("pcm:n:sum") checksum, and the mean. Video
-    * stays the md5-of-payload stub (no JDK video codec).
+    * rows carry a REAL uncompressed RIFF/AVI (4 DIB frames, frame f
+    * pixel = base+x+y+f) parsed by the hand-rolled chunk walk; the
+    * oracle recomputes the all-frame pixel sum in closed form
+    * (4·(w·h·base + h·w(w−1)/2 + w·h(h−1)/2) + 6·w·h), the
+    * md5("vid:WxH:4:sum") checksum, the decoded dims and the mean —
+    * so a parser returning wrong frames/pixels hash-fails.
     */
   val multimodalSql: String =
     """WITH m AS (
@@ -2470,40 +2498,39 @@ object LlmQueries {
       |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
       |    CAST(doc_id % 16 + 8 AS INTEGER) AS w,
       |    CAST((doc_id // 16) % 16 + 8 AS INTEGER) AS h,
-      |    CAST(doc_id % 128 AS INTEGER) AS base,
-      |    'MEDIA:' || CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64) AS payload
+      |    CAST(doc_id % 128 AS INTEGER) AS base
       |  FROM documents),
       |s AS (
       |  SELECT *,
       |    CAST(w AS BIGINT) * h * base + CAST(h AS BIGINT) * (w * (w - 1) // 2)
       |      + CAST(w AS BIGINT) * (h * (h - 1) // 2) AS px_sum,
-      |    CAST(w AS BIGINT) * h * 4 AS a_n,
-      |    CAST(base AS BIGINT) * (CAST(w AS BIGINT) * h * 4)
-      |      + 78 * (CAST(w AS BIGINT) * h * 4 // 13)
-      |      + ((CAST(w AS BIGINT) * h * 4 % 13) * (CAST(w AS BIGINT) * h * 4 % 13 - 1)) // 2
-      |      AS a_sum
-      |  FROM m)
+      |    CAST(w AS BIGINT) * h * 4 AS a_n
+      |  FROM m),
+      |s2 AS (
+      |  SELECT *,
+      |    CAST(base AS BIGINT) * a_n + 78 * (a_n // 13)
+      |      + ((a_n % 13) * (a_n % 13 - 1)) // 2 AS a_sum,
+      |    4 * px_sum + 6 * CAST(w AS BIGINT) * h AS v_sum
+      |  FROM s)
       |SELECT doc_id, media_type,
       |  CASE WHEN media_type = 'image' THEN CAST(w * h AS BIGINT)
-      |       WHEN media_type = 'audio' THEN a_n
-      |       ELSE CAST(octet_length(encode(payload)) AS BIGINT) END AS n_bytes,
+      |       ELSE a_n END AS n_bytes,
       |  CASE WHEN media_type = 'image'
       |       THEN md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' || CAST(px_sum AS VARCHAR))
       |       WHEN media_type = 'audio'
       |       THEN md5('pcm:' || CAST(a_n AS VARCHAR) || ':' || CAST(a_sum AS VARCHAR))
-      |       ELSE md5(payload) END AS checksum,
+      |       ELSE md5('vid:' || CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) ||
+      |                ':4:' || CAST(v_sum AS VARCHAR)) END AS checksum,
       |  CASE WHEN media_type = 'image'
       |       THEN CAST(px_sum AS DOUBLE) / (w * h) / 255.0
       |       WHEN media_type = 'audio'
       |       THEN CAST(a_sum AS DOUBLE) / a_n / 255.0
-      |       ELSE (CAST(strpos('0123456789abcdef', substr(md5(payload), 1, 1)) - 1 AS DOUBLE) * 16
-      |             + CAST(strpos('0123456789abcdef', substr(md5(payload), 2, 1)) - 1 AS DOUBLE)
-      |             - 128.0) / 128.0 END AS f0,
-      |  CASE WHEN media_type = 'image' THEN w ELSE 0 END AS img_w,
-      |  CASE WHEN media_type = 'image' THEN h ELSE 0 END AS img_h,
-      |  -- video rows fan out to 4 sampled frames (0/250/500/750 ms)
+      |       ELSE CAST(v_sum AS DOUBLE) / a_n / 255.0 END AS f0,
+      |  CASE WHEN media_type = 'audio' THEN 0 ELSE w END AS img_w,
+      |  CASE WHEN media_type = 'audio' THEN 0 ELSE h END AS img_h,
+      |  -- video rows fan out to their 4 decoded frames
       |  CASE WHEN doc_id % 3 = 2 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS n_frames
-      |FROM s ORDER BY doc_id""".stripMargin
+      |FROM s2 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

@@ -764,6 +764,47 @@ class OpsSpec extends SparkSpec {
     assert(out(0).n_bytes == 20) // stub path: raw payload length
   }
 
+  test("multimodal video decode is a real RIFF/AVI round-trip") {
+    val d = docs.withColumnRenamed("text", "t")
+    val media = Multimodal.attachPayloads(d, "doc_id", "t")
+    // doc_id 2 is the video row: w = 2%16+8 = 10, h = (2/16)%16+8 = 8, base = 2
+    val payload = media.filter(col("doc_id") === 2)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF") // real AVI container
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "AVI ")
+
+    val vid = Multimodal.decodeFeatures(media).collect()
+      .find(_.doc_id == 2L).get
+    val (w, h, base, f) = (10, 8, 2, 4)
+    assert(vid.img_w == w && vid.img_h == h) // dims come from the parsed strf
+    assert(vid.n_bytes == w * h * f)         // pixel count across decoded frames
+    // closed-form all-frame sum: F·(whb + h·w(w−1)/2 + w·h(h−1)/2) + wh·F(F−1)/2
+    val perFrame = w.toLong * h * base + h.toLong * (w * (w - 1) / 2) +
+      w.toLong * (h * (h - 1) / 2)
+    val vSum = f * perFrame + w.toLong * h * (f.toLong * (f - 1) / 2)
+    assert(vid.px_mean == vSum.toDouble / (w * h * f) / 255.0)
+    assert(vid.checksum == java.security.MessageDigest.getInstance("MD5")
+      .digest(s"vid:${w}x${h}:$f:$vSum".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+
+    // frame sampling emits the DECODED frames: leading pixels of frame i
+    // are base+i, base+i+1, … (row y=0 of the top-down raster)
+    val frames = Multimodal.sampleFrames(media, durationMs = 1000, everyMs = 250)
+      .collect().filter(_.doc_id == 2L).sortBy(_.frame_idx)
+    assert(frames.length == f)
+    frames.foreach { fr =>
+      assert(fr.ts_ms == fr.frame_idx * 250L)
+      assert(fr.frame.toSeq == (0 until 8).map(x => (base + x + fr.frame_idx).toByte))
+    }
+
+    // corrupt video bytes degrade to the opaque path, never throw
+    val bad = Seq(Multimodal.MediaRow(11L, "video", 8, 8,
+      "definitely not an avi".getBytes("UTF-8"))).toDF()
+    val out = Multimodal.decodeFeatures(bad).collect()
+    assert(out.length == 1 && out(0).checksum.length == 32)
+    assert(out(0).img_w == 0 && out(0).n_bytes == 21) // stub path
+  }
+
   test("corrupt image bytes degrade to the opaque-binary path, not NPE") {
     val bad = Seq(Multimodal.MediaRow(9L, "image", 8, 8,
       "definitely not a png".getBytes("UTF-8"))).toDF()
