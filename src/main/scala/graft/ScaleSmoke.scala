@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale smoke for the dedup + CDC families: synthesize an N×-sized
@@ -69,6 +70,28 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
 
+    // Curation-flagship fixture: suffix only NON-stopword words, so the
+    // Gopher gate keeps the same doc set it keeps on the raw corpus
+    // (the plain every-word suffix zeroes stop_hits and the quality
+    // gate drops ~all docs — the r9 smoke degeneration). Cross-replica
+    // decorrelation still holds: a shared shingle would need a run of
+    // consecutive stopwords, and intra-replica dup structure is exact.
+    if (!new java.io.File(s"$out/curation/documents.parquet").exists()) {
+      val stop = graft.ops.TextOps.stopwords
+      val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
+      Tables.documents(spark, base).select(col("*"), repCol)
+        .select((col("doc_id") * mult + col("__r")).as("doc_id"),
+          array_join(
+            transform(split(col("text"), "\\s+"), w =>
+              when(lower(w).isin(stop: _*), w)
+                .otherwise(concat(w, lit("_"), col("__r").cast("string")))),
+            " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/curation/documents.parquet")
+    }
+
     if (!reps100 && !new java.io.File(s"$out/events.parquet").exists()) {
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
       // N replicas = N× the USERS with the same per-user event series:
@@ -109,6 +132,51 @@ object ScaleSmoke {
         e.filter(pmod(orig, lit(4)) === 0), ix,
         "vec_id", "embedding", threshold = 0.8)
     }
+    // The flagship e2e on the stopword-preserving fixture (raw corpus
+    // at base scale — the fixture differs from it only by suffixes, so
+    // the Gopher keep-set matches and the dedup stage does real work)
+    val curationE2e = (s: SparkSession, dir: String) =>
+      LlmQueries.corpusCurationE2e(s, if (dir == base) dir else s"$out/curation")
+    // SemDeDup's k∝n constant-cell contract, at whatever reps this run uses
+    val semanticKpropN = (s: SparkSession, dir: String) => {
+      val k = if (dir == base) 8 else 8 * reps
+      graft.ops.Similarity.semanticDedup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = k, iterations = 2, threshold = 0.45)
+    }
+    // The √n-centroid IVF regime for the kNN-graph family (the oracle
+    // queries pin nCells=nProbe=16 for exhaustive-regime exactness; the
+    // SCALE path is nCells ∝ √n with a bounded probe — total work
+    // n·√n, exponent 1.5)
+    def sqrtnKnnEdges(s: SparkSession, dir: String): DataFrame = {
+      val sub = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(8)) === 0)
+      val n = if (dir == base) 250L else 250L * reps
+      val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val bs = graft.ops.Similarity.ivfTopK(sub, sub, "vec_id", "embedding",
+        nCells = nCells, nProbe = 4, k = 6)
+      val w = Window.partitionBy("query_id").orderBy("rank")
+      bs.filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rank2", row_number().over(w))
+        .filter(col("rank2") <= 5)
+        .select("query_id", "neighbor_id")
+    }
+    val knnGraphSqrtN = (s: SparkSession, dir: String) => sqrtnKnnEdges(s, dir)
+    val graphComponentsSqrtN = (s: SparkSession, dir: String) => {
+      val sub = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(8)) === 0)
+      val top5 = sqrtnKnnEdges(s, dir)
+      val rev = top5.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id"))
+      val mutual = top5.join(rev, Seq("query_id", "neighbor_id"))
+        .filter(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      // maxIters=24: the approximate-probe mutual graph on decorrelated
+      // replicas forms longer chains than the oracle's exhaustive
+      // regime; rounds stay O(log diameter), the smoke just lifts the
+      // convergence ceiling (12 → 24 covers diameter 2^24)
+      graft.ops.Dedup.dupClusters(sub.select("vec_id"), "vec_id", mutual,
+        maxIters = 24)
+    }
     // Expected-exponent bound per op, from the r7 10× measurements:
     // LSH families tracked ≤ n^1.33 (band-bucket candidate cost), the
     // banded GTID islands and per-key CDC ops tracked ~linear. A 3×
@@ -127,7 +195,13 @@ object ScaleSmoke {
         // df-gate + per-doc regroup plans with no pairwise term, so the
         // 100× wall should track ~linear like the 10× measurements did
         ("dedup_lines", 1.0, LlmQueries.dedupLines _),
-        ("dedup_substrings", 1.0, LlmQueries.dedupSubstrings _))
+        ("dedup_substrings", 1.0, LlmQueries.dedupSubstrings _),
+        // r10: the r9 heavy ops one order beyond their 10× rows
+        ("dedup_semantic", 1.33, semanticKpropN),
+        ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
+        ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
+        ("corpus_curation_e2e", 1.33, curationE2e),
+        ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),
@@ -192,11 +266,7 @@ object ScaleSmoke {
         // The n×k broadcast assignment term grows with k — fine at this
         // scale; the extreme-scale refinement is two-level assignment
         // (coarse codebook → cell), the same trick IVF rows use.
-        ("dedup_semantic", 1.33, (s: SparkSession, dir: String) => {
-          val k = if (dir == base) 8 else 8 * reps
-          graft.ops.Similarity.semanticDedup(Tables.embeddings(s, dir),
-            "vec_id", "embedding", k = k, iterations = 2, threshold = 0.45)
-        }),
+        ("dedup_semantic", 1.33, semanticKpropN),
         // eval probe of the train index at dup-grade 0.8 with auto
         // granularity (same regime rationale as the @0.8 rows): split
         // on the ORIGINAL id so the eval set is 10% of every replica
@@ -213,12 +283,18 @@ object ScaleSmoke {
         }),
         // posexplode + 64-group map-combined agg — ~linear
         ("embedding_dim_stats", 1.0, LlmQueries.embeddingDimStats _),
-        // corpus_curation_e2e is deliberately NOT a smoke row: the
-        // replica suffix every word gets ("the" → "the_3") zeroes the
-        // Gopher stopword hits, so at 10× the quality gate drops ~all
-        // docs and the dedup stage measures nothing (observed 0.4×,
-        // vacuous). Its stages are covered: scrub/gate are per-row,
-        // the dedup stage is dedup_apply's measured edge set + CC.
+        // r10: the flagship e2e got its real scale row — the
+        // stopword-preserving fixture keeps the Gopher keep-set equal
+        // to the raw corpus's (the r9 every-word suffix zeroed
+        // stop_hits and made the row vacuous), so scrub, gate, LSH
+        // dedup and the keep-stats all do full-size work
+        ("corpus_curation_e2e", 1.33, curationE2e),
+        // bigram-LM scoring: explode + two reference-slice count aggs
+        // + two equi-joins + per-doc regroup — expect ~linear
+        ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _),
+        // the √n-centroid IVF regime for the kNN-graph family
+        ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
+        ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
         // CC over the @0.8 auto-granularity edge set (same regime
         // rationale as the cosine rows below — at the query's
         // exploratory 0.45 the TRUE pair set is quadratic)

@@ -21,6 +21,55 @@ import org.apache.spark.sql.streaming.Trigger
   * must agree). Results recorded in SCALE.md.
   */
 object StreamBench {
+
+  /** The full streaming CURATION loop measured per trigger: scrub →
+    * quality gate → incremental near-dup probe+fold, 64 micro-batches
+    * with compaction every 8 — the nightly-ingest shape. What it
+    * proves: per-trigger wall stays FLAT as the standing index
+    * accumulates the whole corpus (the O(batch) claim
+    * StreamingCurationSpec proves for correctness, here as a measured
+    * curve). A probe that secretly rescanned the accumulated index
+    * per trigger would show a rising ramp; compaction bounds the
+    * folded-lineage plan size so late triggers cost what early ones
+    * do. Output: per-trigger walls + a first-quartile vs
+    * last-quartile mean ratio (ramp factor).
+    */
+  private def curationLoop(spark: SparkSession, base: String,
+      nBatches: Int, compactEvery: Int): String = {
+    import spark.implicits._
+    import graft.ops.{Dedup, TextOps}
+    val docs = Tables.documents(spark, base)
+      .select("doc_id", "source", "text").cache()
+    docs.count() // materialize once; the loop measures curation, not the scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sc_bench").toString
+    val state = new Dedup.StreamingDedup(
+      Dedup.buildDedupIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text"),
+      tmp, compactEvery, "doc_id", "text", threshold = 0.8)
+    var pairsTotal = 0L
+    val walls = (0 until nBatches).map { i =>
+      val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+      val curated = TextOps.gopherFilters(
+          TextOps.piiScrub(b, "text")
+            .select(col("doc_id"), col("source"), col("scrubbed").as("text")),
+          "text")
+        .filter(col("keep"))
+        .select("doc_id", "text")
+      val t0 = System.nanoTime()
+      pairsTotal += state.ingest(curated).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val q = nBatches / 4
+    val firstQ = walls.take(q).sum / q
+    val lastQ = walls.takeRight(q).sum / q
+    val ramp = lastQ / firstQ
+    println(f"curation loop: $nBatches triggers, compactEvery=$compactEvery, " +
+      f"pairs=$pairsTotal, firstQ ${firstQ}%.2f s/trigger, lastQ ${lastQ}%.2f, " +
+      f"ramp ${ramp}%.2fx")
+    docs.unpersist()
+    f"""{"mode": "curation_loop", "triggers": $nBatches, "compact_every": $compactEvery, "pairs": $pairsTotal, "first_q_sec": $firstQ%.3f, "last_q_sec": $lastQ%.3f, "ramp": $ramp%.2f, "walls": [${walls.map(w => f"$w%.2f").mkString(",")}]}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val nFiles = 64
@@ -33,6 +82,13 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.length > 1 && args(1) == "curation") {
+      val line = curationLoop(spark, base, nBatches = 64, compactEvery = 8)
+      println("STREAMCURATION " + line)
+      spark.stop()
+      return
+    }
 
     // changefeed envelope fixture: events as ndjson, 64 objects.
     // Content-keyed dir (source path + length + mtime, as

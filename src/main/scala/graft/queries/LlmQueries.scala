@@ -1426,6 +1426,92 @@ object LlmQueries {
       |WHERE rnk <= 5
       |ORDER BY source, rank""".stripMargin
 
+  // -- LM-perplexity quality filter (CCNet-style) -----------------------------
+  /** Perplexity-style LM quality filter — the CCNet/Wikipedia-LM pass
+    * real pipelines run between rule filters and dedup: train a bigram
+    * LM on a clean REFERENCE slice (here the deterministic doc_id%7==0
+    * holdout — stands in for "Wikipedia"), score every document by its
+    * mean per-token surprise, and gate on it. The surprise is a pure
+    * INTEGER log₂: with add-one smoothing the token probability is the
+    * rational (c(prev,w)+1)/(c(prev)+V), and
+    * `bits = bit_length((c(prev)+V) div (c(prev,w)+1))` =
+    * ⌊log₂⌋+1 of the inverse probability — computed via `length(bin(x))`
+    * in Spark and `length(format('{:b}', x))` in DuckDB, so both
+    * engines agree bit-for-bit with no float log anywhere (the
+    * text_rare_token_stats fixed-point precedent). Scale shape: one
+    * bigram explode (linear), two map-combined count aggregations over
+    * the REFERENCE slice only, two equi-joins of corpus bigrams
+    * against those count frames (each linear in reference size — the
+    * trained model IS those two frames), a 1-row vocab broadcast for
+    * the smoothing denominator, and one per-doc aggregation. No global
+    * sort, no all-pairs, nothing quadratic.
+    */
+  def textLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = tokenize(col("text"))
+    val bigramArr = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+    val bg = d.select(col("doc_id"), explode(bigramArr).as("b"))
+      .select(col("doc_id"), col("b.prev"), col("b.w"))
+    val refBg = bg.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val cPw = refBg.groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
+    val cP = refBg.groupBy("prev").agg(count(lit(1)).as("c_p"))
+    val vocab = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+    val perDoc = bg
+      .join(cPw, Seq("prev", "w"), "left")
+      .join(cP, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row smoothing denominator
+      .withColumn("bits_tok", length(bin(expr(
+        "(coalesce(c_p, CAST(0 AS BIGINT)) + vocab) div (coalesce(c_pw, CAST(0 AS BIGINT)) + 1)")))
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits_tok").as("bits"))
+    d.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "bits"))
+      .withColumn("mean_bits", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(col("bits").cast("double") / col("n_bigrams").cast("double")))
+      .withColumn("keep", col("mean_bits") <= lit(11.0))
+      .select("doc_id", "source", "n_bigrams", "bits", "mean_bits", "keep")
+      .orderBy("doc_id")
+  }
+
+  val textLmPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |ref AS (SELECT prev, w FROM bg WHERE doc_id % 7 = 0),
+      |c_pw AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_pw FROM ref GROUP BY 1, 2),
+      |c_p AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_p FROM ref GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS vocab
+      |      FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 7 = 0) u),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |    CAST(length(format('{:b}',
+      |      (COALESCE(c_p.c_p, 0) + v.vocab) // (COALESCE(c_pw.c_pw, 0) + 1))) AS BIGINT) AS bits_tok
+      |  FROM bg LEFT JOIN c_pw ON bg.prev = c_pw.prev AND bg.w = c_pw.w
+      |          LEFT JOIN c_p ON bg.prev = c_p.prev
+      |          CROSS JOIN v),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |              CAST(SUM(bits_tok) AS BIGINT) AS bits
+      |       FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, d.source,
+      |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(pd.bits, 0) AS bits,
+      |  CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0.0
+      |       ELSE CAST(pd.bits AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) END AS mean_bits,
+      |  CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN TRUE
+      |       ELSE CAST(pd.bits AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) <= 11.0 END AS keep
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // -- Z-order layout key ------------------------------------------------------
   /** [[graft.ops.Layout.zOrderKey]] — Morton-interleaved layout key
     * over (n_tokens, n_chars) plus the locality AUDIT that justifies
@@ -2565,6 +2651,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
     "data_zorder_layout" -> (dataZorderLayout _),
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
+    "text_lm_perplexity" -> (textLmPerplexity _),
     "text_code_detect" -> (textCodeDetect _),
     "data_snapshot_drift" -> (dataSnapshotDrift _),
     "data_decontamination_semantic" -> (dataDecontaminationSemantic _),
@@ -2639,6 +2726,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
     "data_zorder_layout" -> dataZorderLayoutSql,
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
+    "text_lm_perplexity" -> textLmPerplexitySql,
     "text_code_detect" -> textCodeDetectSql,
     "data_snapshot_drift" -> dataSnapshotDriftSql,
     "data_decontamination_semantic" -> dataDecontaminationSemanticSql,

@@ -44,6 +44,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row corpus-total broadcast normalizes per-source weights",
     "text_tfidf_top_terms" ->
       "1-row corpus doc-count broadcast scales the fixed-point idf",
+    "text_lm_perplexity" ->
+      "1-row vocab-size broadcast for the add-one smoothing denominator",
     "data_interleave_order" ->
       "1-row (source, length) control-vector broadcast — the closed-form rank that replaces the global sort",
     "data_snapshot_drift" ->
