@@ -170,12 +170,16 @@ object ScaleSmoke {
       val mutual = top5.join(rev, Seq("query_id", "neighbor_id"))
         .filter(col("query_id") < col("neighbor_id"))
         .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-      // maxIters=24: the approximate-probe mutual graph on decorrelated
-      // replicas forms longer chains than the oracle's exhaustive
-      // regime; rounds stay O(log diameter), the smoke just lifts the
-      // convergence ceiling (12 → 24 covers diameter 2^24)
+      // maxIters=40: the approximate-probe mutual graph on decorrelated
+      // (near-random-geometry) replicas forms path-like chains far
+      // longer than any real corpus's mutual-kNN graph — at 100× the
+      // giant component's diameter is ~n and label reach grows
+      // ~Fib(r) ≈ 1.6^r (one edge hop + one pointer hop per round), so
+      // 24 rounds sat exactly at the 25k-node boundary. Rounds stay
+      // O(log diameter) and each is a tiny localCheckpointed frame;
+      // the smoke lifts the ceiling, the measured wall is the claim.
       graft.ops.Dedup.dupClusters(sub.select("vec_id"), "vec_id", mutual,
-        maxIters = 24)
+        maxIters = 40)
     }
     // Expected-exponent bound per op, from the r7 10× measurements:
     // LSH families tracked ≤ n^1.33 (band-bucket candidate cost), the

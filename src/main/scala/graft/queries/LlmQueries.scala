@@ -1457,7 +1457,9 @@ object LlmQueries {
       .select(col("doc_id"), col("b.prev"), col("b.w"))
     val refBg = bg.filter(pmod(col("doc_id"), lit(7)) === 0)
     val cPw = refBg.groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
-    val cP = refBg.groupBy("prev").agg(count(lit(1)).as("c_p"))
+    // the context marginal is an aggregation OVER THE COUNT FRAME, not a
+    // second scan+explode of the reference corpus
+    val cP = cPw.groupBy("prev").agg(sum("c_pw").as("c_p"))
     val vocab = d.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select(explode(toks).as("t"))
       .agg(countDistinct(col("t")).as("vocab"))
