@@ -214,6 +214,58 @@ object TextOps {
     * rare-token count (corpus freq ≤ rareMax), min/sum of corpus
     * frequencies.
     */
+  /** Bigram-LM surprise scoring (the CCNet/Wikipedia-LM quality-filter
+    * core): train an add-one-smoothed bigram LM on the `isRef` slice,
+    * score EVERY document by total and mean per-token surprise. The
+    * surprise is a pure INTEGER log₂ — with smoothed probability
+    * (c(prev,w)+1)/(c(prev)+V), `bits = bit_length((c(prev)+V) div
+    * (c(prev,w)+1))` = ⌊log₂⌋+1 of the inverse probability, computed
+    * via `length(bin(x))` so any SQL engine with a binary formatter
+    * reproduces it exactly (no float log anywhere).
+    *
+    * Scale shape: one bigram explode (linear), ONE count aggregation
+    * over the reference slice (the context marginal c(prev) aggregates
+    * over the (prev,w) count frame, not a second corpus pass), two
+    * equi-joins of corpus bigrams against the model frames, a 1-row
+    * vocab broadcast for the smoothing denominator, one per-doc
+    * regroup. The trained model IS the two count frames — persist them
+    * to reuse across corpora (reference internal/script pattern of a
+    * trained artifact applied per batch).
+    *
+    * Output per input row: every `docs` column the caller selected,
+    * plus n_bigrams, bits, mean_bits (0.0 for <2-token docs).
+    */
+  def lmSurprise(docs: DataFrame, id: String, text: String,
+      isRef: Column): DataFrame = {
+    val toks = tokens(col(text))
+    val bigramArr = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+    val bg = docs.select(col(id), isRef.as("__ref"), explode(bigramArr).as("b"))
+      .select(col(id), col("__ref"), col("b.prev"), col("b.w"))
+    val cPw = bg.filter(col("__ref"))
+      .groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
+    val cP = cPw.groupBy("prev").agg(sum("c_pw").as("c_p"))
+    val vocab = docs.filter(isRef)
+      .select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+    val perDoc = bg
+      .join(cPw, Seq("prev", "w"), "left")
+      .join(cP, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row smoothing denominator
+      .withColumn("bits_tok", length(bin(expr(
+        "(coalesce(c_p, CAST(0 AS BIGINT)) + vocab) div " +
+          "(coalesce(c_pw, CAST(0 AS BIGINT)) + 1)"))).cast("long"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits_tok").as("bits"))
+    docs
+      .join(perDoc, Seq(id), "left")
+      .na.fill(0L, Seq("n_bigrams", "bits"))
+      .withColumn("mean_bits", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(col("bits").cast("double") / col("n_bigrams").cast("double")))
+  }
+
   def tokenFrequencyStats(docs: DataFrame, id: String, text: String,
       rareMax: Long = 2L, eagerCheckpoint: Boolean = true): DataFrame = {
     // checkpointed: the frequency-aggregate subtree and the join

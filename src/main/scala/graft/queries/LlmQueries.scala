@@ -1446,41 +1446,13 @@ object LlmQueries {
     * the smoothing denominator, and one per-doc aggregation. No global
     * sort, no all-pairs, nothing quadratic.
     */
-  def textLmPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val toks = tokenize(col("text"))
-    val bigramArr = zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => struct(a.as("prev"), b.as("w")))
-    val bg = d.select(col("doc_id"), explode(bigramArr).as("b"))
-      .select(col("doc_id"), col("b.prev"), col("b.w"))
-    val refBg = bg.filter(pmod(col("doc_id"), lit(7)) === 0)
-    val cPw = refBg.groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
-    // the context marginal is an aggregation OVER THE COUNT FRAME, not a
-    // second scan+explode of the reference corpus
-    val cP = cPw.groupBy("prev").agg(sum("c_pw").as("c_p"))
-    val vocab = d.filter(pmod(col("doc_id"), lit(7)) === 0)
-      .select(explode(toks).as("t"))
-      .agg(countDistinct(col("t")).as("vocab"))
-    val perDoc = bg
-      .join(cPw, Seq("prev", "w"), "left")
-      .join(cP, Seq("prev"), "left")
-      .crossJoin(broadcast(vocab)) // 1-row smoothing denominator
-      .withColumn("bits_tok", length(bin(expr(
-        "(coalesce(c_p, CAST(0 AS BIGINT)) + vocab) div (coalesce(c_pw, CAST(0 AS BIGINT)) + 1)")))
-        .cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("bits_tok").as("bits"))
-    d.select(col("doc_id"), col("source"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_bigrams", "bits"))
-      .withColumn("mean_bits", when(col("n_bigrams") === 0, lit(0.0))
-        .otherwise(col("bits").cast("double") / col("n_bigrams").cast("double")))
+  def textLmPerplexity(s: SparkSession, dir: String): DataFrame =
+    TextOps.lmSurprise(
+        docs(s, dir).select("doc_id", "source", "text"),
+        "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
       .withColumn("keep", col("mean_bits") <= lit(11.0))
       .select("doc_id", "source", "n_bigrams", "bits", "mean_bits", "keep")
       .orderBy("doc_id")
-  }
 
   val textLmPerplexitySql: String =
     """WITH toks AS (

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Property check for the bigram-LM surprise scorer: for seeded random
+  * corpora, [[TextOps.lmSurprise]] must equal a step-for-step naive
+  * in-memory reimplementation (count maps + integer bit-length), the
+  * same methodology SemanticPropertySpec applies to SemDeDup. This
+  * pins the SEMANTICS (add-one smoothing, the integer log₂, the
+  * <2-token-doc convention) independently of the DuckDB oracle, which
+  * pins cross-engine agreement.
+  */
+class LmPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(docs: Seq[(Long, String)],
+      isRef: Long => Boolean): Map[Long, (Long, Long, Double)] = {
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val refToks = docs.filter(d => isRef(d._1)).map(d => toks(d._2))
+    val vocab = refToks.flatten.distinct.size.toLong
+    val refBigrams = refToks.flatMap(_.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))))
+    val cPw = refBigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cP = refBigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    def bitLength(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    docs.map { case (id, text) =>
+      val bgs = toks(text).sliding(2).filter(_.size == 2).toSeq
+      val bits = bgs.map { p =>
+        val num = cPw.getOrElse((p(0), p(1)), 0L) + 1L
+        val den = cP.getOrElse(p(0), 0L) + vocab
+        bitLength(den / num)
+      }.sum
+      val n = bgs.size.toLong
+      id -> (n, bits, if (n == 0) 0.0 else bits.toDouble / n)
+    }.toMap
+  }
+
+  private def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "fast",
+      "river", "stone", "wind", "blew", "cold", "night", "star", "fell",
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val random = (0 until nDocs).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // edge docs: empty, whitespace, single-token, repeated bigram
+    random ++ Seq((1000L, ""), (1001L, "   "), (1002L, "one"),
+      (1003L, "the the the the"))
+  }
+
+  test("lmSurprise ≡ naive bigram LM on three seeded corpora") {
+    for (seed <- Seq(7L, 41L, 1337L)) {
+      val data = corpus(seed, 200)
+      val df = data.toDF("doc_id", "text")
+      val got = TextOps.lmSurprise(df, "doc_id", "text",
+          isRef = pmod(col("doc_id"), lit(3)) === 0)
+        .select("doc_id", "n_bigrams", "bits", "mean_bits")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      val want = naive(data, _ % 3 == 0)
+      assert(got.keySet == want.keySet, s"seed $seed: doc set")
+      for ((id, w) <- want)
+        assert(got(id) == w, s"seed $seed doc $id: got ${got(id)} want $w")
+    }
+  }
+
+  test("reference docs score lower than out-of-domain docs on a themed corpus") {
+    // train on theme-A docs; near-verbatim theme-A docs must carry less
+    // surprise than never-seen-vocabulary docs (the filter's raison d'être)
+    val a = (0 until 60).map(i =>
+      (i * 2L, "the cat sat on the mat and the dog ran fast by the river"))
+    val b = (0 until 20).map(i =>
+      (i * 2L + 1L, "zorp blik quux fnord wibble jabber krunk splorch glip"))
+    val df = (a ++ b).toDF("doc_id", "text")
+    val out = TextOps.lmSurprise(df, "doc_id", "text",
+        isRef = pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("mean_bits")).collect()
+    val aMean = out.filter(_.getLong(0) % 2 == 0).map(_.getDouble(1)).max
+    val bMean = out.filter(_.getLong(0) % 2 == 1).map(_.getDouble(1)).min
+    assert(aMean < bMean,
+      s"in-domain max $aMean must be below out-of-domain min $bMean")
+  }
+}
