@@ -1486,6 +1486,79 @@ object LlmQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // -- CCNet head/middle/tail perplexity buckets ------------------------------
+  /** The step CCNet actually ships after LM scoring: split each
+    * source's documents into HEAD / MIDDLE / TAIL terciles by LM
+    * surprise (head = most reference-like; real pipelines train on
+    * head+middle and drop or downweight tail). Buckets are per-SOURCE
+    * exact terciles — sources rank in parallel (the per-source window
+    * pattern of data_source_caps/tfidf; a single pathological
+    * giant source can switch to the distributive cutpoint mode the
+    * curriculum rows use, [[graft.ops.Buckets.ntileByHistogram]]).
+    * Output is the per-(source, bucket) accounting frame a mix planner
+    * consumes: doc/bigram counts and the surprise range per bucket.
+    * Ordering ties (equal mean_bits) break on doc_id, so both engines
+    * agree exactly; mean_bits itself is the same IEEE division on both
+    * sides.
+    */
+  def textLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.lmSurprise(
+      docs(s, dir).select("doc_id", "source", "text"),
+      "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
+    val w = Window.partitionBy("source").orderBy(col("mean_bits"), col("doc_id"))
+    scored
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          ntile(3).over(w)))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        sum("bits").as("bits"),
+        min("mean_bits").as("lo_bits"),
+        max("mean_bits").as("hi_bits"))
+      .orderBy("source", "bucket")
+  }
+
+  val textLmBucketsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |ref AS (SELECT prev, w FROM bg WHERE doc_id % 7 = 0),
+      |c_pw AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_pw FROM ref GROUP BY 1, 2),
+      |c_p AS (SELECT prev, CAST(SUM(c_pw) AS BIGINT) AS c_p FROM c_pw GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS vocab
+      |      FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 7 = 0) u),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |    CAST(length(format('{:b}',
+      |      (COALESCE(c_p.c_p, 0) + v.vocab) // (COALESCE(c_pw.c_pw, 0) + 1))) AS BIGINT) AS bits_tok
+      |  FROM bg LEFT JOIN c_pw ON bg.prev = c_pw.prev AND bg.w = c_pw.w
+      |          LEFT JOIN c_p ON bg.prev = c_p.prev
+      |          CROSS JOIN v),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |              CAST(SUM(bits_tok) AS BIGINT) AS bits
+      |       FROM sc GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, d.source,
+      |    COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+      |    COALESCE(pd.bits, 0) AS bits,
+      |    CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0.0
+      |         ELSE CAST(pd.bits AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) END AS mean_bits
+      |  FROM documents d LEFT JOIN pd USING (doc_id)),
+      |b AS (
+      |  SELECT *, (['head', 'middle', 'tail'])[
+      |      NTILE(3) OVER (PARTITION BY source ORDER BY mean_bits, doc_id)] AS bucket
+      |  FROM scored)
+      |SELECT source, bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(bits) AS BIGINT) AS bits,
+      |  MIN(mean_bits) AS lo_bits, MAX(mean_bits) AS hi_bits
+      |FROM b GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
   // -- Z-order layout key ------------------------------------------------------
   /** [[graft.ops.Layout.zOrderKey]] — Morton-interleaved layout key
     * over (n_tokens, n_chars) plus the locality AUDIT that justifies
@@ -2626,6 +2699,7 @@ object LlmQueries {
     "data_zorder_layout" -> (dataZorderLayout _),
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
     "text_lm_perplexity" -> (textLmPerplexity _),
+    "text_lm_buckets" -> (textLmBuckets _),
     "text_code_detect" -> (textCodeDetect _),
     "data_snapshot_drift" -> (dataSnapshotDrift _),
     "data_decontamination_semantic" -> (dataDecontaminationSemantic _),
@@ -2701,6 +2775,7 @@ object LlmQueries {
     "data_zorder_layout" -> dataZorderLayoutSql,
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
     "text_lm_perplexity" -> textLmPerplexitySql,
+    "text_lm_buckets" -> textLmBucketsSql,
     "text_code_detect" -> textCodeDetectSql,
     "data_snapshot_drift" -> dataSnapshotDriftSql,
     "data_decontamination_semantic" -> dataDecontaminationSemanticSql,

@@ -118,7 +118,8 @@ class OracleLintSpec extends SparkSpec {
       "mean_token_len", "quality_score"),
     "text_repetition" -> Set("distinct_ratio", "top_token_frac", "top_bigram_frac"),
     "text_tfidf_top_terms" -> Set("score"),
-    "text_lm_perplexity" -> Set("mean_bits"))
+    "text_lm_perplexity" -> Set("mean_bits"),
+    "text_lm_buckets" -> Set("lo_bits", "hi_bits"))
 
   test("DOUBLE-typed output columns match the pinned allowlist") {
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

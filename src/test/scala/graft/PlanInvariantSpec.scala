@@ -46,6 +46,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row corpus doc-count broadcast scales the fixed-point idf",
     "text_lm_perplexity" ->
       "1-row vocab-size broadcast for the add-one smoothing denominator",
+    "text_lm_buckets" ->
+      "same 1-row vocab-size broadcast (lmSurprise) under the per-source tercile window",
     "data_interleave_order" ->
       "1-row (source, length) control-vector broadcast — the closed-form rank that replaces the global sort",
     "data_snapshot_drift" ->
