@@ -296,6 +296,8 @@ object ScaleSmoke {
         // bigram-LM scoring: explode + two reference-slice count aggs
         // + two equi-joins + per-doc regroup — expect ~linear
         ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _),
+        // + per-source tercile window and (source,bucket) rollup
+        ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _),
         // the √n-centroid IVF regime for the kNN-graph family
         ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
         ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
