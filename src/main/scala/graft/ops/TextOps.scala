@@ -236,24 +236,35 @@ object TextOps {
     * plus n_bigrams, bits, mean_bits (0.0 for <2-token docs).
     */
   def lmSurprise(docs: DataFrame, id: String, text: String,
-      isRef: Column): DataFrame = {
-    val toks = tokens(col(text))
-    val bigramArr = zip_with(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-      (a, b) => struct(a.as("prev"), b.as("w")))
-    val bg = docs.select(col(id), isRef.as("__ref"), explode(bigramArr).as("b"))
-      .select(col(id), col("__ref"), col("b.prev"), col("b.w"))
-    val cPw = bg.filter(col("__ref"))
-      .groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
+      isRef: Column): DataFrame =
+    scoreLm(trainLm(docs.filter(isRef), text), docs, id, text)
+
+  /** A trained bigram LM: the (prev, w) count frame, its context
+    * marginal, and the 1-row vocab size. The model IS these three
+    * frames — [[saveLm]]/[[loadLm]] persist them as parquet so one
+    * reference train pass serves every later corpus/batch (how a real
+    * KenLM-style filter ships: train once on Wikipedia, apply
+    * nightly).
+    */
+  final case class LmModel(cPw: DataFrame, cP: DataFrame, vocab: DataFrame)
+
+  def trainLm(ref: DataFrame, text: String): LmModel = {
+    val cPw = bigrams(ref, text).groupBy("prev", "w")
+      .agg(count(lit(1)).as("c_pw"))
+    // the context marginal aggregates OVER THE COUNT FRAME, not a
+    // second scan+explode of the reference corpus
     val cP = cPw.groupBy("prev").agg(sum("c_pw").as("c_p"))
-    val vocab = docs.filter(isRef)
-      .select(explode(toks).as("t"))
+    val vocab = ref.select(explode(tokens(col(text))).as("t"))
       .agg(countDistinct(col("t")).as("vocab"))
-    val perDoc = bg
-      .join(cPw, Seq("prev", "w"), "left")
-      .join(cP, Seq("prev"), "left")
-      .crossJoin(broadcast(vocab)) // 1-row smoothing denominator
+    LmModel(cPw, cP, vocab)
+  }
+
+  def scoreLm(model: LmModel, docs: DataFrame, id: String,
+      text: String): DataFrame = {
+    val perDoc = bigrams(docs.select(col(id), col(text)), text, keep = Seq(id))
+      .join(model.cPw, Seq("prev", "w"), "left")
+      .join(model.cP, Seq("prev"), "left")
+      .crossJoin(broadcast(model.vocab)) // 1-row smoothing denominator
       .withColumn("bits_tok", length(bin(expr(
         "(coalesce(c_p, CAST(0 AS BIGINT)) + vocab) div " +
           "(coalesce(c_pw, CAST(0 AS BIGINT)) + 1)"))).cast("long"))
@@ -264,6 +275,29 @@ object TextOps {
       .na.fill(0L, Seq("n_bigrams", "bits"))
       .withColumn("mean_bits", when(col("n_bigrams") === 0, lit(0.0))
         .otherwise(col("bits").cast("double") / col("n_bigrams").cast("double")))
+  }
+
+  def saveLm(model: LmModel, path: String): Unit = {
+    model.cPw.write.mode("overwrite").parquet(s"$path/c_pw")
+    model.cP.write.mode("overwrite").parquet(s"$path/c_p")
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): LmModel =
+    LmModel(spark.read.parquet(s"$path/c_pw"),
+      spark.read.parquet(s"$path/c_p"),
+      spark.read.parquet(s"$path/vocab"))
+
+  /** One (prev, w) row per adjacent token pair, keeping `keep` cols. */
+  private def bigrams(docs: DataFrame, text: String,
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    val toks = tokens(col(text))
+    val bigramArr = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+    docs.select(keep.map(col) :+ explode(bigramArr).as("b"): _*)
+      .select(keep.map(col) :+ col("b.prev") :+ col("b.w"): _*)
   }
 
   def tokenFrequencyStats(docs: DataFrame, id: String, text: String,

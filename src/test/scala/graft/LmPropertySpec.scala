@@ -67,6 +67,24 @@ class LmPropertySpec extends SparkSpec {
     }
   }
 
+  test("LM model persists: train once, save, load, score a NEW batch ≡ inline") {
+    val trainDocs = corpus(99L, 120)
+    val newBatch = corpus(7L, 80).map { case (id, t) => (id + 5000L, t) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    TextOps.saveLm(
+      TextOps.trainLm(trainDocs.toDF("doc_id", "text"), "text"), tmp)
+    val loaded = TextOps.loadLm(spark, tmp)
+    val viaDisk = TextOps.scoreLm(loaded, newBatch.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "n_bigrams", "bits", "mean_bits").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // the naive model trained on trainDocs, applied to the new batch
+    val want = naive(trainDocs ++ newBatch, _ < 5000L)
+      .filter { case (id, _) => id >= 5000L }
+    assert(viaDisk == want)
+  }
+
   test("reference docs score lower than out-of-domain docs on a themed corpus") {
     // train on theme-A docs; near-verbatim theme-A docs must carry less
     // surprise than never-seen-vocabulary docs (the filter's raison d'être)
