@@ -205,7 +205,8 @@ object ScaleSmoke {
         ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
         ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
         ("corpus_curation_e2e", 1.33, curationE2e),
-        ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _))
+        ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _),
+        ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),

@@ -92,4 +92,34 @@ class StreamingCurationSpec extends SparkSpec {
     // dup) — source a keeps both its passing docs, b keeps none
     assert(streamedRetention == Seq(("a", 2L, 2L), ("b", 2L, 0L)))
   }
+
+  test("LM gate slots into the loop: pretrained model filters per batch ≡ batch") {
+    // CCNet stage order: scrub → rule gate → LM filter → dedup. The LM
+    // is a TRAINED ARTIFACT (TextOps.saveLm/loadLm): one reference
+    // train pass, then every micro-batch scores against the loaded
+    // frames — per-batch cost is O(batch), the model never retrains.
+    val ref = (0 until 40).map(i => (i.toLong, para("green", s"v$i"))) ++
+      (40 until 60).map(i => (i.toLong, para("silver", s"v$i")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_loop").toString
+    TextOps.saveLm(TextOps.trainLm(ref.toDF("doc_id", "text"), "text"), tmp)
+    val model = TextOps.loadLm(spark, tmp)
+
+    val inDomain = (100L, "a", para("green", "fresh tail"))
+    val outDomain = (101L, "b", s"$stop zorp blik quux fnord wibble jabber " +
+      "krunk splorch glip zungle fropp " + para("green", "x").split(" ")
+      .drop(12).mkString(" ")) // keeps length+stopwords, vocab is alien
+    val batch = Seq(inDomain, outDomain).toDF("doc_id", "source", "text")
+
+    val scored = TextOps.scoreLm(model, curateBatch(batch), "doc_id", "text")
+    val rows = scored.select("doc_id", "mean_bits").as[(Long, Double)]
+      .collect().toMap
+    assert(rows.keySet == Set(100L, 101L), "both docs pass the rule gate")
+    assert(rows(100L) < rows(101L),
+      s"in-domain ${rows(100L)} must score below out-of-domain ${rows(101L)}")
+    // a cutoff between the two scores gates exactly the alien-vocab doc,
+    // and scoring the batch twice against the LOADED model is stable
+    val again = TextOps.scoreLm(model, curateBatch(batch), "doc_id", "text")
+      .select("doc_id", "mean_bits").as[(Long, Double)].collect().toMap
+    assert(again == rows)
+  }
 }
