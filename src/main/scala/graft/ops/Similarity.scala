@@ -107,13 +107,18 @@ object Similarity {
     * on cell id); a query probes only its `nProbe` nearest cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, nCells: Int, nProbe: Int, k: Int): DataFrame = {
+      vecCol: String, nCells: Int, nProbe: Int, k: Int,
+      // hash-smallest ids by default (an unbiased pseudo-random centroid
+      // draw); the recall audit passes `Some(col("cell"))` so a SQL
+      // oracle with no xxhash64 can reproduce the exact centroid set
+      centroidOrder: Option[Column] = None): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    // TakeOrdered: each partition contributes its local hash-smallest
+    // TakeOrdered: each partition contributes its local order-smallest
     // nCells rows, the driver merges — never a global sort.
     val cents = broadcast(
       corpus.select(col(idCol).as("cell"), col(vecCol).as("centroid"))
-        .orderBy(xxhash64(col("cell")), col("cell")).limit(nCells))
+        .orderBy(centroidOrder.getOrElse(xxhash64(col("cell"))), col("cell"))
+        .limit(nCells))
     def nearestCells(df: DataFrame, n: Int, outPrefix: String): DataFrame = {
       val w = Window.partitionBy(outPrefix + "_id")
         .orderBy(col("cent_sim").desc, col("cell"))

@@ -2325,6 +2325,88 @@ object LlmQueries {
       |           AND k2.neighbor_id = k.query_id) AS mutual
       |FROM k ORDER BY query_id, rank""".stripMargin
 
+  // -- IVF recall audit -------------------------------------------------------
+  /** Recall@5 of the IVF index against exact brute force, swept across
+    * nProbe — THE quality metric an ANN deployment tunes (the
+    * recall-vs-probe-budget curve; faiss's recall-QPS plot in query
+    * form). Centroids are the nCells SMALLEST ids for this audit (a
+    * SQL-expressible draw — ids are synthetic and carry no geometry,
+    * so it is as unbiased as the default hash draw, and the oracle can
+    * rebuild the index EXACTLY, assignment/probe/rank tiebreaks
+    * included). Every query recovers at least itself (its own cell is
+    * its nearest centroid), so n_queries is recoverable from the hit
+    * frame and no scalar broadcast is needed; recall = hits/(5·nq) is
+    * one division, same order both engines. At scale this is the audit
+    * you run on a SAMPLE before fixing the fleet's nProbe.
+    */
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val sub = embs(s, dir).filter(pmod(col("vec_id"), lit(8)) === 0)
+    val q = sub.filter(pmod(col("vec_id"), lit(64)) === 0)
+    val exact = Similarity.bruteForceTopK(sub, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Seq(1, 4, 16).map { p =>
+      Similarity.ivfTopK(sub, q, "vec_id", "embedding",
+          nCells = 16, nProbe = p, k = 5, centroidOrder = Some(col("cell")))
+        .select(lit(p.toLong).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / (col("n_queries") * 5).cast("double"))
+      .orderBy("nprobe")
+  }
+
+  val annRecallAuditSql: String =
+    """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 8 = 0),
+      |cents AS (SELECT vec_id AS cell, v AS cv FROM s ORDER BY vec_id LIMIT 16),
+      |asg AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT s.vec_id, s.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        list_dot_product(s.v, c.cv) /
+      |          (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell) AS rn
+      |    FROM s CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id % 64 = 0),
+      |np AS (SELECT * FROM (VALUES (1), (4), (16)) AS t(nprobe)),
+      |pr AS (
+      |  SELECT query_id, qv, cell, crank FROM (
+      |    SELECT q.query_id, q.qv, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_dot_product(q.qv, c.cv) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cell) AS crank
+      |    FROM q CROSS JOIN cents c)),
+      |ivf AS (
+      |  SELECT nprobe, query_id, neighbor_id FROM (
+      |    SELECT np.nprobe, pr.query_id, a.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, pr.query_id ORDER BY
+      |        list_dot_product(pr.qv, a.v) /
+      |          (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(a.v, a.v))) DESC,
+      |        a.vec_id) AS rnk
+      |    FROM pr JOIN np ON pr.crank <= np.nprobe
+      |         JOIN asg a ON a.cell = pr.cell)
+      |  WHERE rnk <= 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, s.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |        list_dot_product(q.qv, s.v) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.v, s.v))) DESC,
+      |        s.vec_id) AS rnk
+      |    FROM q CROSS JOIN s)
+      |  WHERE rnk <= 5)
+      |SELECT CAST(ivf.nprobe AS BIGINT) AS nprobe,
+      |  CAST(COUNT(DISTINCT ivf.query_id) AS BIGINT) AS n_queries,
+      |  COUNT(*) AS n_hits,
+      |  CAST(COUNT(*) AS DOUBLE) / (COUNT(DISTINCT ivf.query_id) * 5) AS recall
+      |FROM ivf JOIN exact USING (query_id, neighbor_id)
+      |GROUP BY ivf.nprobe ORDER BY nprobe""".stripMargin
+
   // -- semantic communities over the mutual kNN graph -------------------------
   /** Connected components over the MUTUAL-kNN edge set (the standard
     * mutual-kNN clustering step downstream of `ann_knn_graph`: mutual
@@ -2700,6 +2782,7 @@ object LlmQueries {
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
     "text_lm_perplexity" -> (textLmPerplexity _),
     "text_lm_buckets" -> (textLmBuckets _),
+    "ann_recall_audit" -> (annRecallAudit _),
     "text_code_detect" -> (textCodeDetect _),
     "data_snapshot_drift" -> (dataSnapshotDrift _),
     "data_decontamination_semantic" -> (dataDecontaminationSemantic _),
@@ -2776,6 +2859,7 @@ object LlmQueries {
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
     "text_lm_perplexity" -> textLmPerplexitySql,
     "text_lm_buckets" -> textLmBucketsSql,
+    "ann_recall_audit" -> annRecallAuditSql,
     "text_code_detect" -> textCodeDetectSql,
     "data_snapshot_drift" -> dataSnapshotDriftSql,
     "data_decontamination_semantic" -> dataDecontaminationSemanticSql,

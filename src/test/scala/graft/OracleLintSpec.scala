@@ -119,7 +119,8 @@ class OracleLintSpec extends SparkSpec {
     "text_repetition" -> Set("distinct_ratio", "top_token_frac", "top_bigram_frac"),
     "text_tfidf_top_terms" -> Set("score"),
     "text_lm_perplexity" -> Set("mean_bits"),
-    "text_lm_buckets" -> Set("lo_bits", "hi_bits"))
+    "text_lm_buckets" -> Set("lo_bits", "hi_bits"),
+    "ann_recall_audit" -> Set("recall"))
 
   test("DOUBLE-typed output columns match the pinned allowlist") {
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -73,6 +73,8 @@ class PlanInvariantSpec extends SparkSpec {
     // plan carries only equi-joins — no whitelist entry needed
     "ann_bruteforce_cosine" ->
       "brute force IS the semantics (the exact top-k oracle): broadcast-small query set scored against every corpus vector",
+    "ann_recall_audit" ->
+      "the audit's ground truth IS brute force (sampled query set broadcast-crossed), plus the bounded centroid cross of ivfTopK",
     "q22_sales_opportunity" ->
       "TPC-H Q22 correlated scalar: 1-row avg(acctbal) broadcast against customers",
     "cdc_workload_check" ->
