@@ -2686,8 +2686,8 @@ object LlmQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // -- multimodal pipeline (REAL ImageIO decode for images, REAL WAV
-  // decode for audio; video byte-decode stubbed; every checked column
-  // oracle-recomputable) -------------------------------------------------
+  // decode for audio, REAL RIFF/AVI chunk-walk decode for video; every
+  // checked column oracle-recomputable) -----------------------------------
   def multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipeline(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
