@@ -302,6 +302,29 @@ object ScaleSmoke {
         // the √n-centroid IVF regime for the kNN-graph family
         ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
         ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
+        // the recall audit in its deployment regime: the query SAMPLE
+        // stays fixed while the corpus grows (the oracle query's %64
+        // sample grows with the corpus for gate coverage; an actual
+        // fleet audits a pinned sample) — brute-force ground truth and
+        // IVF probes are both ∝ corpus at fixed sample, expect ~linear
+        ("ann_recall_audit@fixedq", 1.0, (s: SparkSession, dir: String) => {
+          val sub = Tables.embeddings(s, dir)
+            .filter(pmod(col("vec_id"), lit(8)) === 0)
+          val q = sub.orderBy("vec_id").limit(32)
+          val exact = graft.ops.Similarity.bruteForceTopK(
+            sub, q, "vec_id", "embedding", k = 5)
+            .select("query_id", "neighbor_id")
+          val ivf = Seq(1, 4, 16).map { p =>
+            graft.ops.Similarity.ivfTopK(sub, q, "vec_id", "embedding",
+                nCells = 16, nProbe = p, k = 5,
+                centroidOrder = Some(col("cell")))
+              .select(lit(p.toLong).as("nprobe"), col("query_id"),
+                col("neighbor_id"))
+          }.reduce(_ unionByName _)
+          ivf.join(exact, Seq("query_id", "neighbor_id"))
+            .groupBy("nprobe")
+            .agg(count(lit(1)).as("n_hits"))
+        }),
         // CC over the @0.8 auto-granularity edge set (same regime
         // rationale as the cosine rows below — at the query's
         // exploratory 0.45 the TRUE pair set is quadratic)
