@@ -229,8 +229,8 @@ object TextOps {
     * equi-joins of corpus bigrams against the model frames, a 1-row
     * vocab broadcast for the smoothing denominator, one per-doc
     * regroup. The trained model IS the two count frames — persist them
-    * to reuse across corpora (reference internal/script pattern of a
-    * trained artifact applied per batch).
+    * with [[saveLm]]/[[loadLm]] to reuse across corpora (the
+    * train-once, apply-nightly shape of a KenLM-style filter).
     *
     * Output per input row: every `docs` column the caller selected,
     * plus n_bigrams, bits, mean_bits (0.0 for <2-token docs).
