@@ -203,10 +203,14 @@ object Multimodal {
         while (off + 8 <= end) {
           val id = fourcc(off); val sz = le32(off + 4)
           val body = off + 8
-          if (body + sz > end) return // truncated chunk: stop, keep what parsed
-          if (id == "LIST" && sz >= 4) {
+          if (id == "LIST" && sz >= 4 && body + 4 <= end) {
+            // a torn LIST (file truncated mid-stream) is CLAMPED, not
+            // skipped: its intact leading children — e.g. the whole
+            // frames before the tear — still parse
             val listType = fourcc(body)
-            walk(body + 4, body + sz, inMovi || listType == "movi")
+            walk(body + 4, math.min(body + sz, end), inMovi || listType == "movi")
+          } else if (body + sz > end) {
+            return // truncated leaf chunk: stop, keep what parsed
           } else if (id == "strf" && sz >= 40) {
             w = le32(body + 4); h = le32(body + 8)
             bpp = (le32(body + 12) >>> 16) & 0xffff

@@ -803,6 +803,19 @@ class OpsSpec extends SparkSpec {
     val out = Multimodal.decodeFeatures(bad).collect()
     assert(out.length == 1 && out(0).checksum.length == 32)
     assert(out(0).img_w == 0 && out(0).n_bytes == 21) // stub path
+
+    // a TRUNCATED AVI (torn mid-chunk, the partial-object case a 100 TB
+    // ingest sees) keeps the fully-parsed prefix frames instead of
+    // failing or falling to the stub: cutting 50 bytes tears the 4th
+    // 96-byte frame chunk, so exactly 3 whole frames decode
+    val torn = Seq(Multimodal.MediaRow(2L, "video", 10, 8,
+      payload.dropRight(50))).toDF()
+    val tOut = Multimodal.decodeFeatures(torn).collect()(0)
+    assert(tOut.img_w == w && tOut.img_h == h) // strf header still parsed
+    assert(tOut.n_bytes == w * h * 3)          // 3 surviving frames' pixels
+    val tFrames = Multimodal.sampleFrames(torn, durationMs = 1000, everyMs = 250)
+      .collect()
+    assert(tFrames.length == 3)
   }
 
   test("corrupt image bytes degrade to the opaque-binary path, not NPE") {
