@@ -203,6 +203,12 @@ object Multimodal {
         while (off + 8 <= end) {
           val id = fourcc(off); val sz = le32(off + 4)
           val body = off + 8
+          // a corrupt size field (top bit set → le32 negative) would make
+          // the cursor advance zero bytes (sz = -8) or walk backward
+          // (sz < -9) — an unkillable task-level hang, which the
+          // catch-all below cannot interrupt. Treat it like a truncated
+          // leaf: stop, keep the intact prefix frames.
+          if (sz < 0) return
           if (id == "LIST" && sz >= 4 && body + 4 <= end) {
             // a torn LIST (file truncated mid-stream) is CLAMPED, not
             // skipped: its intact leading children — e.g. the whole

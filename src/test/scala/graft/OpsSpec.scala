@@ -816,6 +816,28 @@ class OpsSpec extends SparkSpec {
     val tFrames = Multimodal.sampleFrames(torn, durationMs = 1000, everyMs = 250)
       .collect()
     assert(tFrames.length == 3)
+
+    // a NEGATIVE chunk size (corrupt top bit) must terminate, not hang:
+    // sz = -8 advances the cursor zero bytes and sz < -9 walks backward —
+    // before the guard this looped a Spark task forever, uninterruptible
+    // by the decode catch-all. Patch the 3rd frame chunk's size field in
+    // place (self-locating via the '00db' fourcc) and expect the intact
+    // 2-frame prefix, same degrade contract as the torn case.
+    def frameChunkOffsets(p: Array[Byte]): Seq[Int] =
+      (0 to p.length - 4).filter(i =>
+        p(i) == '0' && p(i + 1) == '0' && p(i + 2) == 'd' && p(i + 3) == 'b')
+    for (badSz <- Seq(-8, -100)) {
+      val patched = payload.clone()
+      val at = frameChunkOffsets(patched)(2) + 4
+      patched(at) = (badSz & 0xff).toByte
+      patched(at + 1) = ((badSz >> 8) & 0xff).toByte
+      patched(at + 2) = ((badSz >> 16) & 0xff).toByte
+      patched(at + 3) = ((badSz >> 24) & 0xff).toByte
+      val negDf = Seq(Multimodal.MediaRow(2L, "video", 10, 8, patched)).toDF()
+      val negOut = Multimodal.decodeFeatures(negDf).collect()(0)
+      assert(negOut.img_w == w && negOut.n_bytes == w * h * 2,
+        s"sz=$badSz should keep the 2 intact prefix frames")
+    }
   }
 
   test("corrupt image bytes degrade to the opaque-binary path, not NPE") {
