@@ -33,18 +33,30 @@ object Bench {
     // sink consumes every output column like Verify's parquet write
     // does, with zero I/O cost.
     val names = SparkEntry.queries.keys.toSeq
-    def sweep(): Map[String, Double] = names.map { name =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // Per query: best-of-2, escalating to best-of-3 when the two runs
+    // disagree by >10% — the r10 closing artifact couldn't tell a real
+    // 15% regression on the heaviest query from one contended run
+    // (corpus_curation_e2e read 6.9 s one round and 8.2 s the next on
+    // an unchanged plan). A third consecutive run resolves which of
+    // the two readings was the outlier. Every run's time is kept so
+    // the JSON can report the observed per-query spread.
+    def sweep(): Map[String, Seq[Double]] = names.map { name =>
+      val first = Seq(timeOne(name), timeOne(name))
+      val good = first.filter(_ >= 0)
+      val times =
+        if (good.size == 2 && (good.max - good.min) / good.min > 0.10)
+          first :+ timeOne(name)
+        else first
+      name -> times
     }.toMap
     // One discarded warm-up execution per query first: the gated
     // sweeps must BOTH be steady-state. Without this, sweep 1 carries
@@ -64,18 +76,31 @@ object Bench {
     // `gated: false` says so in the JSON itself, so a contended
     // closing run can't silently masquerade as the bench.
     val passes = Seq(sweep(), sweep())
+    val allRuns: Map[String, Seq[Double]] =
+      names.map(n => n -> passes.flatMap(_(n)).filter(_ >= 0)).toMap
     val results = names.map { n =>
-      val good = passes.map(_(n)).filter(_ >= 0)
+      val good = allRuns(n)
       n -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
-    val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
+    // observed per-query spread across every timed run (max/min − 1):
+    // the self-documenting noise floor a later round compares against
+    // before calling a delta a regression
+    val spreads = names.map { n =>
+      val good = allRuns(n)
+      n -> (if (good.size >= 2) good.max / good.min - 1.0 else 0.0)
+    }.toMap
+    val passTotals = passes.map(p =>
+      p.values.map(ts => ts.filter(_ >= 0)).collect {
+        case ts if ts.nonEmpty => ts.min }.sum)
     val gated = results.values.forall(_ >= 0) &&
       (passTotals.max - passTotals.min) / passTotals.min <= 0.15
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val pt = passTotals.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"pass_totals":$pt,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"pass_totals":$pt,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     println(line)
     // stdout from a forked sbt run is wrapped in [info] noise that can
     // defeat the driver's JSON parse — also write the line to a clean

@@ -70,26 +70,46 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
 
-    // Curation-flagship fixture: suffix only NON-stopword words, so the
-    // Gopher gate keeps the same doc set it keeps on the raw corpus
-    // (the plain every-word suffix zeroes stop_hits and the quality
-    // gate drops ~all docs — the r9 smoke degeneration). Cross-replica
-    // decorrelation still holds: a shared shingle would need a run of
-    // consecutive stopwords, and intra-replica dup structure is exact.
+    // Curation-flagship fixture: ROTATE the characters of every
+    // non-stopword by the replica id (length-neutral decorrelation).
+    // The r10 suffix scheme ("word" → "word_3") preserved stop_hits
+    // but added 2-4 chars per word, shifting mean_word_len — docs near
+    // the Gopher gate's 10.0 upper bound flipped keep→drop at higher
+    // replica ids, so fixture keep-set parity with the raw corpus was
+    // only approximate. Rotation ("meadows" → "wsmeado") preserves
+    // EVERY gate feature exactly — word length, alpha/symbol content,
+    // stopword hits — so the keep-set is identical per replica by
+    // construction (asserted below), while cross-replica shingles
+    // still decorrelate (a shared shingle needs a run of stopwords or
+    // rotation-period coincidences) and intra-replica dup structure is
+    // exact. Replica 0 is the raw corpus verbatim.
     if (!new java.io.File(s"$out/curation/documents.parquet").exists()) {
       val stop = graft.ops.TextOps.stopwords
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
+      def rotated(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val sh = pmod(col("__r"), length(w))
+        concat(w.substr(sh + 1, length(w) - sh), w.substr(lit(1), sh))
+      }
       Tables.documents(spark, base).select(col("*"), repCol)
         .select((col("doc_id") * mult + col("__r")).as("doc_id"),
           array_join(
             transform(split(col("text"), "\\s+"), w =>
-              when(lower(w).isin(stop: _*), w)
-                .otherwise(concat(w, lit("_"), col("__r").cast("string")))),
+              when(lower(w).isin(stop: _*) || length(w) === 0, w)
+                .otherwise(rotated(w))),
             " ").as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/curation/documents.parquet")
+      // keep-set parity, enforced not hoped: the gate must keep exactly
+      // reps× the raw corpus's keep count
+      val rawKeeps = graft.ops.TextOps.gopherFilters(
+        Tables.documents(spark, base), "text").filter(col("keep")).count()
+      val fixKeeps = graft.ops.TextOps.gopherFilters(
+        spark.read.parquet(s"$out/curation/documents.parquet"), "text")
+        .filter(col("keep")).count()
+      require(fixKeeps == rawKeeps * reps,
+        s"curation fixture keep-set drifted: raw $rawKeeps × $reps != $fixKeeps")
     }
 
     if (!reps100 && !new java.io.File(s"$out/events.parquet").exists()) {
@@ -143,6 +163,15 @@ object ScaleSmoke {
       graft.ops.Similarity.semanticDedup(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = k, iterations = 2, threshold = 0.45)
     }
+    // same contract through the two-level assignment (the named r10
+    // refinement): the n·k broadcast-assignment term — the measured
+    // super-linear remainder of the flat row — becomes ~2·n·√k
+    val semanticTwoLevel = (s: SparkSession, dir: String) => {
+      val k = if (dir == base) 8 else 8 * reps
+      graft.ops.Similarity.semanticDedup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = k, iterations = 2, threshold = 0.45,
+        twoLevel = true)
+    }
     // The √n-centroid IVF regime for the kNN-graph family (the oracle
     // queries pin nCells=nProbe=16 for exhaustive-regime exactness; the
     // SCALE path is nCells ∝ √n with a bounded probe — total work
@@ -181,6 +210,65 @@ object ScaleSmoke {
       graft.ops.Dedup.dupClusters(sub.select("vec_id"), "vec_id", mutual,
         maxIters = 40)
     }
+    // text_lm_buckets in the regime the giant-source fallback exists
+    // for: remap 19/20 of docs onto ONE source ("common-crawl is one
+    // source") and bucket with a 10k-doc auto-switch threshold — at
+    // base scale every source stays under it (window path, the r10
+    // plan), at 10×/100× the dominant source crosses it and takes the
+    // partitioned ntileByHistogram path, so the one-task full-row sort
+    // never forms. The plain text_lm_buckets row keeps measuring the
+    // window path for comparison.
+    def dominantDocs(s: SparkSession, dir: String) =
+      Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(20)) =!= 0, lit("common-crawl"))
+          .otherwise(col("source")).as("source"),
+        col("text"))
+    val lmBucketsDominant = (s: SparkSession, dir: String) =>
+      LlmQueries.lmBucketsOn(dominantDocs(s, dir),
+        giantSourceThreshold = 10000L)
+    // the counterfactual: the SAME dominant-source fixture forced down
+    // the per-source ntile window (threshold no source reaches) — the
+    // one-task sort the fallback exists to avoid
+    val lmBucketsDominantWindow = (s: SparkSession, dir: String) =>
+      LlmQueries.lmBucketsOn(dominantDocs(s, dir),
+        giantSourceThreshold = Long.MaxValue)
+    // Zipfian-token corpus, synthesized on the fly (no fixture write):
+    // rank = floor(V^u) with u hash-uniform in [0,1) is the inverse
+    // CDF of P(rank=k) ∝ 1/k — real text's token law. Rank 1 alone
+    // carries ~1/ln(V) ≈ 9% of all tokens, so the LM score join's
+    // `prev` key has exactly the head-token skew a web corpus has
+    // ("the" owns a partition). Deterministic: u comes from
+    // xxhash64(doc, position), no RNG.
+    def zipfDocs(s: SparkSession, dir: String, baseDocs: Long,
+        docLen: Int, vocabSize: Int): DataFrame = {
+      val n = if (dir == base) baseDocs else baseDocs * reps
+      s.range(n).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(docLen - 1)), i =>
+          concat(lit("tok"), floor(pow(lit(vocabSize.toDouble),
+            pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double") / 1e6))
+            .cast("long").cast("string"))), " ").as("text"))
+    }
+    // the LM scorer on the Zipfian corpus: text_rare_token_stats
+    // documented the head-token join hazard and leans on AQE
+    // skew-split — this row proves it for the lmSurprise `prev` join
+    // (task-duration spread recorded by the listener below). The
+    // bits filter forces the scoring joins under count(): without a
+    // right-side column reference Catalyst eliminates the unique-key
+    // left join outright and the row times an empty plan.
+    val lmZipf = (s: SparkSession, dir: String) =>
+      graft.ops.TextOps.lmSurprise(
+        zipfDocs(s, dir, baseDocs = 20000L, docLen = 40, vocabSize = 50000),
+        "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
+        .filter(col("bits") >= 0L)
+    // the bounded model's frame-size claim: returned rows = retained
+    // (prev, w) types at floor 2, so the printed base/big row counts
+    // ARE the sublinearity measurement (Zipf tail types are seen once
+    // and collapse into per-context <unk> rows)
+    val lmModelRowsZipf = (s: SparkSession, dir: String) =>
+      graft.ops.TextOps.trainLmBounded(
+        zipfDocs(s, dir, baseDocs = 20000L, docLen = 40, vocabSize = 50000)
+          .filter(pmod(col("doc_id"), lit(7)) === 0),
+        "text", minCount = 2L).cPw
     // Expected-exponent bound per op, from the r7 10× measurements:
     // LSH families tracked ≤ n^1.33 (band-bucket candidate cost), the
     // banded GTID islands and per-key CDC ops tracked ~linear. A 3×
@@ -202,11 +290,16 @@ object ScaleSmoke {
         ("dedup_substrings", 1.0, LlmQueries.dedupSubstrings _),
         // r10: the r9 heavy ops one order beyond their 10× rows
         ("dedup_semantic", 1.33, semanticKpropN),
+        ("dedup_semantic@twolevel", 1.33, semanticTwoLevel),
         ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
         ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
         ("corpus_curation_e2e", 1.33, curationE2e),
         ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _),
-        ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _))
+        ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _),
+        ("text_lm_buckets@dominant", 1.0, lmBucketsDominant),
+        ("text_lm_buckets@dominant-window", 1.0, lmBucketsDominantWindow),
+        ("text_lm_perplexity@zipf", 1.0, lmZipf),
+        ("lm_model_rows@zipf", 1.0, lmModelRowsZipf))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),
@@ -272,6 +365,7 @@ object ScaleSmoke {
         // scale; the extreme-scale refinement is two-level assignment
         // (coarse codebook → cell), the same trick IVF rows use.
         ("dedup_semantic", 1.33, semanticKpropN),
+        ("dedup_semantic@twolevel", 1.33, semanticTwoLevel),
         // eval probe of the train index at dup-grade 0.8 with auto
         // granularity (same regime rationale as the @0.8 rows): split
         // on the ORIGINAL id so the eval set is 10% of every replica
@@ -299,6 +393,9 @@ object ScaleSmoke {
         ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _),
         // + per-source tercile window and (source,bucket) rollup
         ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _),
+        ("text_lm_buckets@dominant", 1.0, lmBucketsDominant),
+        ("text_lm_perplexity@zipf", 1.0, lmZipf),
+        ("lm_model_rows@zipf", 1.0, lmModelRowsZipf),
         // the √n-centroid IVF regime for the kNN-graph family
         ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
         ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
@@ -359,6 +456,41 @@ object ScaleSmoke {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // task-duration capture for the BIG run of every op: max/p50 task
+    // time is the skew witness — a key owning one giant partition
+    // shows up as spread, not necessarily as wall-clock (31 idle cores
+    // hide one hot task at this scale; they don't at cluster scale)
+    val taskDur =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, java.lang.Long)]()
+    val stageNames =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskDur.add((t.stageId, t.taskInfo.duration))
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageNames.put(sc.stageInfo.stageId, sc.stageInfo.name.takeWhile(_ != '\n'))
+    })
+    def spread(): (Long, Long) = {
+      val all = taskDur.toArray(Array.empty[(Int, java.lang.Long)])
+      val ds = all.map(_._2.toLong).sorted
+      if (ds.isEmpty) return (0L, 0L)
+      // per-stage attribution for the hot task, so a spread reading
+      // names its stage instead of leaving a 27-second mystery
+      if (sys.env.contains("SPARK_GRAFT_STAGE_SPREAD")) {
+        val byStage = all.groupBy(_._1).toSeq.map { case (sid, ts) =>
+          val d = ts.map(_._2.toLong).sorted
+          (sid, d.length, d(d.length / 2), d.last)
+        }.sortBy(-_._4).take(5)
+        byStage.foreach { case (sid, n, p50, mx) =>
+          println(f"    stage $sid%5d: $n%4d tasks  p50 $p50%6d ms  max $mx%6d ms" +
+            s"  ${stageNames.getOrDefault(sid, "?")}")
+        }
+      }
+      (ds(ds.length / 2), ds.last)
+    }
+
     // optional 4th arg: comma-separated op-name filter, for re-measuring
     // one op after a methodology change without the full suite
     val selected =
@@ -384,14 +516,17 @@ object ScaleSmoke {
 
     val lines = selected.map { case (name, exponent, fn) =>
       val (tBase, nBase) = time(fn(spark, base).count())
+      taskDur.clear()
       val (tBig, nBig) = time(fn(spark, out).count())
+      val (p50, tMax) = spread()
       val ratio = tBig / tBase
       val b = bound(exponent)
       val ok = ratio <= b
       println(f"$name%-28s sf0.1: $tBase%7.2f s ($nBase rows)   " +
         f"x$reps: $tBig%7.2f s ($nBig rows)   ratio ${ratio}%.1fx " +
-        f"(bound ${b}%.0fx ${if (ok) "OK" else "EXCEEDED"})")
-      f"""  "$name": {"base_sec": $tBase%.2f, "base_rows": $nBase, "big_sec": $tBig%.2f, "big_rows": $nBig, "ratio": $ratio%.2f, "bound": $b%.1f, "ok": $ok}"""
+        f"(bound ${b}%.0fx ${if (ok) "OK" else "EXCEEDED"})   " +
+        f"task p50/max ${p50}/${tMax} ms")
+      f"""  "$name": {"base_sec": $tBase%.2f, "base_rows": $nBase, "big_sec": $tBig%.2f, "big_rows": $nBig, "ratio": $ratio%.2f, "bound": $b%.1f, "ok": $ok, "task_p50_ms": $p50, "task_max_ms": $tMax}"""
     }
     println(s"""SCALEJSON {\n  "reps": $reps,\n""" + lines.mkString(",\n") + "\n}")
     spark.stop()

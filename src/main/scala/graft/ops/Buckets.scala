@@ -45,39 +45,101 @@ object Buckets {
     * tie group: still one group's sort, parallel across the n-1
     * boundaries, vs ntile's sort of everything.
     *
+    * `partCols` generalizes to PARTITIONED ntile — `ntile(n) OVER
+    * (PARTITION BY partCols ORDER BY orderCol, tieCol)` — with the
+    * same machinery per partition: the histogram window partitions by
+    * partCols (its "single-partition" cost becomes per-group,
+    * distinct-value-sized), and the broadcast/boundary logic keys on
+    * partCols + orderCol. This is the giant-source fallback for
+    * per-source terciles (text_lm_buckets): one dominant source stops
+    * being one task's sort and becomes its histogram + at most n-1
+    * boundary-group sorts.
+    *
     * Rank arithmetic uses floor() on doubles — exact below 2^53 rows.
     */
   def ntileByHistogram(df: DataFrame, orderCol: String, tieCol: String,
-      n: Int): DataFrame = {
-    val histW = Window.orderBy(col(orderCol))
-    val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__cnt"))
+      n: Int, partCols: Seq[String] = Nil): DataFrame = {
+    val histW = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    val hist = df.groupBy((partCols :+ orderCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(histW.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("__n", sum(col("__cnt")).over(
         histW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
 
-    // ntile semantics: N rows over n buckets = (N mod n) buckets of
-    // floor(N/n)+1 rows, then buckets of floor(N/n) rows
-    def bucketOf(rank: Column): Column = {
-      val size = floor(col("__n") / n).cast("long")
-      val rem = col("__n") % n
-      val cut = rem * (size + 1)
-      when(rank <= cut, floor((rank - 1) / (size + 1)).cast("long") + 1)
-        .otherwise((rem + floor((rank - cut - 1) / greatest(size, lit(1L)))
-          .cast("long") + 1).cast("long"))
-    }
+    def bucketOf(rank: Column): Column = ntileBucket(rank, col("__n"), n)
 
     val marked = hist
       .withColumn("__blo", bucketOf(col("__off") + 1))
       .withColumn("__bhi", bucketOf(col("__off") + col("__cnt")))
       .drop("__cnt")
-    val joined = df.join(broadcast(marked), Seq(orderCol))
+    val joined = df.join(broadcast(marked), partCols :+ orderCol)
     val easy = joined.filter(col("__blo") === col("__bhi"))
       .withColumn("bucket", col("__blo"))
-    val tieW = Window.partitionBy(col(orderCol)).orderBy(col(tieCol))
+    val tieW = Window.partitionBy((partCols :+ orderCol).map(col): _*)
+      .orderBy(col(tieCol))
     val hard = joined.filter(col("__blo") =!= col("__bhi"))
       .withColumn("bucket", bucketOf(col("__off") + row_number().over(tieW)))
     easy.unionByName(hard).drop("__off", "__n", "__blo", "__bhi")
+  }
+
+  /** ntile semantics: N rows over n buckets = (N mod n) buckets of
+    * floor(N/n)+1 rows, then buckets of floor(N/n) rows. floor() on
+    * doubles — exact below 2^53 rows.
+    */
+  private def ntileBucket(rank: Column, total: Column, n: Int): Column = {
+    val size = floor(total / n).cast("long")
+    val rem = total % n
+    val cut = rem * (size + 1)
+    when(rank <= cut, floor((rank - 1) / (size + 1)).cast("long") + 1)
+      .otherwise((rem + floor((rank - cut - 1) / greatest(size, lit(1L)))
+        .cast("long") + 1).cast("long"))
+  }
+
+  /** Exact `ntile(n) OVER (PARTITION BY partCols ORDER BY orderCol,
+    * tieCol)` via DISTRIBUTED RANK — the giant-group fallback for
+    * CONTINUOUS order columns, where [[ntileByHistogram]]'s
+    * distinct-value histogram degenerates to corpus size (measured:
+    * on a 475k-doc dominant source with near-distinct double scores
+    * the histogram path was slower than the window it replaces, 28 s
+    * vs 16 s at 100×, and its broadcast+single-partition window owned
+    * the max task — ScaleSmoke round 11).
+    *
+    * One range repartition on (partCols, orderCol, tieCol) splits
+    * every group across tasks with sampling-balanced boundaries — a
+    * dominant group stops being one task's sort; the biggest sort
+    * anywhere is one range partition (~N/parts rows), whatever the
+    * group skew. The range invariant (pid order = sort order) makes
+    * each row's group-global rank = its within-(pid, group) local
+    * rank + the count of same-group rows in earlier pids; those
+    * counts are a (parts + groups)-sized control frame, cumulated in
+    * a per-group window over THAT frame only and broadcast back. No
+    * corpus-sized broadcast, no single-task sort, same exact ntile
+    * arithmetic as [[ntileByHistogram]].
+    */
+  def ntileByRange(df: DataFrame, orderCol: String, tieCol: String,
+      n: Int, partCols: Seq[String] = Nil): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortCols = partCols.map(col) ++ Seq(col(orderCol), col(tieCol))
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val groupPid = col("__pid") +: partCols.map(col)
+    // rank within (partition, group): each task ranks only its slice
+    val localW = Window.partitionBy(groupPid: _*)
+      .orderBy(col(orderCol), col(tieCol))
+    val local = ranged.withColumn("__lr", row_number().over(localW))
+    val offW = Window.partitionBy(partCols.map(col): _*).orderBy(col("__pid"))
+    val ctl = ranged.groupBy(groupPid: _*).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        offW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__cnt")
+    local.join(broadcast(ctl), "__pid" +: partCols)
+      .withColumn("bucket",
+        ntileBucket(col("__off") + col("__lr"), col("__n"), n))
+      .drop("__pid", "__lr", "__off", "__n")
   }
 }

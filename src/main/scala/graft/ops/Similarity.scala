@@ -766,16 +766,31 @@ object Similarity {
     * small and fixed (curation wants stable buckets, not convergence).
     */
   def kmeansAssignments(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L): DataFrame =
-    kmeansCore(df, idCol, vecCol, k, iterations, quantScale)
+      k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L,
+      twoLevel: Boolean = false): DataFrame =
+    kmeansCore(df, idCol, vecCol, k, iterations, quantScale, twoLevel)
       .select(col(idCol), col("cluster"), col("dist2"))
 
   /** [[kmeansAssignments]] plus the quantized vector column `__q` the
     * assignment already computed — [[semanticDedup]] reuses it for the
     * within-cluster pair scoring instead of re-quantizing the corpus.
+    *
+    * `twoLevel` is the k∝n scale path for the assignment stage: flat
+    * assignment is a corpus × k broadcast-cross (n·k distance rows —
+    * with SemDeDup's k ∝ n that term is the measured super-linear
+    * remainder, 59.5× at 100× in round 10). Two-level routes each
+    * vector through √k COARSE anchors (the √k lowest-id centroids of
+    * the round), then scores it only against the fine centroids whose
+    * anchor it picked — ~2·n·√k distance rows. The routing is the IVF
+    * approximation (a vector whose true nearest centroid lives under a
+    * different anchor mis-assigns), exactly the trade ivfTopK makes;
+    * SemanticPropertySpec pins two-level ≡ flat on separated-cluster
+    * fixtures, and the oracle query keeps flat assignment (its pinned
+    * k=8 is under the engage threshold).
     */
   private def kmeansCore(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int, quantScale: Long): DataFrame = {
+      k: Int, iterations: Int, quantScale: Long,
+      twoLevel: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     require(iterations > 0, "iterations must be positive")
     val q = df.select(col(idCol), transform(col(vecCol),
@@ -786,16 +801,66 @@ object Similarity {
         row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
       .select(col("cluster"), col("__q").as("__c"))
 
-    def assign(cent: DataFrame): DataFrame =
+    def d2(a: String, b: String) = expr(s"aggregate(zip_with($a, $b, " +
+      "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+    def flatAssign(cent: DataFrame): DataFrame =
       q.crossJoin(broadcast(cent))
-        .withColumn("__d2", expr("aggregate(zip_with(__q, __c, " +
-          "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("__d2", d2("__q", "__c"))
         // lexicographic struct min = argmin with cluster-id tie-break;
         // __q rides along (never compared: (__d2, cluster) is unique)
         .groupBy(col(idCol))
         .agg(min(struct(col("__d2"), col("cluster"), col("__q"))).as("__m"))
         .select(col(idCol), col("__m.cluster").as("cluster"),
           col("__m.__d2").as("dist2"), col("__m.__q").as("__q"))
+
+    def twoLevelAssign(cent: DataFrame): DataFrame = {
+      val kc = math.max(2, math.round(math.sqrt(k.toDouble)).toInt)
+      def routeTo(anch: DataFrame): DataFrame =
+        cent.crossJoin(broadcast(anch))
+          .withColumn("__d2", d2("__c", "__cc"))
+          .groupBy(col("cluster"))
+          .agg(min(struct(col("__d2"), col("__coarse"), col("__c"))).as("__m"))
+          .select(col("__m.__coarse").as("__coarse"), col("cluster"),
+            col("__m.__c").as("__c"))
+      // coarse anchors: seed with the kc lowest-id centroids, then ONE
+      // Lloyd round over the CENTROID frame (k rows — control-plane)
+      // so the anchors spread over centroid space. Raw seeds leave
+      // far-from-every-seed clusters in a tie-ish routing region where
+      // a vector and its own centroid can pick different anchors — the
+      // one Lloyd round is what makes the anchor Voronoi cells cover
+      // the clusters with margin.
+      val seeds = cent.orderBy(col("cluster")).limit(kc)
+        .select(col("cluster").as("__coarse"), col("__c").as("__cc"))
+      val anchors = routeTo(seeds)
+        .select(col("__coarse"), posexplode(col("__c")).as(Seq("__i", "__cx")))
+        .groupBy(col("__coarse"), col("__i"))
+        .agg(sum(col("__cx")).as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__cv", expr("(__s - pmod(__s, __n)) div __n"))
+        .groupBy(col("__coarse"))
+        .agg(transform(array_sort(collect_list(struct(col("__i"), col("__cv")))),
+          p => p.getField("__cv")).as("__cc"))
+      // route every fine centroid to its refined anchor (k × kc)
+      val centRouted = routeTo(anchors)
+      // corpus → anchor (n × √k), then → fine centroid within the
+      // anchor's cell (equi-join on the anchor id: ~√k candidates each)
+      val toCoarse = q.crossJoin(broadcast(anchors))
+        .withColumn("__d2", d2("__q", "__cc"))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__d2"), col("__coarse"), col("__q"))).as("__m"))
+        .select(col(idCol), col("__m.__coarse").as("__coarse"),
+          col("__m.__q").as("__q"))
+      toCoarse.join(broadcast(centRouted), Seq("__coarse"))
+        .withColumn("__d2", d2("__q", "__c"))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__d2"), col("cluster"), col("__q"))).as("__m"))
+        .select(col(idCol), col("__m.cluster").as("cluster"),
+          col("__m.__d2").as("dist2"), col("__m.__q").as("__q"))
+    }
+
+    // the coarse detour only pays past ~4 anchors' worth of centroids
+    def assign(cent: DataFrame): DataFrame =
+      if (twoLevel && k > 16) twoLevelAssign(cent) else flatAssign(cent)
 
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cluster"), posexplode(col("__q")).as(Seq("__i", "__qx")))
@@ -834,12 +899,13 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iterations: Int = 2, quantScale: Long = 1000L,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45, twoLevel: Boolean = false): DataFrame = {
     // materialize the assignment ONCE: it feeds both pair legs, the
     // label join and the keeper derivation — without this, each of the
     // four consumers replays the full k-means lineage (its iterated
     // broadcast-cross assignments), measured ~2× the query's wall
-    val assigned = kmeansCore(df, idCol, vecCol, k, iterations, quantScale)
+    val assigned = kmeansCore(df, idCol, vecCol, k, iterations, quantScale,
+        twoLevel)
       .withColumn("__n2", expr(
         "aggregate(__q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
       .localCheckpoint(true)

@@ -240,13 +240,15 @@ object TextOps {
     scoreLm(trainLm(docs.filter(isRef), text), docs, id, text)
 
   /** A trained bigram LM: the (prev, w) count frame, its context
-    * marginal, and the 1-row vocab size. The model IS these three
-    * frames — [[saveLm]]/[[loadLm]] persist them as parquet so one
-    * reference train pass serves every later corpus/batch (how a real
-    * KenLM-style filter ships: train once on Wikipedia, apply
-    * nightly).
+    * marginal, the 1-row vocab size, and — for a BOUNDED model
+    * ([[trainLmBounded]]) — the per-context pruned-mass `<unk>` frame.
+    * The model IS these frames — [[saveLm]]/[[loadLm]] persist them as
+    * parquet so one reference train pass serves every later
+    * corpus/batch (how a real KenLM-style filter ships: train once on
+    * Wikipedia, apply nightly).
     */
-  final case class LmModel(cPw: DataFrame, cP: DataFrame, vocab: DataFrame)
+  final case class LmModel(cPw: DataFrame, cP: DataFrame, vocab: DataFrame,
+      cUnk: Option[DataFrame] = None)
 
   def trainLm(ref: DataFrame, text: String): LmModel = {
     val cPw = bigrams(ref, text).groupBy("prev", "w")
@@ -259,15 +261,58 @@ object TextOps {
     LmModel(cPw, cP, vocab)
   }
 
+  /** The KenLM-style size bound for web-scale reference slices: an
+    * UNBOUNDED `c_pw` holds one row per distinct bigram TYPE — on a
+    * common-crawl-sized reference that frame is itself billions of
+    * rows joined against every corpus bigram. Keep only types with
+    * count ≥ `minCount`; each context's pruned mass collapses into ONE
+    * `<unk>` row (`cUnk`), the estimate every pruned-or-unseen word
+    * shares, and contexts whose full marginal falls under the floor
+    * drop from `cP` (every one of their bigram types is under it too,
+    * so they score as never-seen: 1/V). Under Zipf the retained type
+    * count is a vanishing fraction of corpus bigrams — the model frame
+    * goes SUBLINEAR in corpus size (measured: ScaleSmoke
+    * lm_model_rows@zipf) while the smoothed-probability algebra stays
+    * integer-exact: bits = bit_length((c_p + V) div (c + 1)) with
+    * c = coalesce(kept, unk, 0), so the oracle re-derives scores
+    * bit-for-bit. `minCount = 1` reproduces [[trainLm]] exactly
+    * (nothing prunes; LmPropertySpec pins it).
+    */
+  def trainLmBounded(ref: DataFrame, text: String, minCount: Long): LmModel = {
+    val full = bigrams(ref, text).groupBy("prev", "w")
+      .agg(count(lit(1)).as("c_pw"))
+    // marginal over the FULL count frame (exact — pruning must not
+    // shift denominators), then bounded: a context under the floor has
+    // every type under it, so dropping its row is the same algebra as
+    // c_p = 0
+    val cP = full.groupBy("prev").agg(sum("c_pw").as("c_p"))
+      .filter(col("c_p") >= minCount)
+    val kept = full.filter(col("c_pw") >= minCount)
+    val cUnk = full.filter(col("c_pw") < minCount)
+      .groupBy("prev").agg(sum("c_pw").as("c_unk"))
+    val vocab = ref.select(explode(tokens(col(text))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+    LmModel(kept, cP, vocab, Some(cUnk))
+  }
+
   def scoreLm(model: LmModel, docs: DataFrame, id: String,
       text: String): DataFrame = {
-    val perDoc = bigrams(docs.select(col(id), col(text)), text, keep = Seq(id))
+    val joined0 = bigrams(docs.select(col(id), col(text)), text, keep = Seq(id))
       .join(model.cPw, Seq("prev", "w"), "left")
       .join(model.cP, Seq("prev"), "left")
+    // bounded model: a (prev, w) miss falls to the context's <unk> row
+    // before the never-seen 0 — one more prev-keyed equi-join against
+    // a frame SMALLER than c_p (only contexts that had pruned mass)
+    val (joined, cExpr) = model.cUnk match {
+      case Some(u) => (joined0.join(u, Seq("prev"), "left"),
+        "coalesce(c_pw, c_unk, CAST(0 AS BIGINT))")
+      case None => (joined0, "coalesce(c_pw, CAST(0 AS BIGINT))")
+    }
+    val perDoc = joined
       .crossJoin(broadcast(model.vocab)) // 1-row smoothing denominator
       .withColumn("bits_tok", length(bin(expr(
-        "(coalesce(c_p, CAST(0 AS BIGINT)) + vocab) div " +
-          "(coalesce(c_pw, CAST(0 AS BIGINT)) + 1)"))).cast("long"))
+        s"(coalesce(c_p, CAST(0 AS BIGINT)) + vocab) div ($cExpr + 1)")))
+        .cast("long"))
       .groupBy(id)
       .agg(count(lit(1)).as("n_bigrams"), sum("bits_tok").as("bits"))
     docs
@@ -281,12 +326,19 @@ object TextOps {
     model.cPw.write.mode("overwrite").parquet(s"$path/c_pw")
     model.cP.write.mode("overwrite").parquet(s"$path/c_p")
     model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    model.cUnk.foreach(_.write.mode("overwrite").parquet(s"$path/c_unk"))
   }
 
-  def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): LmModel =
+  def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): LmModel = {
+    // pre-bound saved models have no c_unk frame — load as unbounded
+    val unk =
+      if (new java.io.File(s"$path/c_unk").exists())
+        Some(spark.read.parquet(s"$path/c_unk"))
+      else None
     LmModel(spark.read.parquet(s"$path/c_pw"),
       spark.read.parquet(s"$path/c_p"),
-      spark.read.parquet(s"$path/vocab"))
+      spark.read.parquet(s"$path/vocab"), unk)
+  }
 
   /** One (prev, w) row per adjacent token pair, keeping `keep` cols. */
   private def bigrams(docs: DataFrame, text: String,

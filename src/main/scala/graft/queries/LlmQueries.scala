@@ -1486,30 +1486,150 @@ object LlmQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The perplexity filter under the BOUNDED model
+    * ([[graft.ops.TextOps.trainLmBounded]], floor 2): bigram types
+    * seen once in the reference collapse into per-context `<unk>`
+    * rows and sub-floor contexts drop entirely — the KenLM-style
+    * min-count prune that keeps the model frame sublinear in a
+    * web-scale reference. The algebra stays integer-exact
+    * (bits = bit_length((c_p + V) div (coalesce(kept, unk, 0) + 1))),
+    * so this oracle re-derives the BOUNDED scores bit-for-bit — the
+    * driver gate proves the prune changes exactly what it is specified
+    * to change and nothing else.
+    */
+  def textLmPerplexityBounded(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val model = TextOps.trainLmBounded(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0), "text", minCount = 2L)
+    TextOps.scoreLm(model, d, "doc_id", "text")
+      .withColumn("keep", col("mean_bits") <= lit(11.0))
+      .select("doc_id", "source", "n_bigrams", "bits", "mean_bits", "keep")
+      .orderBy("doc_id")
+  }
+
+  val textLmPerplexityBoundedSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |ref AS (SELECT prev, w FROM bg WHERE doc_id % 7 = 0),
+      |c_full AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_pw FROM ref GROUP BY 1, 2),
+      |c_pw AS (SELECT * FROM c_full WHERE c_pw >= 2),
+      |c_unk AS (SELECT prev, CAST(SUM(c_pw) AS BIGINT) AS c_unk
+      |          FROM c_full WHERE c_pw < 2 GROUP BY 1),
+      |c_p AS (SELECT prev, CAST(SUM(c_pw) AS BIGINT) AS c_p FROM c_full
+      |        GROUP BY 1 HAVING SUM(c_pw) >= 2),
+      |v AS (SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS vocab
+      |      FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 7 = 0) u),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |    CAST(length(format('{:b}',
+      |      (COALESCE(c_p.c_p, 0) + v.vocab)
+      |        // (COALESCE(c_pw.c_pw, c_unk.c_unk, 0) + 1))) AS BIGINT) AS bits_tok
+      |  FROM bg LEFT JOIN c_pw ON bg.prev = c_pw.prev AND bg.w = c_pw.w
+      |          LEFT JOIN c_unk ON bg.prev = c_unk.prev
+      |          LEFT JOIN c_p ON bg.prev = c_p.prev
+      |          CROSS JOIN v),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |              CAST(SUM(bits_tok) AS BIGINT) AS bits
+      |       FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, d.source,
+      |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(pd.bits, 0) AS bits,
+      |  CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0.0
+      |       ELSE CAST(pd.bits AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) END AS mean_bits,
+      |  CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN TRUE
+      |       ELSE CAST(pd.bits AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) <= 11.0 END AS keep
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // -- CCNet head/middle/tail perplexity buckets ------------------------------
   /** The step CCNet actually ships after LM scoring: split each
     * source's documents into HEAD / MIDDLE / TAIL terciles by LM
     * surprise (head = most reference-like; real pipelines train on
     * head+middle and drop or downweight tail). Buckets are per-SOURCE
-    * exact terciles — sources rank in parallel (the per-source window
-    * pattern of data_source_caps/tfidf; a single pathological
-    * giant source can switch to the distributive cutpoint mode the
-    * curriculum rows use, [[graft.ops.Buckets.ntileByHistogram]]).
+    * exact terciles with a GIANT-SOURCE auto-switch: a source below
+    * `giantSourceThreshold` docs ranks with the per-source ntile
+    * window (the data_source_caps/tfidf pattern — sources sort in
+    * parallel, each inside one task chain), while a source at or above
+    * it switches to the distributive cutpoint mode the curriculum rows
+    * use ([[graft.ops.Buckets.ntileByHistogram]] partitioned by
+    * source) — identical buckets (tie regimes included, proven against
+    * the same NTILE oracle and by LmPropertySpec), but the dominant
+    * source's cost becomes histogram + boundary-group sorts instead of
+    * one task sorting the whole source. That matters precisely when it
+    * hurts: at 100 TB "common-crawl" is ONE source. The plan choice is
+    * a driver-side control read of per-source doc counts off the raw
+    * documents frame — one row per source, column-pruned, never
+    * recomputes LM scores (the Conveyor/Bpe control-plane precedent).
     * Output is the per-(source, bucket) accounting frame a mix planner
     * consumes: doc/bigram counts and the surprise range per bucket.
     * Ordering ties (equal mean_bits) break on doc_id, so both engines
     * agree exactly; mean_bits itself is the same IEEE division on both
     * sides.
     */
-  def textLmBuckets(s: SparkSession, dir: String): DataFrame = {
+  def textLmBuckets(s: SparkSession, dir: String): DataFrame =
+    textLmBucketsMode(s, dir, giantSourceThreshold = 1L << 20)
+
+  /** Forced scale mode (threshold 0 ⇒ every source is "giant") —
+    * held to the SAME NTILE(3) SQL oracle as [[textLmBuckets]], the
+    * row-57/row-48 precedent: the driver gate itself proves the
+    * range-rank path ≡ ntile terciles, ties included.
+    */
+  def textLmBucketsRanged(s: SparkSession, dir: String): DataFrame =
+    textLmBucketsMode(s, dir, giantSourceThreshold = 0L)
+
+  private def textLmBucketsMode(s: SparkSession, dir: String,
+      giantSourceThreshold: Long): DataFrame =
+    lmBucketsOn(docs(s, dir).select("doc_id", "source", "text"),
+      giantSourceThreshold)
+
+  /** The full scoring + auto-switched bucketing over any
+    * (doc_id, source, text) frame — ScaleSmoke drives this with a
+    * one-dominant-source remap, the regime the fallback exists for.
+    */
+  private[graft] def lmBucketsOn(d: DataFrame,
+      giantSourceThreshold: Long): DataFrame = {
     val scored = TextOps.lmSurprise(
-      docs(s, dir).select("doc_id", "source", "text"),
-      "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
-    val w = Window.partitionBy("source").orderBy(col("mean_bits"), col("doc_id"))
-    scored
-      .withColumn("bucket",
-        element_at(array(lit("head"), lit("middle"), lit("tail")),
-          ntile(3).over(w)))
+      d, "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
+    val giants = d.groupBy("source").agg(count(lit(1)).as("__n")).collect()
+      .filter(_.getAs[Long]("__n") >= giantSourceThreshold)
+      .map(_.getAs[String]("source")).toSet
+    lmTercileBuckets(scored, giants)
+  }
+
+  /** Bucket + aggregate a scored frame (doc_id, source, n_bigrams,
+    * bits, mean_bits): `giantSources` take the RANGE-RANK path
+    * ([[graft.ops.Buckets.ntileByRange]] partitioned by source), the
+    * rest the per-source ntile window; both are exact NTILE(3) OVER
+    * (PARTITION BY source ORDER BY mean_bits, doc_id). Range-rank,
+    * not the curriculum rows' ntileByHistogram: mean_bits is a
+    * CONTINUOUS double, so the distinct-value histogram degenerates
+    * to ~source size (measured slower than the window it replaces at
+    * 100× — SCALE.md round 11), while range partitioning splits the
+    * dominant source across tasks regardless of score cardinality.
+    * Exposed to LmPropertySpec, which asserts path-equivalence on
+    * skewed/tied fixtures.
+    */
+  private[graft] def lmTercileBuckets(scored: DataFrame,
+      giantSources: Set[String]): DataFrame = {
+    val labels = array(lit("head"), lit("middle"), lit("tail"))
+    def viaWindow(df: DataFrame) = {
+      val w = Window.partitionBy("source")
+        .orderBy(col("mean_bits"), col("doc_id"))
+      df.withColumn("bucket", element_at(labels, ntile(3).over(w)))
+    }
+    def viaRangeRank(df: DataFrame) =
+      Buckets.ntileByRange(df, "mean_bits", "doc_id", 3, Seq("source"))
+        .withColumn("bucket", element_at(labels, col("bucket").cast("int")))
+    val bucketed =
+      if (giantSources.isEmpty) viaWindow(scored)
+      else viaRangeRank(scored.filter(col("source").isInCollection(giantSources)))
+        .unionByName(viaWindow(
+          scored.filter(!col("source").isInCollection(giantSources))))
+    bucketed
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_bigrams").as("n_bigrams"),
@@ -2781,7 +2901,9 @@ object LlmQueries {
     "data_zorder_layout" -> (dataZorderLayout _),
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
     "text_lm_perplexity" -> (textLmPerplexity _),
+    "text_lm_perplexity_bounded" -> (textLmPerplexityBounded _),
     "text_lm_buckets" -> (textLmBuckets _),
+    "text_lm_buckets_ranged" -> (textLmBucketsRanged _),
     "ann_recall_audit" -> (annRecallAudit _),
     "text_code_detect" -> (textCodeDetect _),
     "data_snapshot_drift" -> (dataSnapshotDrift _),
@@ -2858,7 +2980,11 @@ object LlmQueries {
     "data_zorder_layout" -> dataZorderLayoutSql,
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
     "text_lm_perplexity" -> textLmPerplexitySql,
+    "text_lm_perplexity_bounded" -> textLmPerplexityBoundedSql,
     "text_lm_buckets" -> textLmBucketsSql,
+    // the forced range-rank mode shares the ntile oracle — the driver
+    // gate itself proves the giant-source path ≡ per-source ntile
+    "text_lm_buckets_ranged" -> textLmBucketsSql,
     "ann_recall_audit" -> annRecallAuditSql,
     "text_code_detect" -> textCodeDetectSql,
     "data_snapshot_drift" -> dataSnapshotDriftSql,

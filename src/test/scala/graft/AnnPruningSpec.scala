@@ -62,6 +62,63 @@ class AnnPruningSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("clustered recall@6 curve: rises with nProbe, prunes at every point") {
+    // ann_recall_audit's oracle corpus is isotropic, so its top curve
+    // point (nProbe = nCells) is exhaustive by construction. This is
+    // the non-degenerate half: BETWEEN-cluster queries (true neighbors
+    // split across two clusters) on the clustered corpus, so low
+    // nProbe finds one side only, recall RISES with nProbe, and every
+    // sweep point scores strictly fewer candidates than brute force.
+    graft.functions.GraftFunctions.register(spark)
+    val between = (0 until 16).map { c =>
+      val a = direction(c); val b = direction((c + 1) % 16)
+      (c.toLong * 1000 + 999, Array.tabulate(8)(j => a(j) + b(j)))
+    }.toDF("vec_id", "embedding")
+    val k = 6
+    val exact = Similarity.bruteForceTopK(corpus, between, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    // the REAL centroid rule (hash-smallest 16 corpus ids), reproduced
+    // to measure per-query candidate volume = occupancy of probed cells
+    val cents = corpus.select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      .orderBy(xxhash64(col("cell")), col("cell")).limit(16)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("sim", call_function("graft_cosine", col("embedding"), col("centroid")))
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+      .filter(col("r") === 1)
+    val occupancy = assigned.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val nCorpus = corpus.count()
+
+    val sweep = Seq(1, 2, 4, 8).map { p =>
+      val got = Similarity.ivfTopK(corpus, between, "vec_id", "embedding",
+          nCells = 16, nProbe = p, k = k)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (got intersect exact).size.toDouble / exact.size
+      // candidates scored at this nProbe: per query, the occupancy sum
+      // of its top-p cells by centroid similarity
+      val probed = between.crossJoin(broadcast(cents))
+        .withColumn("sim", call_function("graft_cosine", col("embedding"), col("centroid")))
+        .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+        .filter(col("r") <= p)
+        .select("vec_id", "cell").as[(Long, Long)].collect()
+      val candPerQuery = probed.groupBy(_._1).map { case (_, cs) =>
+        cs.map(c => occupancy.getOrElse(c._2, 0L)).sum }
+      assert(candPerQuery.forall(_ < nCorpus),
+        s"nProbe=$p: some query scored the whole corpus — no pruning")
+      recall
+    }
+    // monotone nondecreasing, genuinely partial at the bottom, and the
+    // curve actually moves (pruning-with-structure, not a flat line)
+    assert(sweep.zip(sweep.tail).forall { case (a, b) => a <= b },
+      s"recall curve not monotone: $sweep")
+    assert(sweep.head < 1.0, s"nProbe=1 already exhaustive-recall: $sweep")
+    assert(sweep.last > sweep.head, s"recall curve flat: $sweep")
+    assert(sweep.last >= 0.9, s"nProbe=8 recall too low on clustered data: $sweep")
+  }
+
   test("LSH buckets actually prune: cluster-mates collide, strangers spread") {
     graft.functions.GraftFunctions.register(spark)
     val b = corpus.select(col("vec_id"),

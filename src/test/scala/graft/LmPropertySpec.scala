@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.TextOps
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Property check for the bigram-LM surprise scorer: for seeded random
@@ -83,6 +84,105 @@ class LmPropertySpec extends SparkSpec {
     val want = naive(trainDocs ++ newBatch, _ < 5000L)
       .filter { case (id, _) => id >= 5000L }
     assert(viaDisk == want)
+  }
+
+  private def naiveBounded(docs: Seq[(Long, String)], isRef: Long => Boolean,
+      minCount: Long): Map[Long, (Long, Long, Double)] = {
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val refToks = docs.filter(d => isRef(d._1)).map(d => toks(d._2))
+    val vocab = refToks.flatten.distinct.size.toLong
+    val refBigrams = refToks.flatMap(_.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))))
+    val full = refBigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val kept = full.filter(_._2 >= minCount)
+    val unk = full.filter(_._2 < minCount).groupBy(_._1._1)
+      .map { case (p, m) => p -> m.values.sum }
+    val cP = full.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+      .filter(_._2 >= minCount)
+    def bitLength(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    docs.map { case (id, text) =>
+      val bgs = toks(text).sliding(2).filter(_.size == 2).toSeq
+      val bits = bgs.map { p =>
+        // kept type → its count; pruned or never seen → the context's
+        // <unk> mass (0 when the context had nothing pruned)
+        val num = kept.getOrElse((p(0), p(1)), unk.getOrElse(p(0), 0L)) + 1L
+        val den = cP.getOrElse(p(0), 0L) + vocab
+        bitLength(den / num)
+      }.sum
+      val n = bgs.size.toLong
+      id -> (n, bits, if (n == 0) 0.0 else bits.toDouble / n)
+    }.toMap
+  }
+
+  private def sparkBounded(docs: Seq[(Long, String)], isRef: Long => Boolean,
+      minCount: Long): Map[Long, (Long, Long, Double)] = {
+    val df = docs.toDF("doc_id", "text")
+    val model = TextOps.trainLmBounded(
+      df.filter(pmod(col("doc_id"), lit(3)) === 0), "text", minCount)
+    TextOps.scoreLm(model, df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "bits", "mean_bits").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+  }
+
+  test("bounded LM with floor 1 ≡ unbounded, floors 2/3 ≡ naive bounded") {
+    for (seed <- Seq(7L, 1337L)) {
+      val data = corpus(seed, 200)
+      val unbounded = TextOps.lmSurprise(data.toDF("doc_id", "text"),
+          "doc_id", "text", isRef = pmod(col("doc_id"), lit(3)) === 0)
+        .select("doc_id", "n_bigrams", "bits", "mean_bits").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(sparkBounded(data, _ % 3 == 0, 1L) == unbounded,
+        s"seed $seed: floor 1 must reproduce the unbounded model exactly")
+      for (m <- Seq(2L, 3L)) {
+        val got = sparkBounded(data, _ % 3 == 0, m)
+        val want = naiveBounded(data, _ % 3 == 0, m)
+        assert(got.keySet == want.keySet, s"seed $seed floor $m: doc set")
+        for ((id, w) <- want)
+          assert(got(id) == w, s"seed $seed floor $m doc $id: got ${got(id)} want $w")
+      }
+    }
+  }
+
+  test("bounded LM persists: save/load keeps the <unk> frame and scores") {
+    val data = corpus(41L, 150)
+    val df = data.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_bounded").toString
+    TextOps.saveLm(TextOps.trainLmBounded(
+      df.filter(pmod(col("doc_id"), lit(3)) === 0), "text", minCount = 2L), tmp)
+    val viaDisk = TextOps.scoreLm(TextOps.loadLm(spark, tmp), df,
+        "doc_id", "text")
+      .select("doc_id", "n_bigrams", "bits", "mean_bits").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(viaDisk == sparkBounded(data, _ % 3 == 0, 2L))
+  }
+
+  test("giant-source cutpoint terciles ≡ per-source ntile, ties and tiny sources included") {
+    // a scored-frame fixture exercising every regime the auto-switch
+    // must keep exact: a dominant source with few distinct scores (the
+    // tercile boundaries land INSIDE tie groups), an all-tied source
+    // (one tie group spans all three buckets), a small source, and a
+    // 2-doc source (fewer docs than buckets — ntile emits 1 and 2 only)
+    val rnd = new scala.util.Random(17L)
+    val giant = (0 until 211).map(i =>
+      (i.toLong, "giant", 10L + i, 40L + i, Seq(1.0, 2.5, 2.5, 7.25)(rnd.nextInt(4))))
+    val allTied = (0 until 50).map(i => (1000L + i, "tied", 5L, 20L, 4.0))
+    val small = (0 until 7).map(i => (2000L + i, "small", 3L, 9L, i.toDouble))
+    val tiny = Seq((3000L, "tiny", 1L, 2L, 0.5), (3001L, "tiny", 1L, 3L, 0.25))
+    val scored = (giant ++ allTied ++ small ++ tiny)
+      .toDF("doc_id", "source", "n_bigrams", "bits", "mean_bits")
+
+    def rows(giants: Set[String]): Seq[Row] =
+      graft.queries.LlmQueries.lmTercileBuckets(scored, giants)
+        .orderBy("source", "bucket").collect().toSeq
+    val viaWindow = rows(Set.empty)
+    assert(viaWindow.nonEmpty)
+    // every source through cutpoints, and a mixed split, both match the
+    // pure-window reference row-for-row (buckets, counts, ranges)
+    assert(rows(Set("giant", "tied", "small", "tiny")) == viaWindow)
+    assert(rows(Set("giant", "tied")) == viaWindow)
   }
 
   test("reference docs score lower than out-of-domain docs on a themed corpus") {

@@ -26,15 +26,56 @@ class OracleLintSpec extends SparkSpec {
   private val uncastSumAllowed: Map[String, String] = Map(
     "corpus_curation_e2e" ->
       ("n_kept / kept_chars / n_pii_docs are CTE-internal CASE-sums; the " +
-        "final SELECT re-casts each (CAST(... AS BIGINT)) before emitting"))
+        "final SELECT re-casts each (CAST(... AS BIGINT)) before emitting"),
+    // the two below surfaced when the lint became paren-balance-aware
+    // (the old [^()]* argument class never matched their nested-paren
+    // sums) — both are already-exact DECIMAL sums whose consumers
+    // re-cast at the output boundary, the same shape as above
+    "q_purchase_anomaly_days" ->
+      ("var_num is a CTE-internal DECIMAL(18,0)² sum; outputs are " +
+        "CAST(var_num AS DOUBLE) inside z and a BOOLEAN comparison"),
+    "q15_top_supplier" ->
+      ("r is a CTE-internal DECIMAL(28,6) sum; the final SELECT emits " +
+        "CAST(r AS DOUBLE) AS total_revenue"))
+
+  /** Every `SUM(<balanced arg>) AS alias` in `sql`, with whether a
+    * `CAST(` (any whitespace) immediately encloses the SUM. A
+    * paren-balance walk, not a regex argument class: `[^()]*` cannot
+    * match `SUM(a * (b + c)) AS x`, so the exact r9 bug class could
+    * re-enter through any sum over a parenthesized expression — and a
+    * `CAST( SUM` with a space defeated the old lookbehind into a false
+    * positive.
+    */
+  private def sumAliases(sql: String): List[(String, Boolean)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    for (m <- """(?i)\bSUM\s*\(""".r.findAllMatchIn(sql)) {
+      var i = m.end; var depth = 1
+      while (i < sql.length && depth > 0) {
+        val c = sql.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      if (depth == 0) {
+        // cast-wrapped sums are followed by the cast TYPE (`AS BIGINT)`),
+        // which the castWrapped flag filters out
+        """(?is)^\s+AS\s+(\w+)""".r.findFirstMatchIn(sql.substring(i)).foreach {
+          am =>
+            val castWrapped = """(?is)\bCAST\s*\(\s*$""".r
+              .findFirstIn(sql.substring(math.max(0, m.start - 16), m.start))
+              .isDefined
+            out += ((am.group(1), castWrapped))
+        }
+      }
+    }
+    out.toList
+  }
 
   test("every aliased SUM in oracle SQL is CAST-wrapped (r9 shard_assign bug class)") {
-    // the exact r9 shape: SUM(<simple or CASE expr>) AS alias with no
-    // enclosing CAST — DuckDB promotes integer SUM to HUGEINT, Spark
-    // stays BIGINT, and the driver hash diverges on identical values
-    val pat = """(?i)(?<!CAST\()\bSUM\s*\(([^()]*)\)\s+AS\s+(\w+)""".r
+    // the exact r9 shape: SUM(...) AS alias with no enclosing CAST —
+    // DuckDB promotes integer SUM to HUGEINT, Spark stays BIGINT, and
+    // the driver hash diverges on identical values
     val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
-      val hits = pat.findAllMatchIn(sql).map(_.group(2)).toList
+      val hits = sumAliases(sql).collect { case (alias, false) => alias }
       if (hits.nonEmpty && !uncastSumAllowed.contains(name))
         Some(s"$name: uncast SUM AS ${hits.mkString(", ")}")
       else None
@@ -44,8 +85,29 @@ class OracleLintSpec extends SparkSpec {
         offenders.mkString("\n  "))
     // prune stale allowlist entries
     val stale = uncastSumAllowed.keys.filterNot(n =>
-      SparkEntry.oracleSql.get(n).exists(sql => pat.findFirstIn(sql).isDefined))
+      SparkEntry.oracleSql.get(n).exists(sql =>
+        sumAliases(sql).exists(!_._2)))
     assert(stale.isEmpty, s"allowlist entries no longer needed: ${stale.mkString(", ")}")
+    // the scanner itself: nested parens flagged, spaced CAST not
+    assert(sumAliases("SELECT SUM(a * (b + c)) AS x FROM t") == List(("x", false)))
+    assert(sumAliases("SELECT CAST( SUM(a * (b + c)) AS BIGINT) AS x FROM t")
+      == List(("BIGINT", true)))
+  }
+
+  test("LM gate conventions pinned: keep threshold 11.0 and the integer log₂") {
+    // the CCNet-style gate is oracle-exact BECAUSE the surprise is a
+    // pure integer log₂ (`length(bin(x))` ≡ `length(format('{:b}',x))`)
+    // and the keep threshold is the pinned 11.0 — an edit that changes
+    // either silently changes what the filter keeps
+    for (n <- Seq("text_lm_perplexity", "text_lm_perplexity_bounded")) {
+      val sql = SparkEntry.oracleSql(n)
+      assert(sql.contains("<= 11.0"), s"$n: keep threshold must stay 11.0")
+      assert(sql.contains("length(format('{:b}'"),
+        s"$n: surprise must stay the integer log₂ (no float log)")
+    }
+    for (n <- Seq("text_lm_buckets", "text_lm_buckets_ranged"))
+      assert(SparkEntry.oracleSql(n).contains("length(format('{:b}'"),
+        s"$n: bucket scores must stay the integer log₂")
   }
 
   /** Every DOUBLE/FLOAT output column, pinned. These are the columns
@@ -119,7 +181,9 @@ class OracleLintSpec extends SparkSpec {
     "text_repetition" -> Set("distinct_ratio", "top_token_frac", "top_bigram_frac"),
     "text_tfidf_top_terms" -> Set("score"),
     "text_lm_perplexity" -> Set("mean_bits"),
+    "text_lm_perplexity_bounded" -> Set("mean_bits"),
     "text_lm_buckets" -> Set("lo_bits", "hi_bits"),
+    "text_lm_buckets_ranged" -> Set("lo_bits", "hi_bits"),
     "ann_recall_audit" -> Set("recall"))
 
   test("DOUBLE-typed output columns match the pinned allowlist") {

@@ -48,6 +48,10 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row vocab-size broadcast for the add-one smoothing denominator",
     "text_lm_buckets" ->
       "same 1-row vocab-size broadcast (lmSurprise) under the per-source tercile window",
+    "text_lm_perplexity_bounded" ->
+      "same 1-row vocab-size broadcast; the bounded model only adds a prev-keyed <unk> equi-join",
+    "text_lm_buckets_ranged" ->
+      "same 1-row vocab-size broadcast under the range-rank tercile path",
     "data_interleave_order" ->
       "1-row (source, length) control-vector broadcast — the closed-form rank that replaces the global sort",
     "data_snapshot_drift" ->

@@ -101,4 +101,38 @@ class SemanticPropertySpec extends SparkSpec {
       assert(want.values.exists(v => !v._5), s"seed $seed: nothing pruned")
     }
   }
+
+  test("two-level assignment ≡ flat on separated clusters (k = 32)") {
+    // the k∝n scale path: route through √k coarse anchors, then score
+    // only the anchor's fine centroids — on cluster-structured data
+    // (the only regime SemDeDup's k∝n contract targets) a vector and
+    // its nearest centroid make the same anchor choice, so the whole
+    // pipeline output (cells, dist2, groups, keepers) is IDENTICAL to
+    // flat n·k assignment while the assignment stage does ~2·n·√k work
+    def direction(c: Int): Array[Float] = {
+      val v = Array.fill(8)(0.02f * ((c * 37) % 5))
+      v(c % 8) = 3.0f
+      v((c / 8) % 8) += 1.5f
+      v
+    }
+    // 32 clusters × 10 members; ids INTERLEAVE clusters so the 32
+    // lowest-id k-means seeds land one per cluster
+    val rows: Seq[(Long, Array[Float])] =
+      for (i <- 0 until 10; c <- 0 until 32) yield
+        (i.toLong * 100 + c, direction(c).zipWithIndex.map { case (x, j) =>
+          x + 0.01f * (((c * 131 + i * 31 + j * 7) % 11) - 5) })
+    val df = rows.toDF("vec_id", "embedding")
+    def run(two: Boolean) =
+      Similarity.semanticDedup(df, "vec_id", "embedding",
+          k = 32, iterations = 2, threshold = 0.7, twoLevel = two)
+        .collect().map { r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getBoolean(5))
+        }.toMap
+    val flat = run(two = false)
+    val twoLevel = run(two = true)
+    assert(twoLevel == flat, "two-level must reproduce flat exactly here")
+    assert(flat.values.exists(v => v._4 > 1), "no dup groups — fixture degenerate")
+    assert(flat.values.exists(v => !v._5), "nothing pruned — fixture degenerate")
+  }
 }

@@ -122,4 +122,80 @@ class StreamingCurationSpec extends SparkSpec {
       .select("doc_id", "mean_bits").as[(Long, Double)].collect().toMap
     assert(again == rows)
   }
+
+  test("mid-stream LM refresh: model swap changes the gate, pair invariant holds") {
+    // the train-once/swap-nightly shape: early triggers gate under
+    // model A, a reload swaps in model B (retrained on the GROWN
+    // reference — how a nightly refresh actually happens), later
+    // triggers gate under B. The swap must be visible (a doc family
+    // alien to A keeps under B), deterministic (reloading A reproduces
+    // A's scores bit-for-bit), and must not disturb the dedup loop's
+    // pair-set invariant across the boundary.
+    def alienPara(tail: String): String =
+      s"$stop zorp blik quux fnord wibble jabber krunk splorch glip " +
+        s"zungle fropp merkle donk sprag wibble zorp quux fnord blik " +
+        s"jabber glip zungle donk sprag merkle fropp krunk splorch " +
+        s"$tail $stop evening zorp carry blik far away"
+    val refA = (0 until 50).map(i => (i.toLong, para("green", s"v$i")))
+    val refB = refA ++ (50 until 100).map(i => (i.toLong, alienPara(s"w$i")))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_lm_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_lm_b").toString
+    TextOps.saveLm(TextOps.trainLm(refA.toDF("doc_id", "text"), "text"), dirA)
+    TextOps.saveLm(TextOps.trainLm(refB.toDF("doc_id", "text"), "text"), dirB)
+
+    val green1 = (201L, "a", para("green", "first tail"))
+    val alien1 = (202L, "b", alienPara("first"))
+    val green2near = (203L, "a", para("green", "later tail")) // near-dup of green1
+    val alien2 = (204L, "b", alienPara("second"))
+    val batch1 = Seq(green1, alien1).toDF("doc_id", "source", "text")
+    val batch2 = Seq(green2near, alien2).toDF("doc_id", "source", "text")
+
+    def gate(model: TextOps.LmModel, b: DataFrame, cut: Double): DataFrame =
+      TextOps.scoreLm(model, curateBatch(b), "doc_id", "text")
+        .filter(col("mean_bits") <= cut)
+        .select("doc_id", "source", "text")
+
+    // the cut: midpoint of A's in-domain vs alien scores — fixed for
+    // the whole stream, only the MODEL swaps
+    val modelA = TextOps.loadLm(spark, dirA)
+    val sA = TextOps.scoreLm(modelA, curateBatch(batch1), "doc_id", "text")
+      .select("doc_id", "mean_bits").as[(Long, Double)].collect().toMap
+    assert(sA(201L) < sA(202L))
+    val cut = (sA(201L) + sA(202L)) / 2.0
+
+    // triggers under A: alien dropped. Swap. Triggers under B: alien
+    // now in-domain and KEEPS — the refresh is visible in behavior.
+    val keep1 = gate(modelA, batch1, cut)
+    assert(keep1.select("doc_id").as[Long].collect().toSet == Set(201L))
+    val modelB = TextOps.loadLm(spark, dirB)
+    val keep2 = gate(modelB, batch2, cut)
+    assert(keep2.select("doc_id").as[Long].collect().toSet == Set(203L, 204L))
+
+    // determinism across the swap: a fresh reload of A re-scores
+    // batch1 bit-for-bit (the swap left no state behind)
+    val sAagain = TextOps.scoreLm(TextOps.loadLm(spark, dirA),
+        curateBatch(batch1), "doc_id", "text")
+      .select("doc_id", "mean_bits").as[(Long, Double)].collect().toMap
+    assert(sAagain == sA)
+
+    // dedup pair invariant across the boundary: the loop over the
+    // mixed-model survivors == the batch chain over the same corpus,
+    // and the (201, 203) near-dup pair CROSSES the swap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_swap").toString
+    val state = new Dedup.StreamingDedup(
+      Dedup.buildDedupIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text"),
+      tmp, compactEvery = 2, "doc_id", "text", threshold = 0.8)
+    val streamedPairs = Seq(keep1, keep2)
+      .map(b => state.ingest(b.select("doc_id", "text")))
+      .reduce(_ unionByName _)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val survivors = keep1.unionByName(keep2)
+    val batchPairs = Dedup.verifiedDupPairs(survivors, "doc_id", "text",
+        threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamedPairs == batchPairs)
+    assert(streamedPairs.contains((201L, 203L)),
+      "the near-dup pair must survive the model swap between its ends")
+  }
 }
