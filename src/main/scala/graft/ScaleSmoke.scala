@@ -269,6 +269,13 @@ object ScaleSmoke {
         zipfDocs(s, dir, baseDocs = 20000L, docLen = 40, vocabSize = 50000)
           .filter(pmod(col("doc_id"), lit(7)) === 0),
         "text", minCount = 2L).cPw
+    // the unbounded frame on the same corpus: the denominator of the
+    // bound's frame-size claim (row counts of this vs the bounded row)
+    val lmModelRowsUnbounded = (s: SparkSession, dir: String) =>
+      graft.ops.TextOps.trainLm(
+        zipfDocs(s, dir, baseDocs = 20000L, docLen = 40, vocabSize = 50000)
+          .filter(pmod(col("doc_id"), lit(7)) === 0),
+        "text").cPw
     // Expected-exponent bound per op, from the r7 10× measurements:
     // LSH families tracked ≤ n^1.33 (band-bucket candidate cost), the
     // banded GTID islands and per-key CDC ops tracked ~linear. A 3×
@@ -294,12 +301,18 @@ object ScaleSmoke {
         ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
         ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
         ("corpus_curation_e2e", 1.33, curationE2e),
-        ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _),
+        // .filter(bits >= 0) forces the scoring joins under count():
+        // Catalyst eliminates the unique-key left join when no model
+        // column survives pruning, and the row times an empty plan
+        // (this voided the r10 reading of this row — 0.5 s at 100×)
+        ("text_lm_perplexity", 1.0, (s: SparkSession, dir: String) =>
+          LlmQueries.textLmPerplexity(s, dir).filter(col("bits") >= 0L)),
         ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _),
         ("text_lm_buckets@dominant", 1.0, lmBucketsDominant),
         ("text_lm_buckets@dominant-window", 1.0, lmBucketsDominantWindow),
         ("text_lm_perplexity@zipf", 1.0, lmZipf),
-        ("lm_model_rows@zipf", 1.0, lmModelRowsZipf))
+        ("lm_model_rows@zipf", 1.0, lmModelRowsZipf),
+        ("lm_model_rows_unbounded@zipf", 1.0, lmModelRowsUnbounded))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),
@@ -389,13 +402,17 @@ object ScaleSmoke {
         // dedup and the keep-stats all do full-size work
         ("corpus_curation_e2e", 1.33, curationE2e),
         // bigram-LM scoring: explode + two reference-slice count aggs
-        // + two equi-joins + per-doc regroup — expect ~linear
-        ("text_lm_perplexity", 1.0, LlmQueries.textLmPerplexity _),
+        // + two equi-joins + per-doc regroup — expect ~linear (the
+        // bits filter forces the joins under count(), see the 100×
+        // suite's note)
+        ("text_lm_perplexity", 1.0, (s: SparkSession, dir: String) =>
+          LlmQueries.textLmPerplexity(s, dir).filter(col("bits") >= 0L)),
         // + per-source tercile window and (source,bucket) rollup
         ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _),
         ("text_lm_buckets@dominant", 1.0, lmBucketsDominant),
         ("text_lm_perplexity@zipf", 1.0, lmZipf),
         ("lm_model_rows@zipf", 1.0, lmModelRowsZipf),
+        ("lm_model_rows_unbounded@zipf", 1.0, lmModelRowsUnbounded),
         // the √n-centroid IVF regime for the kNN-graph family
         ("ann_knn_graph@sqrtn", 1.5, knnGraphSqrtN),
         ("ann_graph_components@sqrtn", 1.5, graphComponentsSqrtN),
