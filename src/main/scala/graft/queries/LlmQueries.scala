@@ -1594,10 +1594,15 @@ object LlmQueries {
       giantSourceThreshold: Long): DataFrame = {
     val scored = TextOps.lmSurprise(
       d, "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
-    val giants = d.groupBy("source").agg(count(lit(1)).as("__n")).collect()
+    val counts = d.groupBy("source").agg(count(lit(1)).as("__n")).collect()
+    val giants = counts
       .filter(_.getAs[Long]("__n") >= giantSourceThreshold)
       .map(_.getAs[String]("source")).toSet
-    lmTercileBuckets(scored, giants)
+    // the control read already names every source, so a regime where
+    // ALL of them are giant plans the range-rank leg ALONE — no empty
+    // ntile-window leg left in the plan (PlanInvariantSpec pins this
+    // for the forced mode)
+    lmTercileBuckets(scored, giants, allGiant = giants.size == counts.length)
   }
 
   /** Bucket + aggregate a scored frame (doc_id, source, n_bigrams,
@@ -1614,7 +1619,7 @@ object LlmQueries {
     * skewed/tied fixtures.
     */
   private[graft] def lmTercileBuckets(scored: DataFrame,
-      giantSources: Set[String]): DataFrame = {
+      giantSources: Set[String], allGiant: Boolean = false): DataFrame = {
     val labels = array(lit("head"), lit("middle"), lit("tail"))
     def viaWindow(df: DataFrame) = {
       val w = Window.partitionBy("source")
@@ -1626,6 +1631,7 @@ object LlmQueries {
         .withColumn("bucket", element_at(labels, col("bucket").cast("int")))
     val bucketed =
       if (giantSources.isEmpty) viaWindow(scored)
+      else if (allGiant) viaRangeRank(scored)
       else viaRangeRank(scored.filter(col("source").isInCollection(giantSources)))
         .unionByName(viaWindow(
           scored.filter(!col("source").isInCollection(giantSources))))

@@ -50,6 +50,58 @@ class CurriculumSpec extends SparkSpec {
     assertSameBuckets(df, 10)
   }
 
+  private def assertSameBucketsRanged(df: DataFrame, n: Int,
+      partCols: Seq[String] = Nil): Unit = {
+    val ref =
+      if (partCols.isEmpty) ntileRef(df, n)
+        .select(col("id"), col("bucket").as("want"))
+      else df.withColumn("want", ntile(n).over(Window
+          .partitionBy(partCols.map(col): _*).orderBy(col("k"), col("id")))
+          .cast("long"))
+        .select(col("id"), col("want"))
+    val got = Buckets.ntileByRange(df, "k", "id", n, partCols)
+      .select(col("id"), col("bucket").as("got"))
+    val diff = ref.join(got, "id").filter(col("want") =!= col("got"))
+    assert(diff.count() === 0, diff.limit(5).collect().mkString(", "))
+    assert(got.count() === df.count())
+  }
+
+  test("ntileByRange ≡ ntile: ties straddling partitions AND boundaries") {
+    // 500 rows over 3 distinct keys under 32 shuffle partitions: every
+    // tie group spans several RANGE partitions and every bucket
+    // boundary falls inside one — global rank must come out exact from
+    // local rank + control-frame offsets
+    val df = (1 to 500).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "k")
+    assertSameBucketsRanged(df, 10)
+  }
+
+  test("ntileByRange ≡ ntile: distinct keys, degenerate N, uneven N") {
+    assertSameBucketsRanged(
+      (1 to 97).map(i => (i.toLong, (i * 7 % 101).toLong)).toDF("id", "k"), 10)
+    assertSameBucketsRanged(
+      (1 to 7).map(i => (i.toLong, 42L)).toDF("id", "k"), 10)
+    assertSameBucketsRanged(
+      (1 to 103).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "k"), 10)
+  }
+
+  test("ntileByRange partitioned: per-group buckets match the per-group window") {
+    // a dominant group plus small ones, with heavy ties — the
+    // text_lm_buckets giant-source shape at unit-test scale
+    val rows = (1 to 400).map(i => (i.toLong, "big", (i % 5).toLong)) ++
+      (401 to 430).map(i => (i.toLong, "small", (i % 3).toLong)) ++
+      Seq((431L, "tiny", 0L))
+    assertSameBucketsRanged(rows.toDF("id", "g", "k"), 3, Seq("g"))
+  }
+
+  test("ntileByRange is stable across repeated evaluation") {
+    // the range boundaries come from sampling; buckets depend only on
+    // GLOBAL rank, so three independent evaluations must agree exactly
+    val df = (1 to 300).map(i => (i.toLong, (i * 13 % 37).toLong)).toDF("id", "k")
+    val runs = (1 to 3).map(_ => Buckets.ntileByRange(df, "k", "id", 7)
+      .select("id", "bucket").as[(Long, Long)].collect().sortBy(_._1).toSeq)
+    assert(runs(0) == runs(1) && runs(1) == runs(2))
+  }
+
   test("cutpoint query equals exact query on the documents fixture") {
     val exact = LlmQueries.dataCurriculumBuckets(spark, sfDir).collect()
     val cut = LlmQueries.dataCurriculumCutpoints(spark, sfDir).collect()

@@ -174,14 +174,16 @@ class LmPropertySpec extends SparkSpec {
     val scored = (giant ++ allTied ++ small ++ tiny)
       .toDF("doc_id", "source", "n_bigrams", "bits", "mean_bits")
 
-    def rows(giants: Set[String]): Seq[Row] =
-      graft.queries.LlmQueries.lmTercileBuckets(scored, giants)
+    def rows(giants: Set[String], allGiant: Boolean = false): Seq[Row] =
+      graft.queries.LlmQueries.lmTercileBuckets(scored, giants, allGiant)
         .orderBy("source", "bucket").collect().toSeq
     val viaWindow = rows(Set.empty)
     assert(viaWindow.nonEmpty)
-    // every source through cutpoints, and a mixed split, both match the
-    // pure-window reference row-for-row (buckets, counts, ranges)
+    // every source through the range-rank path (both the unioned shape
+    // and the pruned all-giant plan), and a mixed split — all match
+    // the pure-window reference row-for-row (buckets, counts, ranges)
     assert(rows(Set("giant", "tied", "small", "tiny")) == viaWindow)
+    assert(rows(Set("giant", "tied", "small", "tiny"), allGiant = true) == viaWindow)
     assert(rows(Set("giant", "tied")) == viaWindow)
   }
 

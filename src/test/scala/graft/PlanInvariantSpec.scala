@@ -123,6 +123,18 @@ class PlanInvariantSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), "expected a hash/merge equi-join")
   }
 
+  test("ranged tercile plan: range repartition present, no ntile window") {
+    // the giant-source path's whole point: the forced range-rank mode
+    // must carry a range partitioning exchange and must NOT fall back
+    // to the per-source ntile window (whose one-task source sort is
+    // the plan the fallback exists to avoid)
+    val p = graft.queries.LlmQueries.textLmBucketsRanged(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "expected a range repartition in the ranged tercile plan")
+    assert(!p.contains("ntile"), "ntile window leaked into the ranged plan")
+  }
+
   test("selective scans keep their filters pushed to parquet") {
     // spot checks on queries whose FIRST operation is a selective
     // filter over a base table: the predicate must reach the scan
