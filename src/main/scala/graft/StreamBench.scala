@@ -23,16 +23,18 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamBench {
 
   /** The full streaming CURATION loop measured per trigger: scrub →
-    * quality gate → incremental near-dup probe+fold, 64 micro-batches
-    * with compaction every 8 — the nightly-ingest shape. What it
-    * proves: per-trigger wall stays FLAT as the standing index
-    * accumulates the whole corpus (the O(batch) claim
-    * StreamingCurationSpec proves for correctness, here as a measured
-    * curve). A probe that secretly rescanned the accumulated index
-    * per trigger would show a rising ramp; compaction bounds the
-    * folded-lineage plan size so late triggers cost what early ones
-    * do. Output: per-trigger walls + a first-quartile vs
-    * last-quartile mean ratio (ramp factor).
+    * quality gate → LM perplexity gate → incremental near-dup
+    * probe+fold, 64 micro-batches with compaction every 8 — the
+    * nightly-ingest shape, CCNet stage order included. The LM is a
+    * TRAINED ARTIFACT (saveLm/loadLm): model A scores the first half,
+    * then a RELOAD swaps in model B (retrained on a grown reference —
+    * the nightly-refresh shape StreamingCurationSpec proves correct)
+    * INSIDE the timed region, so the swap's real cost lands in its
+    * trigger's wall. What the curve proves: per-trigger wall stays
+    * FLAT as the standing index accumulates the whole corpus (the
+    * O(batch) claim, measured), and the model swap is a blip, not a
+    * regime change. Output: per-trigger walls + first-vs-last-quartile
+    * mean ratio (ramp factor) + the swap trigger's wall.
     */
   private def curationLoop(spark: SparkSession, base: String,
       nBatches: Int, compactEvery: Int): String = {
@@ -42,11 +44,22 @@ object StreamBench {
       .select("doc_id", "source", "text").cache()
     docs.count() // materialize once; the loop measures curation, not the scan
     val tmp = java.nio.file.Files.createTempDirectory("graft_sc_bench").toString
+    // model A: the standing reference holdout; model B: the "grown"
+    // reference a nightly retrain ships (a second deterministic slice)
+    TextOps.saveLm(TextOps.trainLm(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select("doc_id", "text"), "text"), s"$tmp/lmA")
+    TextOps.saveLm(TextOps.trainLm(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0 ||
+          pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text"), "text"), s"$tmp/lmB")
+    var model = TextOps.loadLm(spark, s"$tmp/lmA")
     val state = new Dedup.StreamingDedup(
       Dedup.buildDedupIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
         "doc_id", "text"),
       tmp, compactEvery, "doc_id", "text", threshold = 0.8)
     var pairsTotal = 0L
+    val swapAt = nBatches / 2
     val walls = (0 until nBatches).map { i =>
       val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
       val curated = TextOps.gopherFilters(
@@ -56,7 +69,11 @@ object StreamBench {
         .filter(col("keep"))
         .select("doc_id", "text")
       val t0 = System.nanoTime()
-      pairsTotal += state.ingest(curated).count()
+      if (i == swapAt) model = TextOps.loadLm(spark, s"$tmp/lmB")
+      val gated = TextOps.scoreLm(model, curated, "doc_id", "text")
+        .filter(col("mean_bits") <= 11.0) // the pinned CCNet-gate cut
+        .select("doc_id", "text")
+      pairsTotal += state.ingest(gated).count()
       (System.nanoTime() - t0) / 1e9
     }
     val q = nBatches / 4
@@ -65,9 +82,9 @@ object StreamBench {
     val ramp = lastQ / firstQ
     println(f"curation loop: $nBatches triggers, compactEvery=$compactEvery, " +
       f"pairs=$pairsTotal, firstQ ${firstQ}%.2f s/trigger, lastQ ${lastQ}%.2f, " +
-      f"ramp ${ramp}%.2fx")
+      f"ramp ${ramp}%.2fx, swap trigger ${walls(swapAt)}%.2f s")
     docs.unpersist()
-    f"""{"mode": "curation_loop", "triggers": $nBatches, "compact_every": $compactEvery, "pairs": $pairsTotal, "first_q_sec": $firstQ%.3f, "last_q_sec": $lastQ%.3f, "ramp": $ramp%.2f, "walls": [${walls.map(w => f"$w%.2f").mkString(",")}]}"""
+    f"""{"mode": "curation_loop", "triggers": $nBatches, "compact_every": $compactEvery, "pairs": $pairsTotal, "first_q_sec": $firstQ%.3f, "last_q_sec": $lastQ%.3f, "ramp": $ramp%.2f, "lm_swap_at": $swapAt, "lm_swap_sec": ${walls(swapAt)}%.3f, "walls": [${walls.map(w => f"$w%.2f").mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -1592,12 +1592,18 @@ object LlmQueries {
     */
   private[graft] def lmBucketsOn(d: DataFrame,
       giantSourceThreshold: Long): DataFrame = {
-    val scored = TextOps.lmSurprise(
+    val scored0 = TextOps.lmSurprise(
       d, "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
     val counts = d.groupBy("source").agg(count(lit(1)).as("__n")).collect()
     val giants = counts
       .filter(_.getAs[Long]("__n") >= giantSourceThreshold)
       .map(_.getAs[String]("source")).toSet
+    // range-rank consumes the scored frame from multiple subtrees (the
+    // local-rank leg, the counts control frame, and in mixed mode the
+    // window leg): materialize it ONCE so none of them can replay the
+    // full scoring lineage (the semanticDedup precedent). The pure
+    // window mode has a single consumer — no barrier there.
+    val scored = if (giants.nonEmpty) scored0.localCheckpoint(true) else scored0
     // the control read already names every source, so a regime where
     // ALL of them are giant plans the range-rank leg ALONE — no empty
     // ntile-window leg left in the plan (PlanInvariantSpec pins this

@@ -50,8 +50,10 @@ class PlanInvariantSpec extends SparkSpec {
       "same 1-row vocab-size broadcast (lmSurprise) under the per-source tercile window",
     "text_lm_perplexity_bounded" ->
       "same 1-row vocab-size broadcast; the bounded model only adds a prev-keyed <unk> equi-join",
-    "text_lm_buckets_ranged" ->
-      "same 1-row vocab-size broadcast under the range-rank tercile path",
+    // text_lm_buckets_ranged runs the same vocab broadcast-cross, but it
+    // executes inside the scored frame's eager checkpoint (lmBucketsOn),
+    // so the FINAL plan the gate sees starts from checkpointed RDDs —
+    // no whitelist entry needed (the stale-pruning assert enforces this)
     "data_interleave_order" ->
       "1-row (source, length) control-vector broadcast — the closed-form rank that replaces the global sort",
     "data_snapshot_drift" ->
