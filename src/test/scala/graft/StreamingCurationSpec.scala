@@ -123,6 +123,61 @@ class StreamingCurationSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("the loop under the real streaming engine: MemoryStream foreachBatch ≡ batch") {
+    // the other specs drive ingest() directly; this one runs the WHOLE
+    // curation chain (scrub → gate → LM gate → probe+fold) inside a
+    // writeStream.foreachBatch callback over a real MemoryStream —
+    // the intended deployment wiring, engine-scheduled triggers,
+    // compaction inside the callback (StreamingVecDedup precedent)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ref = (0 until 40).map(i => (i.toLong, para("green", s"v$i")))
+    val lmDir = java.nio.file.Files.createTempDirectory("graft_lm_fb").toString
+    TextOps.saveLm(TextOps.trainLm(ref.toDF("doc_id", "text"), "text"), lmDir)
+    val model = TextOps.loadLm(spark, lmDir)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cur_fb").toString
+    val state = new Dedup.StreamingDedup(
+      Dedup.buildDedupIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text"),
+      tmp, compactEvery = 1, "doc_id", "text", threshold = 0.8)
+    def lmGate(b: DataFrame): DataFrame =
+      TextOps.scoreLm(model, curateBatch(b), "doc_id", "text")
+        .filter(col("mean_bits") <= 11.0)
+        .select("doc_id", "source", "text")
+
+    val collected = scala.collection.mutable.Set.empty[(Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "source", "text")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val pairs = state.ingest(lmGate(b).select("doc_id", "text"))
+        collected.synchronized {
+          collected ++= pairs.select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }.start()
+    try {
+      in.addData((1L, "a", t1), (5L, "a", "too short to pass the word gate"))
+      q.processAllAvailable()
+      in.addData((2L, "b", t1near), (6L, "b", s"code block { inside } $t2"))
+      q.processAllAvailable()
+      in.addData((3L, "a", t2), (4L, "b", t2mail))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // ≡ the batch chain with the SAME gates over the whole corpus
+    val all = Seq((1L, "a", t1), (5L, "a", "too short to pass the word gate"),
+      (2L, "b", t1near), (6L, "b", s"code block { inside } $t2"),
+      (3L, "a", t2), (4L, "b", t2mail)).toDF("doc_id", "source", "text")
+    val want = Dedup.verifiedDupPairs(lmGate(all), "doc_id", "text",
+        threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(collected == want, s"got $collected want $want")
+    // the cross-trigger near-dup survived engine scheduling + compaction
+    assert(collected.contains((1L, 2L)))
+  }
+
   test("mid-stream LM refresh: model swap changes the gate, pair invariant holds") {
     // the train-once/swap-nightly shape: early triggers gate under
     // model A, a reload swaps in model B (retrained on the GROWN
