@@ -222,7 +222,7 @@ object ScaleSmoke {
       Tables.documents(s, dir).select(col("doc_id"),
         when(pmod(col("doc_id"), lit(20)) =!= 0, lit("common-crawl"))
           .otherwise(col("source")).as("source"),
-        col("text"))
+        col("text"), col("n_chars"))
     val lmBucketsDominant = (s: SparkSession, dir: String) =>
       LlmQueries.lmBucketsOn(dominantDocs(s, dir),
         giantSourceThreshold = 10000L)
@@ -232,6 +232,11 @@ object ScaleSmoke {
     val lmBucketsDominantWindow = (s: SparkSession, dir: String) =>
       LlmQueries.lmBucketsOn(dominantDocs(s, dir),
         giantSourceThreshold = Long.MaxValue)
+    // the per-source caps accounting when one source dominates: the
+    // split formulation's WindowGroupLimit keeps cap rows per
+    // partition, so the dominant source never sorts in one task
+    val sourceCapsDominant = (s: SparkSession, dir: String) =>
+      LlmQueries.sourceCapsOn(dominantDocs(s, dir))
     // Zipfian-token corpus, synthesized on the fly (no fixture write):
     // rank = floor(V^u) with u hash-uniform in [0,1) is the inverse
     // CDF of P(rank=k) ∝ 1/k — real text's token law. Rank 1 alone
@@ -310,6 +315,7 @@ object ScaleSmoke {
         ("text_lm_buckets", 1.0, LlmQueries.textLmBuckets _),
         ("text_lm_buckets@dominant", 1.0, lmBucketsDominant),
         ("text_lm_buckets@dominant-window", 1.0, lmBucketsDominantWindow),
+        ("data_source_caps@dominant", 1.0, sourceCapsDominant),
         ("text_lm_perplexity@zipf", 1.0, lmZipf),
         ("lm_model_rows@zipf", 1.0, lmModelRowsZipf),
         ("lm_model_rows_unbounded@zipf", 1.0, lmModelRowsUnbounded))

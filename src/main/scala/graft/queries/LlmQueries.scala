@@ -768,17 +768,39 @@ object LlmQueries {
     * curation pipeline runs. One window PARTITIONED BY SOURCE (each
     * domain ranks in parallel — no global sort), one aggregation.
     */
-  def dataSourceCaps(s: SparkSession, dir: String): DataFrame = {
+  def dataSourceCaps(s: SparkSession, dir: String): DataFrame =
+    sourceCapsOn(docs(s, dir))
+
+  /** The caps accounting over any (doc_id, source, n_chars) frame —
+    * ScaleSmoke drives this with a one-dominant-source remap.
+    */
+  private[graft] def sourceCapsOn(d: DataFrame): DataFrame = {
     val cap = 15
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    docs(s, dir)
-      .withColumn("__keep", row_number().over(w) <= cap)
-      .groupBy("source")
+    // SPLIT formulation, not one window over everything: totals come
+    // from a plain agg (no sort at all), and the top-cap leg filters
+    // on row_number ≤ cap IMMEDIATELY — the shape Spark's rank-limit
+    // pushdown (WindowGroupLimit) partial-top-k's per partition before
+    // the final window, so a dominant source costs cap rows per input
+    // partition instead of one task sorting the whole source. The
+    // previous single-window form kept post-cap rows (for n_docs) and
+    // so could never take the group-limit path; PlanInvariantSpec pins
+    // WindowGroupLimit into this plan.
+    val totals = d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        coalesce(sum(when(col("__keep"), col("n_chars"))), lit(0L)).as("kept_chars"),
         (count(lit(1)) > cap).as("cap_hit"))
+    val top = d
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
+    totals.join(top, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        col("cap_hit"))
       .orderBy("source")
   }
 

@@ -125,6 +125,19 @@ class PlanInvariantSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), "expected a hash/merge equi-join")
   }
 
+  test("rank-capped windows take the group-limit path (partial top-k)") {
+    // Spark's WindowGroupLimit keeps only k rows per partition BEFORE
+    // the final rank window — without it, a dominant group's rank is
+    // one task sorting the whole group. These queries filter on
+    // row_number ≤ k immediately, which is the shape the rule needs;
+    // if a refactor re-introduces post-rank columns the rule can't
+    // push, this gate catches the silent full-sort regression.
+    for (n <- Seq("data_source_caps", "text_tfidf_top_terms")) {
+      assert(plans(n).contains("WindowGroupLimit"),
+        s"$n: rank window lost its group-limit pushdown")
+    }
+  }
+
   test("ranged tercile plan: range repartition present, no ntile window") {
     // the giant-source path's whole point: the forced range-rank mode
     // must carry a range partitioning exchange and must NOT fall back
