@@ -132,7 +132,8 @@ class PlanInvariantSpec extends SparkSpec {
     // row_number ≤ k immediately, which is the shape the rule needs;
     // if a refactor re-introduces post-rank columns the rule can't
     // push, this gate catches the silent full-sort regression.
-    for (n <- Seq("data_source_caps", "text_tfidf_top_terms")) {
+    for (n <- Seq("data_source_caps", "text_tfidf_top_terms",
+        "sketch_distinct_kmv")) {
       assert(plans(n).contains("WindowGroupLimit"),
         s"$n: rank window lost its group-limit pushdown")
     }
