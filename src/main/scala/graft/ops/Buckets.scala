@@ -56,6 +56,11 @@ object Buckets {
     * boundary-group sorts.
     *
     * Rank arithmetic uses floor() on doubles — exact below 2^53 rows.
+    * Both this and [[ntileByRange]] equi-join back on the order/group
+    * keys: rows with NULL in orderCol or partCols would silently drop
+    * (NULL never equi-matches), so callers must feed non-null keys —
+    * every in-repo call site does (scores and sources are computed
+    * non-null).
     */
   def ntileByHistogram(df: DataFrame, orderCol: String, tieCol: String,
       n: Int, partCols: Seq[String] = Nil): DataFrame = {
