@@ -93,6 +93,23 @@ class CurriculumSpec extends SparkSpec {
     assertSameBucketsRanged(rows.toDF("id", "g", "k"), 3, Seq("g"))
   }
 
+  test("ntileByRange ≡ ntile on seeded random shapes (cardinality × n sweep)") {
+    // randomized-regime sweep: key cardinality from near-constant to
+    // near-distinct, bucket counts prime and composite, sizes that
+    // leave remainders — every case held to the literal ntile window
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 6) {
+      val size = 50 + rnd.nextInt(400)
+      val card = 1 + rnd.nextInt(size)
+      val n = Seq(2, 3, 7, 10, 16)(rnd.nextInt(5))
+      val df = (1 to size).map(i => (i.toLong, rnd.nextInt(card).toLong))
+        .toDF("id", "k")
+      withClue(s"trial $trial size=$size card=$card n=$n: ") {
+        assertSameBucketsRanged(df, n)
+      }
+    }
+  }
+
   test("ntileByRange is stable across repeated evaluation") {
     // the range boundaries come from sampling; buckets depend only on
     // GLOBAL rank, so three independent evaluations must agree exactly
