@@ -786,7 +786,10 @@ object Similarity {
     * different anchor mis-assigns), exactly the trade ivfTopK makes;
     * SemanticPropertySpec pins two-level ≡ flat on separated-cluster
     * fixtures, and the oracle query keeps flat assignment (its pinned
-    * k=8 is under the engage threshold).
+    * k=8 is under the engage threshold). Measured guidance: at the
+    * k∝n regime prefer twoLevel=true — 4.7× faster at 100× on an
+    * idle host and 5.9× under disk pressure, because the flat n·k
+    * assignment is exactly what spills (SCALE.md r11).
     */
   private def kmeansCore(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int, quantScale: Long,
