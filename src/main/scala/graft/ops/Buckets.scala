@@ -58,12 +58,13 @@ object Buckets {
     * Rank arithmetic uses floor() on doubles — exact below 2^53 rows.
     * Both this and [[ntileByRange]] equi-join back on the order/group
     * keys: rows with NULL in orderCol or partCols would silently drop
-    * (NULL never equi-matches), so callers must feed non-null keys —
-    * every in-repo call site does (scores and sources are computed
-    * non-null).
+    * (NULL never equi-matches). The contract is ENFORCED, not just
+    * documented: [[requireKeys]] raises on the first null key row, so
+    * misuse is loud instead of silently lossy.
     */
-  def ntileByHistogram(df: DataFrame, orderCol: String, tieCol: String,
+  def ntileByHistogram(df0: DataFrame, orderCol: String, tieCol: String,
       n: Int, partCols: Seq[String] = Nil): DataFrame = {
+    val df = requireKeys(df0, orderCol +: partCols, "ntileByHistogram")
     val histW = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
     val hist = df.groupBy((partCols :+ orderCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -125,10 +126,7 @@ object Buckets {
     */
   def ntileByRange(df: DataFrame, orderCol: String, tieCol: String,
       n: Int, partCols: Seq[String] = Nil): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sortCols = partCols.map(col) ++ Seq(col(orderCol), col(tieCol))
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = rangedWithPid(df, orderCol, tieCol, partCols, "ntileByRange")
     val groupPid = col("__pid") +: partCols.map(col)
     // rank within (partition, group): each task ranks only its slice
     val localW = Window.partitionBy(groupPid: _*)
@@ -147,4 +145,87 @@ object Buckets {
         ntileBucket(col("__off") + col("__lr"), col("__n"), n))
       .drop("__pid", "__lr", "__off", "__n")
   }
+
+  /** Exact `SUM(valueCol) OVER (PARTITION BY partCols ORDER BY
+    * orderCol, tieCol ROWS UNBOUNDED PRECEDING)` — INCLUSIVE of the
+    * current row — via the same distributed-rank machinery as
+    * [[ntileByRange]]: a running sum IS a rank where each row weighs
+    * `valueCol` instead of 1. One range repartition bounds every
+    * per-task sort at ~N/parts rows regardless of group skew; each
+    * row's global prefix = its local per-(pid, group) prefix + the
+    * per-group sum of earlier pids, read off a (parts + groups)-sized
+    * broadcast control frame. This is the giant-source fallback for
+    * unbounded-preceding per-source windows (sequence packing's token
+    * prefix, interleave order's per-source position): at 100 TB
+    * "common-crawl" stops being ONE task's sort+scan. Callers wanting
+    * the EXCLUSIVE prefix subtract the row's own value. The summed
+    * column must be non-null (a null would poison its suffix under the
+    * window too); order/partition nulls raise via [[requireKeys]].
+    */
+  def runningSumByRange(df: DataFrame, valueCol: String, orderCol: String,
+      tieCol: String, partCols: Seq[String] = Nil,
+      out: String = "running_sum"): DataFrame = {
+    val ranged = rangedWithPid(df, orderCol, tieCol, partCols, "runningSumByRange")
+    val groupPid = col("__pid") +: partCols.map(col)
+    val localW = Window.partitionBy(groupPid: _*)
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__ls", sum(col(valueCol)).over(localW))
+    val offW = Window.partitionBy(partCols.map(col): _*).orderBy(col("__pid"))
+    val ctl = ranged.groupBy(groupPid: _*).agg(sum(col(valueCol)).as("__s"))
+      .withColumn("__off", coalesce(
+        sum(col("__s")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__s")
+    local.join(broadcast(ctl), "__pid" +: partCols)
+      .withColumn(out, col("__off") + col("__ls"))
+      .drop("__pid", "__ls", "__off")
+  }
+
+  /** The shared range leg: null-checked keys, one range repartition,
+    * pid stamped, then MATERIALIZED (`localCheckpoint(true)`) before
+    * any consumer derives from it. The checkpoint is load-bearing for
+    * correctness, not just cost: the local leg and the control leg
+    * both read this frame, and without a barrier each re-evaluates the
+    * repartitionByRange independently — column pruning makes the two
+    * exchanges canonically different (no exchange reuse) and
+    * RangePartitioner's reservoir sample is seeded by the RDD id, so
+    * under PARTIAL sampling (exactly the giant-source scale this
+    * fallback exists for) the legs can disagree on partition
+    * boundaries and `__pid`, double-counting ranks near boundaries.
+    * Materializing once pins a single physical partitioning that both
+    * legs share (the lmBucketsOn/semanticDedup precedent).
+    */
+  private def rangedWithPid(df0: DataFrame, orderCol: String, tieCol: String,
+      partCols: Seq[String], op: String): DataFrame =
+    rangedPlan(df0, orderCol, tieCol, partCols, op).localCheckpoint(true)
+
+  /** The un-materialized ranged leg — exposed (package-private) so
+    * PlanInvariantSpec can pin the RangePartitioning exchange that the
+    * checkpoint job executes; the final query plan only shows the
+    * checkpoint's ExistingRDD scan.
+    */
+  private[graft] def rangedPlan(df0: DataFrame, orderCol: String,
+      tieCol: String, partCols: Seq[String],
+      op: String = "ntileByRange"): DataFrame = {
+    val df = requireKeys(df0, orderCol +: partCols, op)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sortCols = partCols.map(col) ++ Seq(col(orderCol), col(tieCol))
+    df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+  }
+
+  /** Loud null-key contract: every bucket/prefix operator here joins
+    * its control frame back on the order/group keys, where a NULL key
+    * would silently drop the row (NULL never equi-matches). Rewrite
+    * each key through a per-row check that raises on the first null —
+    * codegen'd, branch-predicted, free on the non-null path.
+    */
+  private def requireKeys(df: DataFrame, keyCols: Seq[String],
+      op: String): DataFrame =
+    keyCols.distinct.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).isNotNull, col(c)).otherwise(raise_error(
+        lit(s"graft.Buckets.$op: NULL in key column '$c' — null order/" +
+          "partition keys are not supported (they would silently drop rows)"))))
+    }
 }

@@ -845,9 +845,18 @@ object Similarity {
           p => p.getField("__cv")).as("__cc"))
       // route every fine centroid to its refined anchor (k × kc)
       val centRouted = routeTo(anchors)
+      // corpus routing must only see anchors that OWN at least one fine
+      // centroid: after the Lloyd refinement a re-routed anchor can end
+      // up with an empty cell in centRouted while still winning some
+      // vectors' coarse routing — those vectors would then vanish
+      // through the inner equi-join below (silent row loss). Restrict
+      // the anchor frame to centRouted's anchors (a kc-row control
+      // join) so every vector's coarse cell is guaranteed non-empty.
+      val liveAnchors = anchors
+        .join(centRouted.select(col("__coarse")).distinct(), Seq("__coarse"))
       // corpus → anchor (n × √k), then → fine centroid within the
       // anchor's cell (equi-join on the anchor id: ~√k candidates each)
-      val toCoarse = q.crossJoin(broadcast(anchors))
+      val toCoarse = q.crossJoin(broadcast(liveAnchors))
         .withColumn("__d2", d2("__q", "__cc"))
         .groupBy(col(idCol))
         .agg(min(struct(col("__d2"), col("__coarse"), col("__q"))).as("__m"))

@@ -268,8 +268,12 @@ object TextOps {
     * count ≥ `minCount`; each context's pruned mass collapses into ONE
     * `<unk>` row (`cUnk`), the estimate every pruned-or-unseen word
     * shares, and contexts whose full marginal falls under the floor
-    * drop from `cP` (every one of their bigram types is under it too,
-    * so they score as never-seen: 1/V). Under Zipf the retained type
+    * drop from `cP` entirely (every one of their bigram types is under
+    * the floor too, so the whole context collapses into its `<unk>`
+    * row: ANY bigram there — pruned type or genuinely unseen — scores
+    * with c = c_unk against a ZERO marginal, i.e. bit_length(V div
+    * (c_unk + 1)); only a context with no pruned mass at all scores
+    * its unseen pairs at the true never-seen 1/V). Under Zipf the retained type
     * count is a vanishing fraction of corpus bigrams — the model frame
     * goes SUBLINEAR in corpus size (measured: ScaleSmoke
     * lm_model_rows@zipf) while the smoothed-probability algebra stays
@@ -330,10 +334,16 @@ object TextOps {
   }
 
   def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): LmModel = {
-    // pre-bound saved models have no c_unk frame — load as unbounded
+    // pre-bound saved models have no c_unk frame — load as unbounded.
+    // Probe through the Hadoop FileSystem the path actually resolves
+    // to, NOT java.io.File: saveLm writes via Spark's Hadoop layer, so
+    // a model on hdfs://-style URI would look absent to a local-file
+    // probe and silently load as unbounded (dropping the <unk> frame
+    // changes every pruned-bigram score with no error).
+    val unkPath = new org.apache.hadoop.fs.Path(s"$path/c_unk")
+    val fs = unkPath.getFileSystem(spark.sessionState.newHadoopConf())
     val unk =
-      if (new java.io.File(s"$path/c_unk").exists())
-        Some(spark.read.parquet(s"$path/c_unk"))
+      if (fs.exists(unkPath)) Some(spark.read.parquet(s"$path/c_unk"))
       else None
     LmModel(spark.read.parquet(s"$path/c_pw"),
       spark.read.parquet(s"$path/c_p"),

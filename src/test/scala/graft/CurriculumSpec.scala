@@ -119,6 +119,35 @@ class CurriculumSpec extends SparkSpec {
     assert(runs(0) == runs(1) && runs(1) == runs(2))
   }
 
+  test("ntileByRange exact under PARTIAL range sampling (300k continuous keys)") {
+    // the regime the fallback exists for: enough rows that
+    // RangePartitioner's reservoir sample is partial, with
+    // near-distinct continuous keys. Without the materialized ranged
+    // frame the local-rank leg and the control leg re-sample
+    // independently and disagree on partition boundaries — reproduced
+    // pre-fix as ~1.7k wrong buckets out of 300k, including buckets
+    // OUTSIDE [1, n]. Held here to the literal ntile window per row.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      import spark.implicits._
+      val rnd = new scala.util.Random(42L)
+      val df = (1 to 300000).map(i => (i.toLong, rnd.nextDouble()))
+        .toDF("id", "k")
+      val got = Buckets.ntileByRange(df, "k", "id", 3)
+        .select(col("id"), col("bucket").as("got"))
+      val ref = df.withColumn("want",
+        ntile(3).over(Window.orderBy(col("k"), col("id"))).cast("long"))
+        .select("id", "want")
+      val bad = ref.join(got, "id")
+        .filter(col("want") =!= col("got") ||
+          col("got") < 1 || col("got") > 3)
+        .count()
+      assert(bad === 0)
+      assert(got.count() === 300000L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("cutpoint query equals exact query on the documents fixture") {
     val exact = LlmQueries.dataCurriculumBuckets(spark, sfDir).collect()
     val cut = LlmQueries.dataCurriculumCutpoints(spark, sfDir).collect()
@@ -129,7 +158,9 @@ class CurriculumSpec extends SparkSpec {
     val plan = LlmQueries.dataCurriculumCutpoints(spark, sfDir)
       .queryExecution.executedPlan.toString
     // the only window sorts are the control-frame histogram pass and
-    // the boundary-group (partitioned) ranking — never `ntile`
-    assert(!plan.contains("ntile"), plan)
+    // the boundary-group (partitioned) ranking — never the `ntile(n)`
+    // window function (the null-contract raise_error literal mentions
+    // "ntileByHistogram", so match the function-call form)
+    assert(!plan.contains("ntile("), plan)
   }
 }

@@ -143,12 +143,24 @@ class PlanInvariantSpec extends SparkSpec {
     // the giant-source path's whole point: the forced range-rank mode
     // must carry a range partitioning exchange and must NOT fall back
     // to the per-source ntile window (whose one-task source sort is
-    // the plan the fallback exists to avoid)
+    // the plan the fallback exists to avoid). Since r12 the ranged
+    // frame is MATERIALIZED (localCheckpoint — the correctness fix for
+    // leg-divergent range sampling), so the final plan shows the
+    // checkpoint's ExistingRDD scan; the range exchange is pinned on
+    // the pre-checkpoint leg via Buckets.rangedPlan — the same code
+    // path the checkpoint job executes.
     val p = graft.queries.LlmQueries.textLmBucketsRanged(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      "expected a range repartition in the ranged tercile plan")
-    assert(!p.contains("ntile"), "ntile window leaked into the ranged plan")
+    assert(p.contains("ExistingRDD"),
+      "expected the materialized (checkpointed) ranged leg in the plan")
+    assert(!p.contains("ntile("), "ntile window leaked into the ranged plan")
+    import spark.implicits._
+    val leg = graft.ops.Buckets.rangedPlan(
+      Seq((1L, "s", 0.5)).toDF("doc_id", "source", "mean_bits"),
+      "mean_bits", "doc_id", Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert(leg.toLowerCase.contains("rangepartitioning"),
+      "expected a range repartition in the ranged leg")
   }
 
   test("selective scans keep their filters pushed to parquet") {

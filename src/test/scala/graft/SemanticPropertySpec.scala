@@ -135,4 +135,30 @@ class SemanticPropertySpec extends SparkSpec {
     assert(flat.values.exists(v => v._4 > 1), "no dup groups — fixture degenerate")
     assert(flat.values.exists(v => !v._5), "nothing pruned — fixture degenerate")
   }
+
+  test("two-level assignment never drops rows (adversarial non-clustered data)") {
+    // the silent row-loss regime: after the Lloyd refinement of the
+    // coarse anchors, an anchor can win some vectors' routing while
+    // owning ZERO fine centroids — pre-fix, those vectors vanished
+    // through the inner join on the anchor id. Uniform noise (no
+    // cluster structure) plus a dominant clump makes anchor cells
+    // maximally uneven; on every seed the output must be a PERMUTATION
+    // of the input ids, not a subset.
+    val rnd = new scala.util.Random(12L)
+    for (seed <- 1 to 3) {
+      val n = 220 + seed * 40
+      val rows: Seq[(Long, Array[Float])] = (0 until n).map { i =>
+        val v =
+          if (i % 3 == 0) Array.fill(6)(rnd.nextFloat() * 4f - 2f)
+          else Array.tabulate(6)(j => 1.5f + 0.05f * rnd.nextFloat() + 0.01f * j)
+        (i.toLong, v)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+          k = 36, iterations = 2, threshold = 0.9, twoLevel = true)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(out == (0L until n.toLong),
+        s"seed $seed: two-level assignment lost ${n - out.size} rows")
+    }
+  }
 }
