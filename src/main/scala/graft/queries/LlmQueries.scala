@@ -1182,12 +1182,48 @@ object LlmQueries {
     * orders the corpus. The oracle computes the same rank as a global
     * window — proving the closed form IS the total order.
     */
-  def dataInterleaveOrder(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select("doc_id", "source")
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    val pos = d.withColumn("pos_in_source",
-      row_number().over(w).cast("long") - 1)
-    val lens = docs(s, dir).groupBy("source").agg(count(lit(1)).as("len"))
+  def dataInterleaveOrder(s: SparkSession, dir: String): DataFrame =
+    interleaveOrderMode(s, dir, giantSourceThreshold = 1L << 20)
+
+  /** Forced scale mode (threshold 0) — the per-source position comes
+    * from the distributed prefix sum instead of the per-source
+    * row_number window, held to the SAME global-window oracle as
+    * [[dataInterleaveOrder]]: a row_number IS a running sum of ones,
+    * so [[graft.ops.Buckets.runningSumByRange]] with a unit weight is
+    * the giant-source drop-in (the pack_sequences machinery for free).
+    */
+  def dataInterleaveOrderRanged(s: SparkSession, dir: String): DataFrame =
+    interleaveOrderMode(s, dir, giantSourceThreshold = 0L)
+
+  private[graft] def interleaveOrderMode(s: SparkSession, dir: String,
+      giantSourceThreshold: Long): DataFrame =
+    interleaveOn(docs(s, dir).select("doc_id", "source"),
+      giantSourceThreshold)
+
+  /** Interleave any (doc_id, source) frame — the spec seam for mixed
+    * giant/window regimes (the fixture's sources are equal-sized, so
+    * a genuine split needs synthetic skew).
+    */
+  private[graft] def interleaveOn(d: DataFrame,
+      giantSourceThreshold: Long): DataFrame = {
+    val (giants, allGiant) =
+      giantSourceSplit(d.select("source"), "source", giantSourceThreshold)
+    def viaWindow(df: DataFrame) = {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      df.withColumn("pos_in_source", row_number().over(w).cast("long") - 1)
+    }
+    def viaRange(df: DataFrame) =
+      Buckets.runningSumByRange(df.withColumn("__one", lit(1L)), "__one",
+          "doc_id", "doc_id", Seq("source"), "__incl")
+        .withColumn("pos_in_source", col("__incl") - 1)
+        .drop("__one", "__incl")
+    val pos =
+      if (giants.isEmpty) viaWindow(d)
+      else if (allGiant) viaRange(d)
+      else viaRange(d.filter(col("source").isInCollection(giants)))
+        .unionByName(viaWindow(
+          d.filter(!col("source").isInCollection(giants))))
+    val lens = d.groupBy("source").agg(count(lit(1)).as("len"))
       .agg(expr("array_sort(collect_list(struct(source, len)))").as("__lens"))
     pos.crossJoin(broadcast(lens))
       .withColumn("interleave_rank", expr(
@@ -1612,25 +1648,44 @@ object LlmQueries {
     * (doc_id, source, text) frame — ScaleSmoke drives this with a
     * one-dominant-source remap, the regime the fallback exists for.
     */
+  /** The giant-source plan choice as ONE bounded control read: per-
+    * group counts aggregate server-side, the giants filter runs INSIDE
+    * the aggregate (`collect_list` over a `when` — nulls never enter
+    * the list), and the total group count rides the same single output
+    * row. The driver therefore holds O(giants), never O(distinct
+    * groups): under a domain-granularity source column the distinct
+    * count is millions, but sources that big enough to matter are by
+    * definition few. Returns (giant groups, all-giant?) — the all-
+    * giant regime plans the range leg ALONE, so no empty window leg
+    * lingers in the plan. Degenerate threshold 0 (the forced test
+    * mode) does collect every group name — that mode exists only to
+    * let the driver oracle prove leg equivalence.
+    */
+  private[graft] def giantSourceSplit(d: DataFrame, groupCol: String,
+      giantThreshold: Long): (Set[String], Boolean) = {
+    val row = d.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__total"),
+        collect_list(when(col("__n") >= giantThreshold, col(groupCol)))
+          .as("__giants"))
+      .collect()(0)
+    val total = row.getAs[Long]("__total")
+    val giants = row.getAs[scala.collection.Seq[String]]("__giants").toSet
+    (giants, total > 0 && giants.size == total)
+  }
+
   private[graft] def lmBucketsOn(d: DataFrame,
       giantSourceThreshold: Long): DataFrame = {
     val scored0 = TextOps.lmSurprise(
       d, "doc_id", "text", isRef = pmod(col("doc_id"), lit(7)) === 0)
-    val counts = d.groupBy("source").agg(count(lit(1)).as("__n")).collect()
-    val giants = counts
-      .filter(_.getAs[Long]("__n") >= giantSourceThreshold)
-      .map(_.getAs[String]("source")).toSet
+    val (giants, allGiant) =
+      giantSourceSplit(d.select("source"), "source", giantSourceThreshold)
     // range-rank consumes the scored frame from multiple subtrees (the
     // local-rank leg, the counts control frame, and in mixed mode the
     // window leg): materialize it ONCE so none of them can replay the
     // full scoring lineage (the semanticDedup precedent). The pure
     // window mode has a single consumer — no barrier there.
     val scored = if (giants.nonEmpty) scored0.localCheckpoint(true) else scored0
-    // the control read already names every source, so a regime where
-    // ALL of them are giant plans the range-rank leg ALONE — no empty
-    // ntile-window leg left in the plan (PlanInvariantSpec pins this
-    // for the forced mode)
-    lmTercileBuckets(scored, giants, allGiant = giants.size == counts.length)
+    lmTercileBuckets(scored, giants, allGiant)
   }
 
   /** Bucket + aggregate a scored frame (doc_id, source, n_bigrams,
@@ -1865,20 +1920,65 @@ object LlmQueries {
   // -- sequence packing into token-budget chunks ------------------------------
   /** Pack documents into ~`budget`-token training chunks per source, in
     * deterministic doc order: chunk id = floor(exclusive-running-token-
-    * sum / budget). One window per source (each source's docs co-locate
-    * via the partition key — the window never sees more than one
-    * source) + one aggregation; the greedy packer a data loader runs,
-    * expressed as a plan.
+    * sum / budget). A source below `giantSourceThreshold` docs takes
+    * the per-source window (sources pack in parallel, each inside one
+    * task chain); a source at or above it switches to the DISTRIBUTED
+    * prefix sum ([[graft.ops.Buckets.runningSumByRange]]) — identical
+    * chunk ids (the exclusive prefix is the inclusive prefix minus the
+    * row's own tokens, exact integer algebra on both paths), but the
+    * dominant source's cost becomes range partitions + a broadcast
+    * carry frame instead of ONE task scanning the whole source under
+    * an unbounded-preceding window. At 100 TB "common-crawl" is one
+    * source — the window shape this fallback exists to kill (the
+    * text_lm_buckets precedent, applied to the last source-keyed
+    * unbounded window in the repo). Plan choice is the bounded
+    * giants-only control read ([[giantSourceSplit]]).
     */
-  def dataPackSequences(s: SparkSession, dir: String): DataFrame = {
+  def dataPackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesMode(s, dir, giantSourceThreshold = 1L << 20)
+
+  /** Forced scale mode (threshold 0 ⇒ every source is "giant") — held
+    * to the SAME SQL oracle as [[dataPackSequences]]: the driver gate
+    * itself proves distributed-prefix-sum packing ≡ the window packer.
+    */
+  def dataPackSequencesRanged(s: SparkSession, dir: String): DataFrame =
+    packSequencesMode(s, dir, giantSourceThreshold = 0L)
+
+  private[graft] def packSequencesMode(s: SparkSession, dir: String,
+      giantSourceThreshold: Long): DataFrame =
+    packSequencesOn(docs(s, dir).select(col("source"), col("doc_id"),
+      size(tokenize(col("text"))).cast("long").as("__toks")),
+      giantSourceThreshold)
+
+  /** Pack any (source, doc_id, __toks) frame — ScaleSmoke drives this
+    * with a one-dominant-source remap, the regime the fallback exists
+    * for. The mixed mode's two legs filter DISJOINT source sets, so
+    * together they tokenize each row exactly once; the control read is
+    * a column-pruned count of `source` alone.
+    */
+  private[graft] def packSequencesOn(d: DataFrame,
+      giantSourceThreshold: Long): DataFrame = {
     val budget = 256L
-    val nToks = size(tokenize(col("text"))).cast("long")
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, dir)
-      .withColumn("__toks", nToks)
-      .withColumn("chunk_id",
-        floor(coalesce(sum(col("__toks")).over(w), lit(0L)) / budget))
+    val (giants, allGiant) =
+      giantSourceSplit(d.select("source"), "source", giantSourceThreshold)
+    def viaWindow(df: DataFrame) = {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__excl", coalesce(sum(col("__toks")).over(w), lit(0L)))
+    }
+    def viaRange(df: DataFrame) =
+      Buckets.runningSumByRange(df, "__toks", "doc_id", "doc_id",
+          Seq("source"), "__incl")
+        .withColumn("__excl", col("__incl") - col("__toks"))
+        .drop("__incl")
+    val pre =
+      if (giants.isEmpty) viaWindow(d)
+      else if (allGiant) viaRange(d)
+      else viaRange(d.filter(col("source").isInCollection(giants)))
+        .unionByName(viaWindow(
+          d.filter(!col("source").isInCollection(giants))))
+    pre
+      .withColumn("chunk_id", floor(col("__excl") / budget))
       .groupBy("source", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -2945,10 +3045,12 @@ object LlmQueries {
     "data_span_corruption" -> (dataSpanCorruption _),
     "data_vocab_coverage" -> (dataVocabCoverage _),
     "data_interleave_order" -> (dataInterleaveOrder _),
+    "data_interleave_order_ranged" -> (dataInterleaveOrderRanged _),
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "data_mix_weights" -> (dataMixWeights _),
     "data_mix_plan" -> (dataMixPlan _),
     "data_pack_sequences" -> (dataPackSequences _),
+    "data_pack_sequences_ranged" -> (dataPackSequencesRanged _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
     "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
@@ -3026,10 +3128,16 @@ object LlmQueries {
     "data_span_corruption" -> dataSpanCorruptionSql,
     "data_vocab_coverage" -> dataVocabCoverageSql,
     "data_interleave_order" -> dataInterleaveOrderSql,
+    // the forced prefix-sum mode shares the window oracle — the driver
+    // gate itself proves the distributed position ≡ row_number
+    "data_interleave_order_ranged" -> dataInterleaveOrderSql,
     "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
     "data_mix_weights" -> dataMixWeightsSql,
     "data_mix_plan" -> dataMixPlanSql,
     "data_pack_sequences" -> dataPackSequencesSql,
+    // the forced prefix-sum mode shares the window oracle — the driver
+    // gate itself proves distributed packing ≡ the window packer
+    "data_pack_sequences_ranged" -> dataPackSequencesSql,
     "data_contamination_ngram" -> dataContaminationNgramSql,
     "text_repetition" -> textRepetitionSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -26,4 +26,24 @@ class DocCountsSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
+
+  test("shared-oracle mode pairs keep IDENTICAL oracle SQL") {
+    // these pairs are equivalence PROOFS: the scale mode is held to
+    // the exact mode's oracle, so the driver gate itself certifies
+    // path equivalence. An edit to one registry entry but not the
+    // other would silently weaken that proof into two unrelated
+    // checks — pin them byte-identical.
+    val pairs = Seq(
+      "data_curriculum_buckets" -> "data_curriculum_cutpoints",
+      "data_decontamination" -> "data_decontamination_bloom",
+      "text_lm_buckets" -> "text_lm_buckets_ranged",
+      "data_pack_sequences" -> "data_pack_sequences_ranged",
+      "data_interleave_order" -> "data_interleave_order_ranged")
+    for ((exact, mode) <- pairs) {
+      assert(SparkEntry.oracleSql.contains(exact), exact)
+      assert(SparkEntry.oracleSql.contains(mode), mode)
+      assert(SparkEntry.oracleSql(exact) == SparkEntry.oracleSql(mode),
+        s"$mode no longer shares $exact's oracle SQL — equivalence proof broken")
+    }
+  }
 }

@@ -56,6 +56,8 @@ class PlanInvariantSpec extends SparkSpec {
     // no whitelist entry needed (the stale-pruning assert enforces this)
     "data_interleave_order" ->
       "1-row (source, length) control-vector broadcast — the closed-form rank that replaces the global sort",
+    "data_interleave_order_ranged" ->
+      "same 1-row length-vector broadcast; the prefix-sum leg itself ends in a checkpoint, but the lens cross joins DOWNSTREAM of it",
     "data_snapshot_drift" ->
       "1-row snapshot-totals and 1-row TV-distance broadcasts; the count build is a single conditional aggregation",
     "q_purchase_anomaly_days" ->
@@ -161,6 +163,22 @@ class PlanInvariantSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(leg.toLowerCase.contains("rangepartitioning"),
       "expected a range repartition in the ranged leg")
+  }
+
+  test("ranged packing plan: materialized range leg, no per-source corpus window") {
+    // forced prefix-sum mode must not quietly fall back to the
+    // unbounded-preceding per-source window (one task scanning the
+    // dominant source — the shape the mode exists to kill). The
+    // corpus window's signature is a windowspec partitioned by source
+    // alone and ordered by doc_id; the range path's two windows
+    // partition by (__pid, source) and (source ordered by __pid), so
+    // the regex below matches ONLY the fallback.
+    val p = graft.queries.LlmQueries.dataPackSequencesRanged(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      "expected the materialized (checkpointed) ranged leg in the pack plan")
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      "per-source corpus window leaked into the forced ranged pack plan")
   }
 
   test("selective scans keep their filters pushed to parquet") {
