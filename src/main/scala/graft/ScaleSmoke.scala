@@ -237,6 +237,23 @@ object ScaleSmoke {
     // partition, so the dominant source never sorts in one task
     val sourceCapsDominant = (s: SparkSession, dir: String) =>
       LlmQueries.sourceCapsOn(dominantDocs(s, dir))
+    // sequence packing in the dominant-source regime: the exclusive
+    // running token sum over ONE giant source. With the 10k
+    // auto-switch the giant source takes the distributed prefix sum
+    // (range partitions + broadcast carry — max task bounded by
+    // partition size); the counterfactual forces the per-source
+    // unbounded-preceding window, i.e. one task sorting AND scanning
+    // the whole source — the last source-keyed window shape left
+    def dominantToks(s: SparkSession, dir: String) =
+      dominantDocs(s, dir).select(col("source"), col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("__toks"))
+    val packDominant = (s: SparkSession, dir: String) =>
+      LlmQueries.packSequencesOn(dominantToks(s, dir),
+        giantSourceThreshold = 10000L)
+    val packDominantWindow = (s: SparkSession, dir: String) =>
+      LlmQueries.packSequencesOn(dominantToks(s, dir),
+        giantSourceThreshold = Long.MaxValue)
     // Zipfian-token corpus, synthesized on the fly (no fixture write):
     // rank = floor(V^u) with u hash-uniform in [0,1) is the inverse
     // CDF of P(rank=k) ∝ 1/k — real text's token law. Rank 1 alone
@@ -316,6 +333,8 @@ object ScaleSmoke {
         ("text_lm_buckets@dominant", 1.0, lmBucketsDominant),
         ("text_lm_buckets@dominant-window", 1.0, lmBucketsDominantWindow),
         ("data_source_caps@dominant", 1.0, sourceCapsDominant),
+        ("data_pack_sequences@dominant", 1.0, packDominant),
+        ("data_pack_sequences@dominant-window", 1.0, packDominantWindow),
         ("text_lm_perplexity@zipf", 1.0, lmZipf),
         ("lm_model_rows@zipf", 1.0, lmModelRowsZipf),
         ("lm_model_rows_unbounded@zipf", 1.0, lmModelRowsUnbounded))
@@ -378,6 +397,10 @@ object ScaleSmoke {
         ("data_vocab_coverage", 1.0, LlmQueries.dataVocabCoverage _),
         // per-source windows + 1-row length-vector broadcast — ~linear
         ("data_interleave_order", 1.0, LlmQueries.dataInterleaveOrder _),
+        // distributed prefix-sum packing under a dominant source, plus
+        // the forced-window counterfactual it replaces
+        ("data_pack_sequences@dominant", 1.0, packDominant),
+        ("data_pack_sequences@dominant-window", 1.0, packDominantWindow),
         // SemDeDup's contract is constant-SIZED cells: k scales with n
         // (8 → 8·reps), so the within-cell pair stage stays ~linear.
         // The n×k broadcast assignment term grows with k — fine at this

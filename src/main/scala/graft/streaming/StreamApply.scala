@@ -14,9 +14,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Spark-first design: Structured Streaming `groupByKey` over the key +
   * `flatMapGroupsWithState` holding one row of state per key (the current
   * winner). State is one row per LIVE key — it IS the materialized
-  * table, so it is bounded by table cardinality, not stream length; it
-  * is deliberately never evicted (evicting would let a late stale
-  * mutation resurrect an overwritten value). The state store shards by
+  * table, so it is bounded by table cardinality, not stream length; a
+  * live key is never evicted (evicting would let a late stale mutation
+  * resurrect an overwritten value). DELETE winners are tombstones:
+  * held only to suppress staler arrivals, so once the resolved
+  * frontier passes their version they may retire — opt in via
+  * `tombstoneTtlMs` (mirrors [[StreamTxn]]'s closed-txn tombstones;
+  * the reference retires staged mutations behind the resolved
+  * frontier the same way). The state store shards by
   * the grouping key exactly like the reference shards its lockset by
   * key hash — but the key's IDENTITY is the key value itself, never a
   * hash of it (the reference only hashes to pick a lockset shard; a
@@ -48,20 +53,46 @@ object StreamApply {
     muts.groupByKey(_.key).reduceGroups(wins[K] _).map(_._2)
   }
 
-  private def applyStreamOf[K](muts: Dataset[KeyedMutOf[K]])(
-      implicit kenc: Encoder[K], enc: Encoder[KeyedMutOf[K]]): Dataset[KeyedMutOf[K]] =
+  private def applyStreamOf[K](muts: Dataset[KeyedMutOf[K]],
+      tombstoneTtlMs: Long)(
+      implicit kenc: Encoder[K], enc: Encoder[KeyedMutOf[K]]): Dataset[KeyedMutOf[K]] = {
+    val timeoutConf =
+      if (tombstoneTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     muts.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (_: K, rows: Iterator[KeyedMutOf[K]], state: GroupState[KeyedMutOf[K]]) =>
-          val incoming = rows.reduceOption(wins[K] _)
-          incoming match {
-            case None => Iterator.empty
-            case Some(best) =>
-              val merged = state.getOption.map(wins(_, best)).getOrElse(best)
-              if (state.getOption.contains(merged)) Iterator.empty
-              else { state.update(merged); Iterator.single(merged) }
+          if (state.hasTimedOut) {
+            // only DELETE tombstones ever arm a timeout (below): a live
+            // key's winner is the materialized row and must never evict
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.reduceOption(wins[K] _)
+            incoming match {
+              case None => Iterator.empty
+              case Some(best) =>
+                val merged = state.getOption.map(wins(_, best)).getOrElse(best)
+                val changed = !state.getOption.contains(merged)
+                if (changed) state.update(merged)
+                // Tombstone retirement (the reference's Retire contract on
+                // the streaming path — batch cdc_stage_retire's dual): a
+                // winner that is a DELETE is only held to suppress STALER
+                // arrivals, and the resolved-frontier protocol promises
+                // none arrive once the frontier passes its version. With a
+                // TTL chosen ≥ the source's resolved-frontier lag, expiry
+                // is therefore safe: anything arriving later is past the
+                // frontier and legitimately establishes fresh state. The
+                // timeout re-arms on every touch (timeouts clear whenever
+                // a key is processed), so a tombstone still absorbing
+                // stale traffic keeps its cover until the traffic stops.
+                if (tombstoneTtlMs > 0 && merged.op == "delete")
+                  state.setTimeoutDuration(tombstoneTtlMs)
+                if (changed) Iterator.single(merged) else Iterator.empty
+            }
           }
       }
+  }
 
   /** Batch path: same last-one-wins reduce, via the typed Dataset API. */
   def applyBatch(muts: Dataset[KeyedMut]): Dataset[KeyedMut] =
@@ -74,13 +105,27 @@ object StreamApply {
   /** Streaming path: per-key state = current winner; each trigger emits
     * the keys whose winner changed (an incremental changelog of the
     * materialized table).
+    *
+    * `tombstoneTtlMs` opts into DELETE-tombstone retirement (the
+    * reference retires staged mutations behind the resolved frontier;
+    * batch `cdc_stage_retire` is the batch dual): choose a TTL ≥ the
+    * source's resolved-frontier lag so a tombstone only expires once
+    * the protocol guarantees nothing staler can arrive. Live keys are
+    * NEVER evicted regardless — their state IS the materialized row.
+    * Default 0 keeps tombstones forever (safe for every trigger mode;
+    * see [[StreamTxn]] on why ProcessingTimeTimeout must stay opt-in:
+    * bounded replays like Trigger.AvailableNow hang under it).
     */
-  def applyStream(muts: Dataset[KeyedMut]): Dataset[KeyedMut] =
-    applyStreamOf(muts)(Encoders.scalaLong, Encoders.product[KeyedMut])
+  def applyStream(muts: Dataset[KeyedMut],
+      tombstoneTtlMs: Long = 0L): Dataset[KeyedMut] =
+    applyStreamOf(muts, tombstoneTtlMs)(
+      Encoders.scalaLong, Encoders.product[KeyedMut])
 
   /** Streaming apply for wire-format mutations keyed by key TEXT. */
-  def applyStreamText(muts: Dataset[KeyedMutText]): Dataset[KeyedMutText] =
-    applyStreamOf(muts)(Encoders.STRING, Encoders.product[KeyedMutText])
+  def applyStreamText(muts: Dataset[KeyedMutText],
+      tombstoneTtlMs: Long = 0L): Dataset[KeyedMutText] =
+    applyStreamOf(muts, tombstoneTtlMs)(
+      Encoders.STRING, Encoders.product[KeyedMutText])
 
   /** Adapt the events table to the KeyedMut shape. */
   def fromEvents(events: DataFrame): DataFrame =

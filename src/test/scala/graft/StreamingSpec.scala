@@ -42,6 +42,83 @@ class StreamingSpec extends SparkSpec {
     assert(all.exists(m => m.key == 2L && m.value == 40.0))
   }
 
+  test("tombstone retirement: deletes retire after the frontier TTL, live keys never do") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedMut]
+    // a real (non-bounded) trigger: ProcessingTimeTimeout + AvailableNow
+    // is the documented hang (see StreamTxn) — retirement is a
+    // long-running-feed feature and is tested as one
+    val q = StreamApply.applyStream(input.toDS(), tombstoneTtlMs = 1500L)
+      .writeStream.format("memory").queryName("tomb_out")
+      .outputMode("update").start()
+    // a ProcessingTimeTimeout query re-runs batches FOREVER (the
+    // StreamTxn-documented behavior), so processAllAvailable never
+    // quiesces — synchronize on OBSERVED sink rows instead. Negative
+    // assertions ride a sentinel key in the same addData batch: once
+    // the sentinel lands, that batch (and the suppressed row in it)
+    // has been processed.
+    def emitted(p: KeyedMut => Boolean): Boolean =
+      spark.table("tomb_out").as[KeyedMut].collect().exists(p)
+    def waitFor(what: String)(p: KeyedMut => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!emitted(p)) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for: $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(
+        KeyedMut(1L, 100L, 1L, "upsert", 10.0, "a"),
+        KeyedMut(7L, 100L, 2L, "upsert", 70.0, "live"))
+      waitFor("initial upserts")(m => m.key == 7L && m.value == 70.0)
+      input.addData(KeyedMut(1L, 200L, 3L, "delete", 0.0, ""))
+      waitFor("the tombstone")(m => m.key == 1L && m.op == "delete")
+      // BEFORE expiry the tombstone does its job: a stale resurrect
+      // attempt (version 150 < 200) is suppressed
+      input.addData(
+        KeyedMut(1L, 150L, 4L, "upsert", 5.0, "stale"),
+        KeyedMut(50L, 100L, 4L, "upsert", 1.0, "sentinel"))
+      waitFor("the pre-expiry sentinel")(_.key == 50L)
+      assert(!emitted(m => m.key == 1L && m.value == 5.0),
+        "stale mutation resurrected through a live tombstone")
+      // wait for the RETIREMENT ITSELF, not wall-clock: the stale touch
+      // above RE-ARMED the sliding TTL, and sending the probe row while
+      // the tombstone still lives would consume it (and re-arm again).
+      // Removal is observable in the state-operator metrics — rows drop
+      // from 3 (tombstone + live + sentinel) to 2 when the timeout
+      // fires on one of the engine's continued batches.
+      locally {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def stateRows: Long = Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(-1L)
+        while (stateRows != 2L) {
+          assert(System.nanoTime() < deadline,
+            s"timed out waiting for tombstone retirement (state rows = $stateRows)")
+          Thread.sleep(100)
+        }
+      }
+      // AFTER retirement the state is GONE: the same version-150 row
+      // now establishes fresh state. That is exactly the contract
+      // boundary — the TTL models the resolved-frontier lag, so by
+      // expiry the frontier is ≥ the tombstone's version and the
+      // protocol promises no pre-frontier mutation can still arrive;
+      // an arrival is therefore treated as post-frontier traffic, not
+      // compared against a retired tombstone. (Choosing a TTL below
+      // the real frontier lag is the misuse mode this line documents.)
+      input.addData(KeyedMut(1L, 150L, 6L, "upsert", 5.0, "post-frontier"))
+      waitFor("post-retirement state")(m => m.key == 1L && m.value == 5.0)
+      // the LIVE key 7 never armed a timeout: long past the TTL, its
+      // state still suppresses stale mutations
+      input.addData(
+        KeyedMut(7L, 50L, 7L, "upsert", 7.0, "stale-live"),
+        KeyedMut(51L, 100L, 7L, "upsert", 1.0, "sentinel2"))
+      waitFor("the live-key sentinel")(_.key == 51L)
+      assert(!emitted(m => m.key == 7L && m.value == 7.0),
+        "live key state must never evict")
+    } finally q.stop()
+  }
+
   test("watermarked windowed ledger: closed windows match the batch counts") {
     import graft.streaming.StreamWindows
     import org.apache.spark.sql.functions._
