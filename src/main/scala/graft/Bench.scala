@@ -75,7 +75,34 @@ object Bench {
     // idle and this artifact must not be trusted as the measurement —
     // `gated: false` says so in the JSON itself, so a contended
     // closing run can't silently masquerade as the bench.
-    val passes = Seq(sweep(), sweep())
+    //
+    // AUTO-RETRY (r12): a failed gate used to need a manual re-run to
+    // get an authoritative reading (the r11 driver artifact shipped
+    // gated:false). Now the sweep PAIR reruns up to `maxAttempts`
+    // times; the first pair whose totals converge is the artifact.
+    // Retries fire ONLY on spread — a query that ERRORS fails
+    // identically every time, so burning attempts on it would just
+    // triple the wall. Exhausted attempts keep the LEAST-spread pair
+    // and stamp gated:false + the attempt count: an explicit
+    // "host never settled" marker, not a silent pass.
+    def passTotalsOf(pair: Seq[Map[String, Seq[Double]]]): Seq[Double] =
+      pair.map(p => p.values.map(ts => ts.filter(_ >= 0)).collect {
+        case ts if ts.nonEmpty => ts.min }.sum)
+    def spreadOf(pair: Seq[Map[String, Seq[Double]]]): Double = {
+      val pt = passTotalsOf(pair)
+      if (pt.min <= 0) Double.PositiveInfinity
+      else (pt.max - pt.min) / pt.min
+    }
+    val maxAttempts = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+    var tried = List.empty[Seq[Map[String, Seq[Double]]]]
+    var attempts = 0
+    while (attempts < maxAttempts &&
+        (tried.isEmpty || spreadOf(tried.head) > 0.15)) {
+      attempts += 1
+      tried ::= Seq(sweep(), sweep())
+    }
+    val passes = tried.minBy(spreadOf)
     val allRuns: Map[String, Seq[Double]] =
       names.map(n => n -> passes.flatMap(_(n)).filter(_ >= 0)).toMap
     val results = names.map { n =>
@@ -89,18 +116,15 @@ object Bench {
       val good = allRuns(n)
       n -> (if (good.size >= 2) good.max / good.min - 1.0 else 0.0)
     }.toMap
-    val passTotals = passes.map(p =>
-      p.values.map(ts => ts.filter(_ >= 0)).collect {
-        case ts if ts.nonEmpty => ts.min }.sum)
-    val gated = results.values.forall(_ >= 0) &&
-      (passTotals.max - passTotals.min) / passTotals.min <= 0.15
+    val passTotals = passTotalsOf(passes)
+    val gated = results.values.forall(_ >= 0) && spreadOf(passes) <= 0.15
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val pt = passTotals.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"pass_totals":$pt,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"attempts":$attempts,"pass_totals":$pt,"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
     println(line)
     // stdout from a forked sbt run is wrapped in [info] noise that can
     // defeat the driver's JSON parse — also write the line to a clean
