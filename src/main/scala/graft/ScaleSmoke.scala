@@ -148,9 +148,16 @@ object ScaleSmoke {
       val ix = graft.ops.Similarity.buildEmbeddingIndex(
         e.filter(pmod(orig, lit(4)) =!= 0), "vec_id", "embedding",
         nPlanes = 0, nTables = 0, threshold = 0.8)
+      // verifyChunks at the BIG scale only: the 100× candidate-verify
+      // spill alone exceeded this host's ~79 GB free disk (the r9-r11
+      // marked row); 8 sequential per-table-slice verify jobs bound
+      // peak shuffle disk at ~1/8 of the all-candidates join. Base
+      // scale keeps the single-plan path so the ratio still compares
+      // a real pair (chunking adds its own job overhead).
       graft.ops.Similarity.incrementalVecDupPairs(
         e.filter(pmod(orig, lit(4)) === 0), ix,
-        "vec_id", "embedding", threshold = 0.8)
+        "vec_id", "embedding", threshold = 0.8,
+        verifyChunks = if (dir == base) 1 else 8)
     }
     // The flagship e2e on the stopword-preserving fixture (raw corpus
     // at base scale — the fixture differs from it only by suffixes, so

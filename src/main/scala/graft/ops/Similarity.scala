@@ -326,34 +326,38 @@ object Similarity {
     * repVecs(rep_id, vec), members(rep_id, __id).
     */
   private def selfPairsExpanded(buckets: DataFrame, repVecs: DataFrame,
-      members: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
-    val aSide = buckets.select(col("table_id"), col("bucket"),
-      col("rep_id").as("id_a"))
-    val pairs =
-      if (maxBucketSize == Int.MaxValue)
-        aSide
-          .join(buckets.select(col("table_id"), col("bucket"),
-            col("rep_id").as("id_b")), Seq("table_id", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-      else {
-        val anchors = Buckets.anchors(buckets, Seq("table_id", "bucket"),
-            "rep_id", maxBucketSize)
-          .select(col("table_id"), col("bucket"), col("rep_id").as("id_b"))
-        aSide.join(anchors, Seq("table_id", "bucket"))
-          .filter(col("id_a") =!= col("id_b"))
-          .select(least(col("id_a"), col("id_b")).as("id_a"),
-            greatest(col("id_a"), col("id_b")).as("id_b"))
-          .distinct()
-      }
-    // vector fetch: the rep table is keyed and far smaller than the
-    // exploded candidate stream — AQE broadcasts it when it fits
-    val repPairs = pairs
-      .join(repVecs.select(col("rep_id").as("id_a"), col("vec").as("__va")), "id_a")
-      .join(repVecs.select(col("rep_id").as("id_b"), col("vec").as("__vb")), "id_b")
-      .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
+      members: DataFrame, threshold: Double, maxBucketSize: Int,
+      verifyChunks: Int = 1): DataFrame = {
+    def scoredOf(bk: DataFrame): DataFrame = {
+      val aSide = bk.select(col("table_id"), col("bucket"),
+        col("rep_id").as("id_a"))
+      val pairs =
+        if (maxBucketSize == Int.MaxValue)
+          aSide
+            .join(bk.select(col("table_id"), col("bucket"),
+              col("rep_id").as("id_b")), Seq("table_id", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b").distinct()
+        else {
+          val anchors = Buckets.anchors(bk, Seq("table_id", "bucket"),
+              "rep_id", maxBucketSize)
+            .select(col("table_id"), col("bucket"), col("rep_id").as("id_b"))
+          aSide.join(anchors, Seq("table_id", "bucket"))
+            .filter(col("id_a") =!= col("id_b"))
+            .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"))
+            .distinct()
+        }
+      // vector fetch: the rep table is keyed and far smaller than the
+      // exploded candidate stream — AQE broadcasts it when it fits
+      pairs
+        .join(repVecs.select(col("rep_id").as("id_a"), col("vec").as("__va")), "id_a")
+        .join(repVecs.select(col("rep_id").as("id_b"), col("vec").as("__vb")), "id_b")
+        .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
+        .filter(col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    }
+    val repPairs = chunkedByTable(buckets, verifyChunks)(scoredOf)
     val cross = repPairs
       .join(members.select(col("rep_id").as("id_a"), col("__id").as("__ma")), "id_a")
       .join(members.select(col("rep_id").as("id_b"), col("__id").as("__mb")), "id_b")
@@ -370,6 +374,35 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
     cross.unionByName(intra)
   }
+
+  /** Bounded-spill candidate verification: run `scoredOf` over the
+    * whole bucket frame in ONE plan (`chunks <= 1`, the default — the
+    * exactness/oracle path, plan unchanged), or in `chunks` SEQUENTIAL
+    * jobs, each restricted to `table_id % chunks == c` and eagerly
+    * materialized (`localCheckpoint`). Sequential-and-materialized is
+    * the point: a lazy union would execute every chunk's candidate
+    * join inside one job and the shuffle files would coexist — the
+    * exact all-candidates spill this knob exists to avoid. Chunked,
+    * peak shuffle disk is ~1/chunks of the whole (each chunk's files
+    * become unreferenced after its job and the ContextCleaner frees
+    * them at the next GC, nudged explicitly here). A pair colliding in
+    * several chunks is verified once per chunk — the deterministic
+    * cosine makes the rows bit-identical, so the post-threshold
+    * `distinct()` restores exactly the single-plan output; the
+    * recompute is bounded (true dups hit many tables BY DESIGN, but
+    * they are the linear part of the volume — the random-collision
+    * bulk rarely repeats across tables).
+    */
+  private def chunkedByTable(buckets: DataFrame, chunks: Int)(
+      scoredOf: DataFrame => DataFrame): DataFrame =
+    if (chunks <= 1) scoredOf(buckets)
+    else (0 until chunks).map { c =>
+      val part = scoredOf(
+        buckets.filter(pmod(col("table_id"), lit(chunks)) === c))
+        .localCheckpoint(true)
+      System.gc() // free the finished chunk's shuffle files (see above)
+      part
+    }.reduce(_ unionByName _).distinct()
 
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, nTables: Int, threshold: Double,
@@ -524,9 +557,9 @@ object Similarity {
     */
   def incrementalVecDupPairs(batch: DataFrame, index: EmbeddingIndex,
       idCol: String, vecCol: String, threshold: Double,
-      maxBucketSize: Int = Int.MaxValue): DataFrame =
+      maxBucketSize: Int = Int.MaxValue, verifyChunks: Int = 1): DataFrame =
     incrementalVecCore(batch, index, idCol, vecCol, threshold,
-      eagerCheckpoint = false, maxBucketSize)._1
+      eagerCheckpoint = false, maxBucketSize, verifyChunks)._1
 
   /** Shared probe core: (pairs touching the batch, the batch's own
     * index artifacts) — [[probeAndExtendVec]] reuses the artifacts so
@@ -542,7 +575,8 @@ object Similarity {
   private def incrementalVecCore(batch: DataFrame, index: EmbeddingIndex,
       idCol: String, vecCol: String, threshold: Double,
       eagerCheckpoint: Boolean,
-      maxBucketSize: Int = Int.MaxValue): (DataFrame, EmbeddingIndex) = {
+      maxBucketSize: Int = Int.MaxValue,
+      verifyChunks: Int = 1): (DataFrame, EmbeddingIndex) = {
     // the index's granularity was sized (or pinned) for SOME threshold;
     // probing materially below it silently under-recalls — the budget
     // check lshGranularity ran at build time never saw this threshold.
@@ -561,17 +595,33 @@ object Similarity {
       else EmbeddingIndex(b0.buckets.localCheckpoint(true),
         b0.repVecs.localCheckpoint(true), b0.members.localCheckpoint(true),
         b0.nPlanes, b0.nTables)
-    val cand = b.buckets.select(col("table_id"), col("bucket"),
-        col("rep_id").as("rep_b"))
-      .join(index.buckets.select(col("table_id"), col("bucket"),
-        col("rep_id").as("rep_a")), Seq("table_id", "bucket"))
-      .select("rep_a", "rep_b").distinct()
-    val scored = cand
-      .join(index.repVecs.select(col("rep_id").as("rep_a"), col("vec").as("__va")), "rep_a")
-      .join(b.repVecs.select(col("rep_id").as("rep_b"), col("vec").as("__vb")), "rep_b")
-      .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select("rep_a", "rep_b", "cos_sim")
+    // the cross verify is the 100× spill wall (corpus×batch candidate
+    // volume all in flight at once) — chunk it when asked; the INDEX
+    // side carries the corpus-scale bucket frame, so both sides filter
+    // on the same table_id slice and the per-chunk candidate join is
+    // ~1/chunks of the whole
+    def crossChunk(chunkFilter: DataFrame => DataFrame): DataFrame = {
+      val cand = chunkFilter(b.buckets).select(col("table_id"), col("bucket"),
+          col("rep_id").as("rep_b"))
+        .join(chunkFilter(index.buckets).select(col("table_id"), col("bucket"),
+          col("rep_id").as("rep_a")), Seq("table_id", "bucket"))
+        .select("rep_a", "rep_b").distinct()
+      cand
+        .join(index.repVecs.select(col("rep_id").as("rep_a"), col("vec").as("__va")), "rep_a")
+        .join(b.repVecs.select(col("rep_id").as("rep_b"), col("vec").as("__vb")), "rep_b")
+        .withColumn("cos_sim", call_function("graft_cosine", col("__va"), col("__vb")))
+        .filter(col("cos_sim") >= threshold)
+        .select("rep_a", "rep_b", "cos_sim")
+    }
+    val scored =
+      if (verifyChunks <= 1) crossChunk(identity)
+      else (0 until verifyChunks).map { c =>
+        val part = crossChunk(
+          _.filter(pmod(col("table_id"), lit(verifyChunks)) === c))
+          .localCheckpoint(true)
+        System.gc() // free the finished chunk's shuffle files
+        part
+      }.reduce(_ unionByName _).distinct()
     val cross = scored
       .join(index.members.select(col("rep_id").as("rep_a"), col("__id").as("__ca")), "rep_a")
       .join(b.members.select(col("rep_id").as("rep_b"), col("__id").as("__cb")), "rep_b")
@@ -581,7 +631,7 @@ object Similarity {
     // (candidates → score once → member expansion) over the batch's
     // frames alone
     val within = selfPairsExpanded(b.buckets, b.repVecs, b.members,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, verifyChunks)
     // cross leg is corpus×batch, `within` batch×batch — disjoint
     (cross.unionByName(within), b)
   }

@@ -484,6 +484,39 @@ class OpsSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 == 102L || p._2 == 102L))
   }
 
+  test("chunked candidate verify ≡ single-plan probe (pairs AND scores)") {
+    // the 100× spill knob must be a pure execution strategy: per-table
+    // sequential verify jobs + post-threshold dedupe return exactly the
+    // single-plan rows. Clustered corpus so pairs collide in MANY
+    // tables (the recompute-then-dedupe path does real work) plus
+    // identity clusters (expansion after the chunked verify).
+    val rnd = new scala.util.Random(7L)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + 0.02f * rnd.nextFloat())
+    val centers = Array(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val corpus = ((0L until 90L).map(i =>
+        (i, jitter(centers((i % 3).toInt)))) ++
+      Seq((200L, centers(0)), (201L, centers(0)))) // identity cluster
+      .toDF("vec_id", "embedding")
+    val batch = ((300L until 330L).map(i =>
+        (i, jitter(centers((i % 3).toInt)))) ++
+      Seq((400L, centers(0)))).toDF("vec_id", "embedding")
+    val ix = Similarity.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      nPlanes = 3, nTables = 12)
+    def run(chunks: Int) =
+      Similarity.incrementalVecDupPairs(batch, ix, "vec_id", "embedding",
+          threshold = 0.95, verifyChunks = chunks)
+        .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)]
+        .collect().sorted.toSeq
+    val single = run(1)
+    val chunked = run(4)
+    assert(chunked == single,
+      s"chunked verify diverged: ${chunked.size} vs ${single.size} rows")
+    assert(single.nonEmpty && single.exists(p => p._1 == 200L || p._2 == 400L))
+  }
+
   test("embedding index save/load round-trips pairs and granularity") {
     val corpus = (0L until 40L).map { i =>
       (i, Array(math.cos(i * 0.31).toFloat, math.sin(i * 0.31).toFloat, 0.1f))

@@ -178,6 +178,84 @@ class StreamingCurationSpec extends SparkSpec {
     assert(collected.contains((1L, 2L)))
   }
 
+  test("curation loop restart-from-checkpoint: no dropped or doubled batch, index state intact") {
+    // the other half of the deployment story: the loop STOPS mid-corpus
+    // (clean trigger boundary), a NEW driver restarts from the same
+    // checkpoint dir, rebuilds its dedup state from the PERSISTED index
+    // generations (compactEvery = 1 ⇒ every fold commits before the
+    // engine commits the batch's offsets), and the combined run still
+    // ≡ the batch chain. The (3, 4) near-dup pair SPANS the restart —
+    // it can only surface if the reloaded index really carries doc 3.
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_cur_restart").toString
+    val srcDir = s"$base/src"; val ckDir = s"$base/ck"; val ixDir = s"$base/ix"
+    val b1 = Seq((1L, "a", t1), (5L, "a", "too short to pass the word gate"))
+      .toDF("doc_id", "source", "text")
+    val b2 = Seq((2L, "b", t1near), (3L, "a", t2))
+      .toDF("doc_id", "source", "text")
+    val b3 = Seq((4L, "b", t2mail), (6L, "b", s"code block { inside } $t2"))
+      .toDF("doc_id", "source", "text")
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val seen = scala.collection.mutable.ListBuffer
+      .empty[(Long, Set[(Long, Long)])]
+    def runPhase(): Seq[Long] = {
+      val state = new Dedup.StreamingDedup(
+        if (new java.io.File(ixDir).exists()) Dedup.loadIndex(spark, ixDir)
+        else Dedup.buildDedupIndex(
+          Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text"),
+        ixDir, compactEvery = 1, "doc_id", "text", threshold = 0.8)
+      val ids = scala.collection.mutable.ListBuffer.empty[Long]
+      val q = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckDir)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val pairs = state.ingest(curateBatch(b).select("doc_id", "text"))
+            .select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          seen.synchronized { seen += ((batchId, pairs)); ids += batchId }
+          ()
+        }.trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); q.stop()
+      ids.toSeq
+    }
+    val phase1 = runPhase() // two files → two committed micro-batches
+    assert(phase1.size == 2)
+    b3.coalesce(1).write.mode("append").parquet(srcDir)
+    val phase2 = runPhase() // restart: ONLY the new file
+    // no committed batch replays (no double-fold), nothing is skipped
+    assert(phase2.size == 1, s"restart re-ran or dropped batches: $phase2")
+    assert(phase2.toSet.intersect(phase1.toSet).isEmpty &&
+      phase2.head > phase1.max,
+      s"batch ids not monotonic across restart: $phase1 then $phase2")
+    assert(seen.map(_._1).distinct.size == seen.size)
+
+    // the combined pair set ≡ the batch chain over the whole corpus
+    val collected = seen.flatMap(_._2).toSet
+    val all = b1.unionByName(b2).unionByName(b3)
+    val survivors = curateBatch(all)
+    val want = Dedup.verifiedDupPairs(survivors, "doc_id", "text",
+        threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(collected == want, s"got $collected want $want")
+    // the cross-RESTART pair: 3 ingested before the stop, 4 after —
+    // only the persisted+reloaded generations can know doc 3
+    assert(collected.contains((3L, 4L)),
+      "pair spanning the restart boundary was lost — index state did not survive")
+    // per-source retention ≡ the batch chain's
+    def retention(pairSet: Set[(Long, Long)]) = {
+      val pdf = pairSet.toSeq.toDF("id_a", "id_b")
+      Dedup.dupClusters(survivors, "doc_id", pdf)
+        .join(survivors.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pass"),
+          sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"))
+        .as[(String, Long, Long)].collect().sorted.toSeq
+    }
+    assert(retention(collected) == retention(want))
+  }
+
   test("mid-stream LM refresh: model swap changes the gate, pair invariant holds") {
     // the train-once/swap-nightly shape: early triggers gate under
     // model A, a reload swaps in model B (retrained on the GROWN
