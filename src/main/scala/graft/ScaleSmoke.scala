@@ -261,6 +261,17 @@ object ScaleSmoke {
     val packDominantWindow = (s: SparkSession, dir: String) =>
       LlmQueries.packSequencesOn(dominantToks(s, dir),
         giantSourceThreshold = Long.MaxValue)
+    // interleave order under the same dominant source: per-source
+    // position via the distributed prefix sum of ones vs the forced
+    // row_number window (one task ranking the whole source)
+    val interleaveDominant = (s: SparkSession, dir: String) =>
+      LlmQueries.interleaveOn(
+        dominantDocs(s, dir).select("doc_id", "source"),
+        giantSourceThreshold = 10000L)
+    val interleaveDominantWindow = (s: SparkSession, dir: String) =>
+      LlmQueries.interleaveOn(
+        dominantDocs(s, dir).select("doc_id", "source"),
+        giantSourceThreshold = Long.MaxValue)
     // Zipfian-token corpus, synthesized on the fly (no fixture write):
     // rank = floor(V^u) with u hash-uniform in [0,1) is the inverse
     // CDF of P(rank=k) ∝ 1/k — real text's token law. Rank 1 alone
@@ -342,6 +353,8 @@ object ScaleSmoke {
         ("data_source_caps@dominant", 1.0, sourceCapsDominant),
         ("data_pack_sequences@dominant", 1.0, packDominant),
         ("data_pack_sequences@dominant-window", 1.0, packDominantWindow),
+        ("data_interleave_order@dominant", 1.0, interleaveDominant),
+        ("data_interleave_order@dominant-window", 1.0, interleaveDominantWindow),
         ("text_lm_perplexity@zipf", 1.0, lmZipf),
         ("lm_model_rows@zipf", 1.0, lmModelRowsZipf),
         ("lm_model_rows_unbounded@zipf", 1.0, lmModelRowsUnbounded))

@@ -90,6 +90,31 @@ class PrefixSumSpec extends SparkSpec {
     assert(runs(0) == runs(1) && runs(1) == runs(2))
   }
 
+  test("exact under PARTIAL range sampling (200k continuous keys, grouped)") {
+    // the giant-source regime: enough rows that RangePartitioner's
+    // reservoir sample is partial, near-distinct continuous order keys,
+    // one dominant group. The materialized ranged frame is what makes
+    // the local and control legs agree on partition boundaries here —
+    // same failure mode the 300k ntileByRange test pins (CurriculumSpec).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val rnd = new scala.util.Random(99L)
+      val df = (1 to 200000).map { i =>
+        (i.toLong, if (i % 20 == 0) "small" else "big",
+          rnd.nextDouble(), (i % 7 + 1).toLong)
+      }.toDF("id", "g", "k", "v")
+      val got = Buckets.runningSumByRange(df, "v", "k", "id", Seq("g"), "rs")
+        .select(col("id"), col("rs").as("got"))
+      val w = Window.partitionBy("g").orderBy(col("k"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ref = df.withColumn("want", sum(col("v")).over(w)).select("id", "want")
+      val bad = ref.join(got, "id").filter(col("want") =!= col("got")).count()
+      assert(bad === 0)
+      assert(got.count() === 200000L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def deepMessage(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")

@@ -84,17 +84,20 @@ class StreamingSpec extends SparkSpec {
       // wait for the RETIREMENT ITSELF, not wall-clock: the stale touch
       // above RE-ARMED the sliding TTL, and sending the probe row while
       // the tombstone still lives would consume it (and re-arm again).
-      // Removal is observable in the state-operator metrics — rows drop
-      // from 3 (tombstone + live + sentinel) to 2 when the timeout
-      // fires on one of the engine's continued batches.
+      // The unambiguous witness is numRowsRemoved > 0 in some batch's
+      // state-operator metrics — ONLY the timeout path calls
+      // state.remove() in this operator, so the first nonzero removal
+      // IS the tombstone retiring. (Total row counts are ambiguous:
+      // they also read 2 after the first two-upsert batch, and under
+      // full-suite load a stale lastProgress at that value let the
+      // probe row race the still-armed tombstone.)
       locally {
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        def stateRows: Long = Option(q.lastProgress)
-          .flatMap(p => p.stateOperators.headOption)
-          .map(_.numRowsTotal).getOrElse(-1L)
-        while (stateRows != 2L) {
+        def removed: Boolean = q.recentProgress.exists(p =>
+          p.stateOperators.exists(_.numRowsRemoved > 0))
+        while (!removed) {
           assert(System.nanoTime() < deadline,
-            s"timed out waiting for tombstone retirement (state rows = $stateRows)")
+            "timed out waiting for tombstone retirement (no state removal observed)")
           Thread.sleep(100)
         }
       }
