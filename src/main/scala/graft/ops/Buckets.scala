@@ -161,6 +161,14 @@ object Buckets {
     * the EXCLUSIVE prefix subtract the row's own value. The summed
     * column must be non-null (a null would poison its suffix under the
     * window too); order/partition nulls raise via [[requireKeys]].
+    *
+    * EXACTNESS CONTRACT: bit-identical to the window for INTEGRAL
+    * value columns (every in-repo caller: token counts, unit weights
+    * — integer addition is associative). A float/double valueCol sums
+    * in a different order than the window (local prefix + carry vs
+    * strict row order), so drop-in bit-equality does not hold there;
+    * sum in fixed-point integers first (the repo-wide convention for
+    * cross-engine arithmetic) if you need it.
     */
   def runningSumByRange(df: DataFrame, valueCol: String, orderCol: String,
       tieCol: String, partCols: Seq[String] = Nil,
