@@ -655,7 +655,8 @@ object Dedup {
     s"$path/gen=$gen"
   }
 
-  def compactIndex(index: DedupIndex, path: String): DedupIndex = {
+  def compactIndex(index: DedupIndex, path: String,
+      extraFrames: Seq[(String, DataFrame)] = Seq.empty): DedupIndex = {
     val spark = index.bands.sparkSession
     import spark.implicits._
     // meta rides in the generation like the vector index's granularity
@@ -664,13 +665,16 @@ object Dedup {
     // meta goes FIRST: writes are sequential, so any generation whose
     // three text dirs pass the sentinel-less committed fallback
     // provably finished its meta too — a crash mid-compaction can
-    // never commit frames stamped with someone else's banding
+    // never commit frames stamped with someone else's banding.
+    // `extraFrames` (the streaming loop's progress/last_pairs) write
+    // AFTER the index frames but BEFORE the sentinel — a committed
+    // generation always carries a consistent (index, progress) pair.
     writeGenAndGc(path, Seq(
       "meta" -> Seq((index.numHashes, index.nBands, index.shingleK))
         .toDF("num_hashes", "n_bands", "shingle_k").coalesce(1),
       "bands" -> index.bands.repartition(col("band_id"), col("bucket")),
       "shingles" -> index.shingles,
-      "members" -> index.members),
+      "members" -> index.members) ++ extraFrames,
       checkDirs = textGenDirs)
     loadIndex(spark, path)
   }
@@ -720,23 +724,111 @@ object Dedup {
   final class StreamingDedup(initial: DedupIndex, compactPath: String,
       compactEvery: Int, id: String, text: String, threshold: Double,
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
-      eagerCheckpoint: Boolean = true) {
+      eagerCheckpoint: Boolean = true,
+      resumeBatchId: Long = -1L,
+      resumePairs: Option[DataFrame] = None) {
     require(compactEvery > 0, "compactEvery must be positive")
     requireSameBanding(initial, numHashes, bands, k, "loop")
     private var index0 = initial
     private var folded = 0
+    private var lastBatchId: Long = resumeBatchId
+    private var lastPairs: Option[DataFrame] = resumePairs
     def index: DedupIndex = index0
 
     /** Probe + fold one batch; returns the pairs touching it. */
-    def ingest(batch: DataFrame): DataFrame = {
+    def ingest(batch: DataFrame): DataFrame = ingestCore(batch, None)
+
+    /** Exactly-once probe + fold, keyed by the engine's `batchId` —
+      * the `foreachBatch(b, batchId)` entry point for a CHECKPOINTED
+      * stream. The crash window foreachBatch leaves open: the fold
+      * persists (generation committed), the process dies BEFORE the
+      * engine commits the batch's offsets, and the restarted query
+      * REPLAYS the batch — a second `ingest` would fold every (doc,
+      * shingle) row of the batch into the index twice (duplicate
+      * index rows, inflated shingle counts). Here the replayed id is
+      * recognized against the PERSISTED progress marker and answered
+      * with the STORED pair output of the original run — no re-fold,
+      * no lost emission (the sink sees exactly what the first attempt
+      * produced). Requires `compactEvery = 1`: every fold must commit
+      * a generation before the engine can commit the batch, or a
+      * crash loses un-compacted folds the replay can't reconstruct.
+      * The engine replays at most the LAST uncommitted batch, so one
+      * (progress, last_pairs) slot is the whole protocol; an id
+      * behind the persisted progress means the checkpoint dir and the
+      * index dir belong to different streams — refused loudly.
+      */
+    def ingestOnce(batchId: Long, batch: DataFrame): DataFrame = {
+      require(compactEvery == 1,
+        "ingestOnce (exactly-once) requires compactEvery = 1: every fold " +
+          "must persist before the engine commits the batch's offsets")
+      require(batchId >= 0, "batch ids are nonnegative")
+      if (batchId <= lastBatchId) {
+        require(batchId == lastBatchId,
+          s"batch $batchId replayed behind persisted progress $lastBatchId — " +
+            "the engine replays at most the last uncommitted batch, so an " +
+            "older id means this checkpoint dir and index dir belong to " +
+            "different streams")
+        lastPairs.getOrElse {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+        }
+      } else {
+        val out = ingestCore(batch, Some(batchId))
+        lastBatchId = batchId
+        lastPairs = Some(out)
+        out
+      }
+    }
+
+    private def ingestCore(batch: DataFrame, batchId: Option[Long]): DataFrame = {
       val (pairs, next) = probeAndExtend(index0, batch, id, text, threshold,
         numHashes, bands, k, eagerCheckpoint)
       val out = pairs.localCheckpoint(true) // survive any later gen GC
       folded += 1
-      index0 = if (folded % compactEvery == 0) compactIndex(next, compactPath)
-               else next
+      index0 =
+        if (folded % compactEvery == 0)
+          compactIndex(next, compactPath,
+            extraFrames = batchId.toSeq.flatMap { bid =>
+              val spark = out.sparkSession
+              import spark.implicits._
+              Seq(
+                "progress" -> Seq(bid).toDF("last_batch_id").coalesce(1),
+                "last_pairs" -> out)
+            })
+        else next
       out
     }
+  }
+
+  /** Rebuild a [[StreamingDedup]] from its compaction directory — the
+    * restart entry point pairing with [[StreamingDedup.ingestOnce]]:
+    * loads the newest committed generation's index AND its persisted
+    * (progress, last_pairs) slot, so a replayed `batchId` after the
+    * crash is answered from storage instead of re-folded. Generations
+    * written before the progress frame existed (or by the plain
+    * `ingest` path) resume with no progress — every batch then counts
+    * as new, which is exactly the pre-exactly-once behavior.
+    */
+  def resumeStreamingDedup(spark: org.apache.spark.sql.SparkSession,
+      compactPath: String, id: String, text: String, threshold: Double,
+      numHashes: Int = 64, bands: Int = 32, k: Int = 3,
+      eagerCheckpoint: Boolean = true): StreamingDedup = {
+    val ix = loadIndex(spark, compactPath)
+    val base = newestCommittedGen(spark, compactPath, textGenDirs, "dedup index")
+    val fs = new org.apache.hadoop.fs.Path(compactPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (bid, pairs) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/progress"))) {
+        val b = spark.read.parquet(s"$base/progress").collect()(0).getLong(0)
+        val p =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/last_pairs")))
+            Some(spark.read.parquet(s"$base/last_pairs"))
+          else None
+        (b, p)
+      } else (-1L, None)
+    new StreamingDedup(ix, compactPath, compactEvery = 1, id, text, threshold,
+      numHashes, bands, k, eagerCheckpoint, bid, pairs)
   }
 
   def buildDedupIndex(docs: DataFrame, id: String, text: String,

@@ -708,8 +708,14 @@ object Similarity {
     * generation's files, so an in-place overwrite would delete its own
     * input), and reloads.
     */
-  def compactEmbeddingIndex(ix: EmbeddingIndex, path: String): EmbeddingIndex = {
-    Dedup.writeGenAndGc(path, vecFrames(ix))
+  def compactEmbeddingIndex(ix: EmbeddingIndex, path: String,
+      extraFrames: Seq[(String, DataFrame)] = Seq.empty): EmbeddingIndex = {
+    // checkDirs pinned to the ORIGINAL four frame dirs so the
+    // sentinel-less completeness fallback ignores the streaming
+    // loop's optional progress/last_pairs frames (the text index's
+    // compactIndex precedent)
+    Dedup.writeGenAndGc(path, vecFrames(ix) ++ extraFrames,
+      checkDirs = vecGenDirs)
     loadEmbeddingIndex(ix.buckets.sparkSession, path)
   }
 
@@ -726,23 +732,91 @@ object Similarity {
     */
   final class StreamingVecDedup(initial: EmbeddingIndex, compactPath: String,
       compactEvery: Int, idCol: String, vecCol: String, threshold: Double,
-      eagerCheckpoint: Boolean = true, maxBucketSize: Int = Int.MaxValue) {
+      eagerCheckpoint: Boolean = true, maxBucketSize: Int = Int.MaxValue,
+      resumeBatchId: Long = -1L, resumePairs: Option[DataFrame] = None) {
     require(compactEvery > 0, "compactEvery must be positive")
     private var index0 = initial
     private var folded = 0
+    private var lastBatchId: Long = resumeBatchId
+    private var lastPairs: Option[DataFrame] = resumePairs
     def index: EmbeddingIndex = index0
 
     /** Probe + fold one batch; returns the pairs touching it. */
-    def ingest(batch: DataFrame): DataFrame = {
+    def ingest(batch: DataFrame): DataFrame = ingestCore(batch, None)
+
+    /** Exactly-once probe + fold keyed by the engine's `batchId` —
+      * the vector mirror of [[Dedup.StreamingDedup.ingestOnce]] (see
+      * there for the crash-window rationale and the one-slot replay
+      * protocol). Requires `compactEvery = 1`.
+      */
+    def ingestOnce(batchId: Long, batch: DataFrame): DataFrame = {
+      require(compactEvery == 1,
+        "ingestOnce (exactly-once) requires compactEvery = 1: every fold " +
+          "must persist before the engine commits the batch's offsets")
+      require(batchId >= 0, "batch ids are nonnegative")
+      if (batchId <= lastBatchId) {
+        require(batchId == lastBatchId,
+          s"batch $batchId replayed behind persisted progress $lastBatchId — " +
+            "the engine replays at most the last uncommitted batch, so an " +
+            "older id means this checkpoint dir and index dir belong to " +
+            "different streams")
+        lastPairs.getOrElse {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos_sim")
+        }
+      } else {
+        val out = ingestCore(batch, Some(batchId))
+        lastBatchId = batchId
+        lastPairs = Some(out)
+        out
+      }
+    }
+
+    private def ingestCore(batch: DataFrame, batchId: Option[Long]): DataFrame = {
       val (pairs, next) = probeAndExtendVec(index0, batch, idCol, vecCol,
         threshold, eagerCheckpoint, maxBucketSize)
       val out = pairs.localCheckpoint(true) // survive any later gen GC
       folded += 1
-      index0 = if (folded % compactEvery == 0)
-        compactEmbeddingIndex(next, compactPath)
-      else next
+      index0 =
+        if (folded % compactEvery == 0)
+          compactEmbeddingIndex(next, compactPath,
+            extraFrames = batchId.toSeq.flatMap { bid =>
+              val spark = out.sparkSession
+              import spark.implicits._
+              Seq(
+                "progress" -> Seq(bid).toDF("last_batch_id").coalesce(1),
+                "last_pairs" -> out)
+            })
+        else next
       out
     }
+  }
+
+  /** Rebuild a [[StreamingVecDedup]] from its compaction directory —
+    * the restart entry point pairing with `ingestOnce` (the vector
+    * mirror of [[Dedup.resumeStreamingDedup]]).
+    */
+  def resumeStreamingVecDedup(spark: org.apache.spark.sql.SparkSession,
+      compactPath: String, idCol: String, vecCol: String, threshold: Double,
+      eagerCheckpoint: Boolean = true,
+      maxBucketSize: Int = Int.MaxValue): StreamingVecDedup = {
+    val ix = loadEmbeddingIndex(spark, compactPath)
+    val base = Dedup.newestCommittedGen(spark, compactPath, vecGenDirs,
+      "embedding index")
+    val fs = new org.apache.hadoop.fs.Path(compactPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (bid, pairs) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/progress"))) {
+        val b = spark.read.parquet(s"$base/progress").collect()(0).getLong(0)
+        val p =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/last_pairs")))
+            Some(spark.read.parquet(s"$base/last_pairs"))
+          else None
+        (b, p)
+      } else (-1L, None)
+    new StreamingVecDedup(ix, compactPath, compactEvery = 1, idCol, vecCol,
+      threshold, eagerCheckpoint, maxBucketSize, bid, pairs)
   }
 
   /** Per-label centroid coherence: every member's cosine to its

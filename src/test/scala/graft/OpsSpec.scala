@@ -610,6 +610,43 @@ class OpsSpec extends SparkSpec {
     assert(total >= 5, s"expected cross-batch pairs, got $total")
   }
 
+  test("vec ingestOnce: replayed batch re-emits stored pairs, never re-folds") {
+    // the vector mirror of the text exactly-once protocol: fold
+    // persisted, offsets not committed, batch replayed — a second fold
+    // would duplicate the batch's rep/bucket/member rows in the index
+    def vec(theta: Double) =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0.0f)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecix_once").toString
+    val s1 = new Similarity.StreamingVecDedup(
+      Similarity.buildEmbeddingIndex(
+        Seq((1L, vec(0.0)), (2L, vec(1.5))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nPlanes = 2, nTables = 16),
+      tmp, compactEvery = 1, "vec_id", "embedding", threshold = 0.95)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+        .sorted.toSeq
+    val b1 = Seq((10L, vec(0.05)), (11L, vec(4.0))).toDF("vec_id", "embedding")
+    val p1 = norm(s1.ingestOnce(0L, b1))
+    assert(p1.exists(p => p._1 == 1L && p._2 == 10L))
+    def frameRows(ix: Similarity.EmbeddingIndex) =
+      (ix.buckets.count(), ix.repVecs.count(), ix.members.count())
+    val afterFold = frameRows(s1.index)
+    // same-process retry, then a cold-resume replay: stored pairs both
+    // times, index row counts untouched
+    assert(norm(s1.ingestOnce(0L, b1)) === p1)
+    val s2 = Similarity.resumeStreamingVecDedup(spark, tmp,
+      "vec_id", "embedding", threshold = 0.95)
+    assert(norm(s2.ingestOnce(0L, b1)) === p1)
+    assert(frameRows(s2.index) === afterFold)
+    // the stream continues: a later batch still pairs against b1's fold
+    val p2 = norm(s2.ingestOnce(1L,
+      Seq((20L, vec(0.06))).toDF("vec_id", "embedding")))
+    assert(p2.exists(p => p._2 == 20L))
+    // batch 0 is now BEHIND the progress marker — refused loudly
+    intercept[IllegalArgumentException] { s2.ingestOnce(0L, b1) }
+  }
+
   test("StreamingVecDedup drives from foreachBatch over a real stream") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

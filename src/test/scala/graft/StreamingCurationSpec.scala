@@ -201,17 +201,25 @@ class StreamingCurationSpec extends SparkSpec {
     val seen = scala.collection.mutable.ListBuffer
       .empty[(Long, Set[(Long, Long)])]
     def runPhase(): Seq[Long] = {
-      val state = new Dedup.StreamingDedup(
-        if (new java.io.File(ixDir).exists()) Dedup.loadIndex(spark, ixDir)
-        else Dedup.buildDedupIndex(
-          Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text"),
-        ixDir, compactEvery = 1, "doc_id", "text", threshold = 0.8)
+      // the production wiring: first run starts empty, a restart
+      // resumes index AND exactly-once progress from the compaction
+      // dir (resumeStreamingDedup + ingestOnce keyed by the engine's
+      // batchId)
+      val state =
+        if (new java.io.File(ixDir).exists())
+          Dedup.resumeStreamingDedup(spark, ixDir, "doc_id", "text",
+            threshold = 0.8)
+        else new Dedup.StreamingDedup(
+          Dedup.buildDedupIndex(
+            Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text"),
+          ixDir, compactEvery = 1, "doc_id", "text", threshold = 0.8)
       val ids = scala.collection.mutable.ListBuffer.empty[Long]
       val q = spark.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .writeStream.option("checkpointLocation", ckDir)
         .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val pairs = state.ingest(curateBatch(b).select("doc_id", "text"))
+          val pairs = state
+            .ingestOnce(batchId, curateBatch(b).select("doc_id", "text"))
             .select("id_a", "id_b").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
           seen.synchronized { seen += ((batchId, pairs)); ids += batchId }
@@ -254,6 +262,57 @@ class StreamingCurationSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().sorted.toSeq
     }
     assert(retention(collected) == retention(want))
+  }
+
+  test("ingestOnce: a replayed batch neither re-folds the index nor loses pairs") {
+    // the foreachBatch crash window a clean stop never exercises: the
+    // fold PERSISTED (generation committed) but the engine's offset
+    // commit didn't happen, so the restarted query re-delivers the
+    // SAME batch. A plain ingest would fold the batch's (doc, shingle)
+    // rows into the index a second time — observable as doubled frame
+    // rows and duplicate candidate pairs downstream.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_once").toString
+    val s1 = new Dedup.StreamingDedup(
+      Dedup.buildDedupIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text"),
+      tmp, compactEvery = 1, "doc_id", "text", threshold = 0.8)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .sorted.toSeq
+    val b0 = Seq((1L, t1), (3L, t2)).toDF("doc_id", "text")
+    val b1 = Seq((2L, t1near), (4L, t2mail)).toDF("doc_id", "text")
+    assert(s1.ingestOnce(0L, b0).count() === 0)
+    val p1 = norm(s1.ingestOnce(1L, b1))
+    assert(p1.nonEmpty)
+    def frameRows(ix: Dedup.DedupIndex) =
+      (ix.bands.count(), ix.shingles.count(), ix.members.count())
+    val afterFold = frameRows(s1.index)
+
+    // same-process replay (a sink retry): stored pairs, index untouched
+    assert(norm(s1.ingestOnce(1L, b1)) === p1)
+    assert(frameRows(s1.index) === afterFold)
+
+    // crash: a NEW driver resumes from the compaction dir; the engine
+    // replays batch 1 — stored pairs again, still no double fold
+    val s2 = Dedup.resumeStreamingDedup(spark, tmp, "doc_id", "text",
+      threshold = 0.8)
+    assert(norm(s2.ingestOnce(1L, b1)) === p1)
+    assert(frameRows(s2.index) === afterFold)
+
+    // an id BEHIND the persisted progress is a wiring error, not a
+    // replay — refused loudly instead of silently re-folding history
+    intercept[IllegalArgumentException] { s2.ingestOnce(0L, b0) }
+
+    // and the stream continues correctly after the replay: the union
+    // of per-batch outputs across crash + replay equals one joint pass
+    val b2 = Seq((5L, t1.replace("before dawn", "past dawn")))
+      .toDF("doc_id", "text")
+    val p2 = norm(s2.ingestOnce(2L, b2))
+    val all = b0.unionByName(b1).unionByName(b2)
+    val want = norm(Dedup.verifiedDupPairs(all, "doc_id", "text",
+      threshold = 0.8))
+    assert((p1 ++ p2).sorted === want)
   }
 
   test("mid-stream LM refresh: model swap changes the gate, pair invariant holds") {
