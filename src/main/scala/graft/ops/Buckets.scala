@@ -190,6 +190,57 @@ object Buckets {
       .drop("__pid", "__ls", "__off")
   }
 
+  /** EXACT discrete quantiles — per group, or global with empty
+    * `partCols` — WITHOUT a per-group (or global) sort: the quantile
+    * value at q is the row at rank ⌈q·n⌉ of `ORDER BY valueCol,
+    * tieCol`, and the distributed rank is the same machinery as
+    * [[ntileByRange]]. One range repartition bounds every local sort
+    * at ~N/parts rows whatever the group skew (a global exact median
+    * at 100 TB never becomes one task's sort); each row's global rank
+    * is its local per-(pid, group) rank plus the broadcast control
+    * frame's earlier-pid count. The TARGET ranks — ⌈q·n⌉ for each
+    * requested q, one row per (group, q) — derive from the same
+    * control frame (per-group n is already there) and broadcast back
+    * as a hash-set probe: only the ≤ groups×|qs| matching rows
+    * survive, zero extra shuffle.
+    *
+    * Output: partCols ++ (q DOUBLE, value) — `value` keeps valueCol's
+    * type. Rank selection means EXACT discrete quantiles (the value at
+    * the boundary row, `percentile_disc` semantics), not interpolated:
+    * discrete is what cross-engine bit-equality can promise for any
+    * input type, and an oracle re-derives it with one window.
+    * Duplicate target ranks (tiny groups where ⌈q₁·n⌉ = ⌈q₂·n⌉) each
+    * emit their own q row. Nulls in value/partition keys raise via
+    * [[requireKeys]]; q must sit in (0, 1].
+    */
+  def quantilesByRange(df: DataFrame, valueCol: String, tieCol: String,
+      qs: Seq[Double], partCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must sit in (0, 1]")
+    val ranged = rangedWithPid(df, valueCol, tieCol, partCols, "quantilesByRange")
+    val groupPid = col("__pid") +: partCols.map(col)
+    val localW = Window.partitionBy(groupPid: _*)
+      .orderBy(col(valueCol), col(tieCol))
+    val local = ranged.withColumn("__lr", row_number().over(localW))
+    val offW = Window.partitionBy(partCols.map(col): _*).orderBy(col("__pid"))
+    val ctl = ranged.groupBy(groupPid: _*).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        offW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__cnt")
+    val targets = ctl.select(partCols.map(col) :+ col("__n"): _*).distinct()
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__rank",
+        ceil(col("q") * col("__n").cast("double")).cast("long"))
+      .drop("__n")
+    local.join(broadcast(ctl.drop("__n")), "__pid" +: partCols)
+      .withColumn("__rank", col("__off") + col("__lr"))
+      .join(broadcast(targets), partCols :+ "__rank")
+      .select(partCols.map(col) :+ col("q") :+ col(valueCol).as("value"): _*)
+  }
+
   /** The shared range leg: null-checked keys, one range repartition,
     * pid stamped, then MATERIALIZED (`localCheckpoint(true)`) before
     * any consumer derives from it. The checkpoint is load-bearing for

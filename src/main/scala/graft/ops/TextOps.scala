@@ -351,7 +351,7 @@ object TextOps {
   }
 
   /** One (prev, w) row per adjacent token pair, keeping `keep` cols. */
-  private def bigrams(docs: DataFrame, text: String,
+  private[graft] def bigrams(docs: DataFrame, text: String,
       keep: Seq[String] = Seq.empty): DataFrame = {
     val toks = tokens(col(text))
     val bigramArr = zip_with(

@@ -1861,6 +1861,70 @@ object LlmQueries {
       |FROM ex JOIN sk USING (scope)
       |ORDER BY ex.scope""".stripMargin
 
+  // -- exact heavy hitters (Misra-Gries prefilter + recount) -------------------
+  /** [[graft.ops.Frequency.heavyHitters]] — every bigram holding ≥ 0.1 %
+    * of all bigram occurrences, with EXACT counts. The scale plan is
+    * the two-pass candidates-then-recount shape: a mergeable
+    * Misra-Gries summary (one ≤k-counter state per partition, merged
+    * via Spark's partial aggregation — the shuffle carries k·P summary
+    * entries, never the per-partition vocabulary, which under Zipf is
+    * the long tail that can never clear the threshold anyway) names a
+    * guaranteed SUPERSET of the heavy hitters; a recount pass filtered
+    * to those ≤k candidates (broadcast hash-set probe) restores exact
+    * counts, so the sketch bounds COST while the output stays
+    * bit-identical to the naive groupBy — which is what the oracle
+    * runs.
+    */
+  def sketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val grams = TextOps.bigrams(docs(s, dir), "text")
+      .select(concat_ws(" ", col("prev"), col("w")).as("gram"))
+    graft.ops.Frequency.heavyHitters(grams, "gram", minShare = 0.001, k = 4096)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  val sketchHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT t[i] || ' ' || t[i + 1] AS gram
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+      |c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY gram)
+      |SELECT c.gram, c.cnt, CAST(c.cnt AS DOUBLE) / CAST(n.n AS DOUBLE) AS share
+      |FROM c, n
+      |WHERE c.cnt >= CAST(ceil(CAST(0.001 AS DOUBLE) * CAST(n.n AS DOUBLE)) AS BIGINT)
+      |ORDER BY c.cnt DESC, c.gram""".stripMargin
+
+  // -- exact distributed quantiles ---------------------------------------------
+  /** [[graft.ops.Buckets.quantilesByRange]] — per-source EXACT discrete
+    * quantiles (p25/p50/p75/p95 of document length) with NO per-source
+    * sort: the same distributed-rank machinery as the ntile/prefix-sum
+    * fallbacks selects the row at rank ⌈q·n⌉ per source, so a dominant
+    * source's quantiles never become one task's sort (and with empty
+    * partCols the same call is a GLOBAL exact median at 100 TB — the
+    * shape a naive `ORDER BY` plan serializes into a single task).
+    * Discrete (percentile_disc) semantics keep it oracle-exact for any
+    * value type.
+    */
+  def dataQuantilesExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Buckets.quantilesByRange(
+      docs(s, dir).select("source", "doc_id", "n_chars"),
+      "n_chars", "doc_id", Seq(0.25, 0.5, 0.75, 0.95), Seq("source"))
+      .orderBy("source", "q")
+
+  val dataQuantilesExactSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM documents),
+      |qv AS (SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.50 AS DOUBLE)),
+      |  (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) v(q))
+      |SELECT r.source, qv.q, r.n_chars AS value
+      |FROM r JOIN qv ON r.rn = CAST(ceil(qv.q * CAST(r.n AS DOUBLE)) AS BIGINT)
+      |ORDER BY r.source, qv.q""".stripMargin
+
   // -- int8 embedding quantization --------------------------------------------
   /** Per-vector affine int8 quantization — the serving/storage
     * compression pass (4× smaller than float32, cheap SIMD dot
@@ -3032,6 +3096,8 @@ object LlmQueries {
     "embedding_kmeans" -> (embeddingKmeans _),
     "dedup_semantic" -> (dedupSemantic _),
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "data_quantiles_exact" -> (dataQuantilesExact _),
     "data_zorder_layout" -> (dataZorderLayout _),
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
     "text_lm_perplexity" -> (textLmPerplexity _),
@@ -3113,6 +3179,8 @@ object LlmQueries {
     "embedding_kmeans" -> embeddingKmeansSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
+    "sketch_heavy_hitters" -> sketchHeavyHittersSql,
+    "data_quantiles_exact" -> dataQuantilesExactSql,
     "data_zorder_layout" -> dataZorderLayoutSql,
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
     "text_lm_perplexity" -> textLmPerplexitySql,

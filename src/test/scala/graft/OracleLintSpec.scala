@@ -173,6 +173,8 @@ class OracleLintSpec extends SparkSpec {
     "q_funnel_windowed" -> Set("click_rate", "purchase_rate"),
     "q_purchase_anomaly_days" -> Set("z"),
     "sketch_distinct_kmv" -> Set("est", "rel_err"),
+    "sketch_heavy_hitters" -> Set("share"),
+    "data_quantiles_exact" -> Set("q"),
     "text_bpe_apply" -> Set("tokens_per_word"),
     "text_code_detect" -> Set("brace_ratio"),
     "text_gopher_filters" -> Set("mean_word_len", "symbol_word_ratio", "alpha_word_ratio"),
