@@ -316,6 +316,50 @@ object ScaleSmoke {
         zipfDocs(s, dir, baseDocs = 20000L, docLen = 40, vocabSize = 50000)
           .filter(pmod(col("doc_id"), lit(7)) === 0),
         "text").cPw
+    // exact heavy hitters on the Zipfian corpus: token SHARES are
+    // scale-invariant under zipfDocs (the distribution is fixed, only
+    // n grows), so the candidate and output sets match at both scales
+    // and the ratio measures the op, not a regime change. The 50k
+    // vocabulary >> k=4096 keeps MG pruning (decrement + merge-trim)
+    // genuinely engaged — the regime the two-pass plan exists for.
+    def zipfToks(s: SparkSession, dir: String) =
+      zipfDocs(s, dir, baseDocs = 20000L, docLen = 40, vocabSize = 50000)
+        .select(explode(split(col("text"), " ")).as("g"))
+    val hhZipf = (s: SparkSession, dir: String) =>
+      graft.ops.Frequency.heavyHitters(zipfToks(s, dir), "g",
+        minShare = 0.001, k = 4096)
+    // the counterfactual: the naive one-pass groupBy the recount
+    // replaces — every distinct token per partition shuffles (fast on
+    // one box where "shuffle" is local disk; the claim at cluster
+    // scale is the volume difference, recorded here as wall + spread)
+    val hhZipfNaive = (s: SparkSession, dir: String) => {
+      val toks = zipfToks(s, dir)
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") >= ceil(lit(0.001) * col("n").cast("double"))
+          .cast("long"))
+    }
+    // exact quantiles in the dominant-source regime: p25/50/75/95 of
+    // doc length when one source owns 95% of the corpus — the range
+    // path's max task stays ~partition-sized; the counterfactual
+    // window ranks the whole source in one task just to pick 4 rows
+    val quantDominant = (s: SparkSession, dir: String) =>
+      graft.ops.Buckets.quantilesByRange(
+        dominantDocs(s, dir).select("source", "doc_id", "n_chars"),
+        "n_chars", "doc_id", Seq(0.25, 0.5, 0.75, 0.95), Seq("source"))
+    val quantDominantWindow = (s: SparkSession, dir: String) => {
+      val d = dominantDocs(s, dir).select("source", "doc_id", "n_chars")
+      val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val cw = Window.partitionBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val r = d.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+      r.filter(Seq(0.25, 0.5, 0.75, 0.95).map(q =>
+          col("rn") === ceil(lit(q) * col("n").cast("double")).cast("long"))
+        .reduce(_ || _))
+        .select(col("source"), col("n_chars").as("value"))
+    }
     // Expected-exponent bound per op, from the r7 10× measurements:
     // LSH families tracked ≤ n^1.33 (band-bucket candidate cost), the
     // banded GTID islands and per-key CDC ops tracked ~linear. A 3×
@@ -357,7 +401,11 @@ object ScaleSmoke {
         ("data_interleave_order@dominant-window", 1.0, interleaveDominantWindow),
         ("text_lm_perplexity@zipf", 1.0, lmZipf),
         ("lm_model_rows@zipf", 1.0, lmModelRowsZipf),
-        ("lm_model_rows_unbounded@zipf", 1.0, lmModelRowsUnbounded))
+        ("lm_model_rows_unbounded@zipf", 1.0, lmModelRowsUnbounded),
+        ("sketch_heavy_hitters@zipf", 1.0, hhZipf),
+        ("sketch_heavy_hitters@zipf-naive", 1.0, hhZipfNaive),
+        ("data_quantiles@dominant", 1.0, quantDominant),
+        ("data_quantiles@dominant-window", 1.0, quantDominantWindow))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),
@@ -530,10 +578,18 @@ object ScaleSmoke {
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, java.lang.Long)]()
     val stageNames =
       new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    // shuffle WRITE bytes per op: wall-clock on one box understates a
+    // shuffle-volume difference (local disk "shuffles" at NVMe speed;
+    // a cluster pays the network) — the candidates-then-recount rows'
+    // actual claim is volume, so record it directly
+    val shuffleBytes = new java.util.concurrent.atomic.LongAdder()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
-          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         if (t.taskInfo != null) taskDur.add((t.stageId, t.taskInfo.duration))
+        if (t.taskMetrics != null)
+          shuffleBytes.add(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         stageNames.put(sc.stageInfo.stageId, sc.stageInfo.name.takeWhile(_ != '\n'))
@@ -593,16 +649,18 @@ object ScaleSmoke {
       try {
         val (tBase, nBase) = time(fn(spark, base).count())
         taskDur.clear()
+        shuffleBytes.reset()
         val (tBig, nBig) = time(fn(spark, out).count())
         val (p50, tMax) = spread()
+        val shufMb = shuffleBytes.sum() / 1e6
         val ratio = tBig / tBase
         val b = bound(exponent)
         val ok = ratio <= b
         println(f"$name%-28s sf0.1: $tBase%7.2f s ($nBase rows)   " +
           f"x$reps: $tBig%7.2f s ($nBig rows)   ratio ${ratio}%.1fx " +
           f"(bound ${b}%.0fx ${if (ok) "OK" else "EXCEEDED"})   " +
-          f"task p50/max ${p50}/${tMax} ms")
-        f"""  "$name": {"base_sec": $tBase%.2f, "base_rows": $nBase, "big_sec": $tBig%.2f, "big_rows": $nBig, "ratio": $ratio%.2f, "bound": $b%.1f, "ok": $ok, "task_p50_ms": $p50, "task_max_ms": $tMax}"""
+          f"task p50/max ${p50}/${tMax} ms   shuffle ${shufMb}%.1f MB")
+        f"""  "$name": {"base_sec": $tBase%.2f, "base_rows": $nBase, "big_sec": $tBig%.2f, "big_rows": $nBig, "ratio": $ratio%.2f, "bound": $b%.1f, "ok": $ok, "task_p50_ms": $p50, "task_max_ms": $tMax, "shuffle_mb": $shufMb%.1f}"""
       } catch {
         // one op blowing the single-box spill wall (the vector family's
         // documented 100× residual fills this host's disk by itself)
