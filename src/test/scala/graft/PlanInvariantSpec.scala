@@ -181,6 +181,35 @@ class PlanInvariantSpec extends SparkSpec {
       "per-source corpus window leaked into the forced ranged pack plan")
   }
 
+  test("quantile plan: materialized range leg, broadcast probes, no per-source sort window") {
+    // quantilesByRange must never degrade into the per-source
+    // rank-the-whole-source window (one task sorting the dominant
+    // source to pick 4 rows): its only windows partition by
+    // (__pid, source) — bounded by partition size — and the target
+    // selection is a broadcast hash probe, not a shuffle
+    val p = graft.queries.LlmQueries.dataQuantilesExact(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      "expected the materialized (checkpointed) ranged leg in the quantile plan")
+    assert("windowspecdefinition\\(source#\\d+, n_chars".r.findFirstIn(p).isEmpty,
+      "per-source corpus window leaked into the quantile plan")
+    assert(p.contains("BroadcastHashJoin"),
+      "target-rank probe must be a broadcast hash join")
+  }
+
+  test("heavy-hitter recount: broadcast set probe before the aggregate, no extra shuffle") {
+    // the recount pass must filter to the MG candidates BEFORE its
+    // group-by (an In/InSet predicate under the partial aggregate),
+    // so only candidate rows ever shuffle — the whole point of the
+    // two-pass plan
+    val p = graft.queries.LlmQueries.sketchHeavyHitters(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), "recount must be a hash aggregate")
+    assert("(?i)\\bin\\(gram".r.findFirstIn(p).isDefined ||
+      p.contains("INSET"),
+      "candidate-set probe (In/InSet on gram) missing from the recount plan")
+  }
+
   test("selective scans keep their filters pushed to parquet") {
     // spot checks on queries whose FIRST operation is a selective
     // filter over a base table: the predicate must reach the scan
