@@ -37,7 +37,12 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     val reps100 = reps != 10 // the 100×-subset regime
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    // fixture validity = Spark's _SUCCESS marker, not the directory: a
+    // crashed mid-write build leaves the dir behind, and re-using a
+    // partial fixture silently mis-measures every row after it
+    def fixtureDone(path: String): Boolean =
+      new java.io.File(s"$path/_SUCCESS").exists()
+    if (!fixtureDone(s"$out/documents.parquet")) {
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
       Tables.documents(spark, base).select(col("*"), repCol)
         .select((col("doc_id") * mult + col("__r")).as("doc_id"),
@@ -53,7 +58,7 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
-    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+    if (!fixtureDone(s"$out/embeddings.parquet")) {
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
       Tables.embeddings(spark, base).select(col("*"), repCol)
         .select((col("vec_id") * mult + col("__r")).as("vec_id"),
@@ -83,7 +88,7 @@ object ScaleSmoke {
     // still decorrelate (a shared shingle needs a run of stopwords or
     // rotation-period coincidences) and intra-replica dup structure is
     // exact. Replica 0 is the raw corpus verbatim.
-    if (!new java.io.File(s"$out/curation/documents.parquet").exists()) {
+    if (!fixtureDone(s"$out/curation/documents.parquet")) {
       val stop = graft.ops.TextOps.stopwords
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
       def rotated(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -112,7 +117,7 @@ object ScaleSmoke {
         s"curation fixture keep-set drifted: raw $rawKeeps × $reps != $fixKeeps")
     }
 
-    if (!reps100 && !new java.io.File(s"$out/events.parquet").exists()) {
+    if (!reps100 && !fixtureDone(s"$out/events.parquet")) {
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
       // N replicas = N× the USERS with the same per-user event series:
       // per-key workload shape (txn buckets, sessions, GTID islands) is
