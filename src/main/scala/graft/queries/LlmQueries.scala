@@ -1925,6 +1925,54 @@ object LlmQueries {
       |FROM r JOIN qv ON r.rn = CAST(ceil(qv.q * CAST(r.n AS DOUBLE)) AS BIGINT)
       |ORDER BY r.source, qv.q""".stripMargin
 
+  // -- robust per-source length trimming ---------------------------------------
+  /** Per-source robust outlier trim — the standard curation step that
+    * drops the length tails (truncated fragments, concatenation blobs)
+    * BEFORE computing corpus statistics: keep docs whose length sits
+    * inside the source's exact [p05, p95]. Composes
+    * [[graft.ops.Buckets.quantilesByRange]] (no per-source sort — the
+    * dominant-source story of row 91) with a broadcast bounds join:
+    * the bounds frame is one row per source, so the trim itself is a
+    * zero-shuffle map-side filter, and the audit is one aggregate.
+    * Rank-based (percentile_disc) bounds keep it oracle-exact.
+    */
+  def dataLengthTrim(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bounds = graft.ops.Buckets.quantilesByRange(
+        d.select("source", "doc_id", "n_chars"),
+        "n_chars", "doc_id", Seq(0.05, 0.95), Seq("source"))
+      .groupBy("source")
+      .agg(max(when(col("q") === 0.05, col("value"))).as("lo"),
+        max(when(col("q") === 0.95, col("value"))).as("hi"))
+    d.join(broadcast(bounds), "source")
+      .groupBy("source", "lo", "hi")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").between(col("lo"), col("hi")), 1L)
+          .otherwise(0L)).cast("long").as("n_kept"))
+      .select("source", "n_docs", "n_kept", "lo", "hi")
+      .orderBy("source")
+  }
+
+  val dataLengthTrimSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT source,
+      |    MAX(CASE WHEN rn = CAST(ceil(CAST(0.05 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)
+      |        THEN n_chars END) AS lo,
+      |    MAX(CASE WHEN rn = CAST(ceil(CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)
+      |        THEN n_chars END) AS hi
+      |  FROM r GROUP BY source)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  b.lo, b.hi
+      |FROM documents d JOIN b USING (source)
+      |GROUP BY d.source, b.lo, b.hi
+      |ORDER BY d.source""".stripMargin
+
   // -- int8 embedding quantization --------------------------------------------
   /** Per-vector affine int8 quantization — the serving/storage
     * compression pass (4× smaller than float32, cheap SIMD dot
@@ -3098,6 +3146,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "data_quantiles_exact" -> (dataQuantilesExact _),
+    "data_length_trim" -> (dataLengthTrim _),
     "data_zorder_layout" -> (dataZorderLayout _),
     "text_tfidf_top_terms" -> (textTfidfTopTerms _),
     "text_lm_perplexity" -> (textLmPerplexity _),
@@ -3181,6 +3230,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "data_quantiles_exact" -> dataQuantilesExactSql,
+    "data_length_trim" -> dataLengthTrimSql,
     "data_zorder_layout" -> dataZorderLayoutSql,
     "text_tfidf_top_terms" -> textTfidfTopTermsSql,
     "text_lm_perplexity" -> textLmPerplexitySql,

@@ -82,6 +82,49 @@ class HeavyHittersSpec extends SparkSpec {
       Seq(("a", 2L, 1.0)))
   }
 
+  test("streaming fold: MG merged across micro-batches keeps invariants; recount ≡ batch") {
+    // the summary IS the streaming state: one MG per micro-batch,
+    // folded by merge — mergeability means the stream's final summary
+    // obeys the same bound as a batch pass, so a streaming corpus
+    // monitor needs O(k) state and never a token-keyed shuffle. The
+    // recount over the accumulated corpus with the stream's candidates
+    // must then equal the batch heavy-hitter answer exactly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{DataFrame, Encoders}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 64
+    val mg = new MisraGries(k)
+    val items = zipfStream(3000, 300, 20260815L)
+    val stream = MemoryStream[String]
+    val state = new java.util.concurrent.atomic.AtomicReference(mg.zero)
+    val q = stream.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.select(col("value").cast("string").as("item"))
+        .as(Encoders.STRING).select(new MisraGries(k).toColumn).head()
+      state.set(mg.merge(state.get, s))
+      ()
+    }.start()
+    items.grouped(1000).foreach { chunk =>
+      stream.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val merged = state.get
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(merged.n == items.size)
+    val bound = items.size.toDouble / (k + 1)
+    for ((t, c) <- merged.counts) assert(c <= exact(t))
+    for ((t, c) <- exact if c > bound)
+      assert(merged.counts.contains(t), s"stream summary missed heavy item $t ($c)")
+    // recount with the stream's candidates ≡ the batch answer
+    val threshold = math.ceil(0.02 * merged.n.toDouble).toLong
+    val want = exact.filter(_._2 >= threshold).toSeq.sorted
+    val got = items.toDF("g")
+      .filter(col("g").isInCollection(merged.counts.keys.toSeq))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(got == want)
+  }
+
   test("k below the guarantee floor is rejected loudly") {
     val df = Seq("a").toDF("g")
     intercept[IllegalArgumentException] {
