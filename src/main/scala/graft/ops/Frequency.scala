@@ -108,17 +108,20 @@ object Frequency {
     require(k >= math.ceil(2.0 / minShare).toInt,
       s"k=$k too small for minShare=$minShare: need k >= ceil(2/minShare) " +
         "so the MG error bound n/(k+1) stays under half the threshold")
-    val ds = items.select(col(itemCol).cast("string").as("item"))
-      .filter(col("item").isNotNull)
-      .as(Encoders.STRING)
+    // both passes read the SAME projection (string-cast, null-free):
+    // a non-string item column must compare against the string
+    // candidates under the cast it was summarized with
+    val base = items.select(col(itemCol).cast("string").as(itemCol))
+      .filter(col(itemCol).isNotNull)
     // one-row control read: the merged ≤k-entry summary + total n —
     // bounded by construction, never by data skew
-    val summary = ds.select(new MisraGries(k).toColumn).head()
+    val summary = base.as(Encoders.STRING)
+      .select(new MisraGries(k).toColumn).head()
     val threshold = math.ceil(minShare * summary.n.toDouble).toLong
     val candidates = summary.counts.keys.toSeq
     val filtered =
-      if (candidates.isEmpty) items.filter(lit(false))
-      else items.filter(col(itemCol).isInCollection(candidates))
+      if (candidates.isEmpty) base.filter(lit(false))
+      else base.filter(col(itemCol).isInCollection(candidates))
     filtered
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
