@@ -93,8 +93,11 @@ object Bench {
       if (pt.min <= 0) Double.PositiveInfinity
       else (pt.max - pt.min) / pt.min
     }
+    // toIntOption: a malformed env value must not crash the whole
+    // bench before any sweep runs — fall back to the default
     val maxAttempts = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt)
+      sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+        .flatMap(_.toIntOption).getOrElse(3))
     var tried = List.empty[Seq[Map[String, Seq[Double]]]]
     var attempts = 0
     while (attempts < maxAttempts &&

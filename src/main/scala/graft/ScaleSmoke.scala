@@ -651,11 +651,29 @@ object ScaleSmoke {
       // A GC between ops is outside every timed region.
       System.gc()
       Thread.sleep(1000)
+      // listener events arrive on the async bus: a job's count()
+      // returning does not mean its task-end events dispatched, so an
+      // immediate reset/read races base-run stragglers into the big
+      // run's figures (and misses the big run's tail). Poll until the
+      // counters stop moving before clearing or reading.
+      def quiesce(): Unit = {
+        var prev = (-1L, -1)
+        var cur = (shuffleBytes.sum(), taskDur.size())
+        var tries = 0
+        while (cur != prev && tries < 40) {
+          Thread.sleep(250)
+          prev = cur
+          cur = (shuffleBytes.sum(), taskDur.size())
+          tries += 1
+        }
+      }
       try {
         val (tBase, nBase) = time(fn(spark, base).count())
+        quiesce()
         taskDur.clear()
         shuffleBytes.reset()
         val (tBig, nBig) = time(fn(spark, out).count())
+        quiesce()
         val (p50, tMax) = spread()
         val shufMb = shuffleBytes.sum() / 1e6
         val ratio = tBig / tBase

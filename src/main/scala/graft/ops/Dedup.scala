@@ -662,21 +662,35 @@ object Dedup {
     // meta rides in the generation like the vector index's granularity
     // frame; the committed-check stays on the three ORIGINAL frame dirs
     // so pre-meta generations keep loading (they load as unknown).
-    // meta goes FIRST: writes are sequential, so any generation whose
-    // three text dirs pass the sentinel-less committed fallback
-    // provably finished its meta too — a crash mid-compaction can
-    // never commit frames stamped with someone else's banding.
-    // `extraFrames` (the streaming loop's progress/last_pairs) write
-    // AFTER the index frames but BEFORE the sentinel — a committed
-    // generation always carries a consistent (index, progress) pair.
-    writeGenAndGc(path, Seq(
-      "meta" -> Seq((index.numHashes, index.nBands, index.shingleK))
-        .toDF("num_hashes", "n_bands", "shingle_k").coalesce(1),
-      "bands" -> index.bands.repartition(col("band_id"), col("bucket")),
-      "shingles" -> index.shingles,
-      "members" -> index.members) ++ extraFrames,
+    // meta and `extraFrames` (the streaming loop's progress/last_pairs)
+    // go BEFORE the three check dirs: writes are sequential and the
+    // sentinel-less committed fallback accepts a generation once ALL
+    // check dirs carry _SUCCESS, so anything that must ride a committed
+    // generation has to finish FIRST. (The original ordering wrote
+    // extraFrames after the check dirs — a crash in that window
+    // produced a fallback-committed generation whose index contained
+    // the fold but whose progress marker was missing, re-opening
+    // exactly the replay-double-fold ingestOnce exists to close.)
+    writeGenAndGc(path, compactFrames(index, extraFrames),
       checkDirs = textGenDirs)
     loadIndex(spark, path)
+  }
+
+  /** The ordered generation frame list — exposed so the spec can pin
+    * the commit-window invariant (every extra frame precedes every
+    * check dir) instead of trusting a comment.
+    */
+  private[graft] def compactFrames(index: DedupIndex,
+      extraFrames: Seq[(String, DataFrame)]): Seq[(String, DataFrame)] = {
+    val spark = index.bands.sparkSession
+    import spark.implicits._
+    Seq(
+      "meta" -> Seq((index.numHashes, index.nBands, index.shingleK))
+        .toDF("num_hashes", "n_bands", "shingle_k").coalesce(1)) ++
+      extraFrames ++ Seq(
+      "bands" -> index.bands.repartition(col("band_id"), col("bucket")),
+      "shingles" -> index.shingles,
+      "members" -> index.members)
   }
 
   /** Load the newest COMMITTED generation under `path` (written by

@@ -663,6 +663,14 @@ object Similarity {
     * essentially nothing and silently return ~0 pairs, so the
     * parameters travel with the data, never in the caller's head.
     */
+  /** Ordered generation frame list — extras BEFORE every check dir
+    * (the commit-window invariant; see compactEmbeddingIndex), exposed
+    * so the spec pins the order.
+    */
+  private[graft] def compactVecFrames(ix: EmbeddingIndex,
+      extraFrames: Seq[(String, DataFrame)]): Seq[(String, DataFrame)] =
+    extraFrames ++ vecFrames(ix)
+
   private def vecFrames(ix: EmbeddingIndex): Seq[(String, DataFrame)] = {
     val spark = ix.buckets.sparkSession
     import spark.implicits._
@@ -713,8 +721,12 @@ object Similarity {
     // checkDirs pinned to the ORIGINAL four frame dirs so the
     // sentinel-less completeness fallback ignores the streaming
     // loop's optional progress/last_pairs frames (the text index's
-    // compactIndex precedent)
-    Dedup.writeGenAndGc(path, vecFrames(ix) ++ extraFrames,
+    // compactIndex precedent). extraFrames write FIRST: the fallback
+    // accepts a generation once all four index dirs carry _SUCCESS,
+    // so the progress marker must already be on disk by then — the
+    // old frames-then-extras order let a crash commit an index with
+    // the fold but no progress, re-opening the replay double-fold
+    Dedup.writeGenAndGc(path, compactVecFrames(ix, extraFrames),
       checkDirs = vecGenDirs)
     loadEmbeddingIndex(ix.buckets.sparkSession, path)
   }

@@ -1220,9 +1220,10 @@ object LlmQueries {
     val pos =
       if (giants.isEmpty) viaWindow(d)
       else if (allGiant) viaRange(d)
-      else viaRange(d.filter(col("source").isInCollection(giants)))
-        .unionByName(viaWindow(
-          d.filter(!col("source").isInCollection(giants))))
+      else viaRange(d.filter(
+          coalesce(col("source").isInCollection(giants), lit(false))))
+        .unionByName(viaWindow(d.filter(
+          !coalesce(col("source").isInCollection(giants), lit(false)))))
     val lens = d.groupBy("source").agg(count(lit(1)).as("len"))
       .agg(expr("array_sort(collect_list(struct(source, len)))").as("__lens"))
     pos.crossJoin(broadcast(lens))
@@ -1715,9 +1716,10 @@ object LlmQueries {
     val bucketed =
       if (giantSources.isEmpty) viaWindow(scored)
       else if (allGiant) viaRangeRank(scored)
-      else viaRangeRank(scored.filter(col("source").isInCollection(giantSources)))
-        .unionByName(viaWindow(
-          scored.filter(!col("source").isInCollection(giantSources))))
+      else viaRangeRank(scored.filter(
+          coalesce(col("source").isInCollection(giantSources), lit(false))))
+        .unionByName(viaWindow(scored.filter(
+          !coalesce(col("source").isInCollection(giantSources), lit(false)))))
     bucketed
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -2086,9 +2088,10 @@ object LlmQueries {
     val pre =
       if (giants.isEmpty) viaWindow(d)
       else if (allGiant) viaRange(d)
-      else viaRange(d.filter(col("source").isInCollection(giants)))
-        .unionByName(viaWindow(
-          d.filter(!col("source").isInCollection(giants))))
+      else viaRange(d.filter(
+          coalesce(col("source").isInCollection(giants), lit(false))))
+        .unionByName(viaWindow(d.filter(
+          !coalesce(col("source").isInCollection(giants), lit(false)))))
     pre
       .withColumn("chunk_id", floor(col("__excl") / budget))
       .groupBy("source", "chunk_id")

@@ -610,6 +610,33 @@ class OpsSpec extends SparkSpec {
     assert(total >= 5, s"expected cross-batch pairs, got $total")
   }
 
+  test("generation commit window: extra frames write BEFORE every check dir") {
+    // the exactly-once protocol's on-disk invariant: listGens'
+    // sentinel-less fallback accepts a generation once ALL check dirs
+    // carry _SUCCESS, and writes are sequential — so a progress /
+    // last_pairs frame is only consistent with a fallback-committed
+    // generation if it was written FIRST. An extras-after-check-dirs
+    // order re-opens the replay double-fold (fold persisted, progress
+    // missing) that ingestOnce exists to close.
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val bands = Seq((1, 1L, "x")).toDF("band_id", "bucket", "v")
+    val extras = Seq("progress" -> df, "last_pairs" -> df)
+    val textOrder = Dedup.compactFrames(
+      Dedup.DedupIndex(bands, df, df), extras).map(_._1)
+    val textChecks = Seq("bands", "shingles", "members")
+    assert(extras.map(_._1).forall(e =>
+      textChecks.forall(c => textOrder.indexOf(e) < textOrder.indexOf(c))),
+      s"text gen order leaks extras past a check dir: $textOrder")
+    val vecBuckets = Seq((1, 1L, "x")).toDF("table_id", "bucket", "v")
+    val vecOrder = Similarity.compactVecFrames(
+      Similarity.EmbeddingIndex(vecBuckets, df, df, 2, 4), extras).map(_._1)
+    val vecChecks = Seq("buckets", "repVecs", "members", "meta")
+    assert(extras.map(_._1).forall(e =>
+      vecChecks.forall(c => vecOrder.indexOf(e) < vecOrder.indexOf(c))),
+      s"vector gen order leaks extras past a check dir: $vecOrder")
+  }
+
   test("vec ingestOnce: replayed batch re-emits stored pairs, never re-folds") {
     // the vector mirror of the text exactly-once protocol: fold
     // persisted, offsets not committed, batch replayed — a second fold

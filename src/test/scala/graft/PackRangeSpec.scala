@@ -33,6 +33,29 @@ class PackRangeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("mixed mode keeps NULL-source rows (routed to the window leg, never dropped)") {
+    // isInCollection on a NULL key is NULL, and !NULL is also NULL —
+    // un-coalesced split filters dropped null-source rows from BOTH
+    // legs. The contract: nulls can never be giants (collect_list
+    // skips them), so they take the window leg exactly like the
+    // no-giant regime; row counts and chunk ids must match the pure
+    // window path.
+    val rows = (1 to 300).map(i => (Some("huge"), i.toLong, 64L)) ++
+      (1 to 8).map(i => (None: Option[String], 1000L + i, 64L))
+    val d = rows.toDF("source", "doc_id", "__toks")
+    val want = LlmQueries.packSequencesOn(d, giantSourceThreshold = 1L << 40)
+      .collect().toSeq
+    val got = LlmQueries.packSequencesOn(d, giantSourceThreshold = 100L)
+      .collect().toSeq
+    assert(got.length === want.length)
+    assert(got === want)
+    val iw = LlmQueries.interleaveOn(d.select("doc_id", "source"),
+      giantSourceThreshold = 1L << 40).collect().toSeq
+    val ig = LlmQueries.interleaveOn(d.select("doc_id", "source"),
+      giantSourceThreshold = 100L).collect().toSeq
+    assert(ig === iw)
+  }
+
   test("ranged packing ≡ window on tie/carry regimes (synthetic)") {
     // carry: one dominant source spans every range partition, so most
     // chunk boundaries need the cross-partition offset. Ties: runs of
