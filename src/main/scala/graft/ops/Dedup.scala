@@ -775,19 +775,9 @@ object Dedup {
       require(compactEvery == 1,
         "ingestOnce (exactly-once) requires compactEvery = 1: every fold " +
           "must persist before the engine commits the batch's offsets")
-      require(batchId >= 0, "batch ids are nonnegative")
-      if (batchId <= lastBatchId) {
-        require(batchId == lastBatchId,
-          s"batch $batchId replayed behind persisted progress $lastBatchId — " +
-            "the engine replays at most the last uncommitted batch, so an " +
-            "older id means this checkpoint dir and index dir belong to " +
-            "different streams")
-        lastPairs.getOrElse {
-          val spark = batch.sparkSession
-          import spark.implicits._
-          Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
-        }
-      } else {
+      if (replayGuard(batchId, lastBatchId))
+        lastPairs.getOrElse(emptyPairs(batch.sparkSession, "jaccard"))
+      else {
         val out = ingestCore(batch, Some(batchId))
         lastBatchId = batchId
         lastPairs = Some(out)
@@ -803,16 +793,65 @@ object Dedup {
       index0 =
         if (folded % compactEvery == 0)
           compactIndex(next, compactPath,
-            extraFrames = batchId.toSeq.flatMap { bid =>
-              val spark = out.sparkSession
-              import spark.implicits._
-              Seq(
-                "progress" -> Seq(bid).toDF("last_batch_id").coalesce(1),
-                "last_pairs" -> out)
-            })
+            extraFrames = batchId.toSeq.flatMap(progressFrames(_, out)))
         else next
       out
     }
+  }
+
+  /** The one-slot replay protocol, shared with [[Similarity]]'s vector
+    * loop so the two streaming paths cannot drift (the commit-window
+    * fix had to land in both — shared code makes the next one land
+    * once). `replayGuard` returns true when `batchId` is the persisted
+    * last batch (answer from storage); raises on ids BEHIND the
+    * persisted progress (checkpoint/index dir mismatch).
+    */
+  private[ops] def replayGuard(batchId: Long, lastBatchId: Long): Boolean = {
+    require(batchId >= 0, "batch ids are nonnegative")
+    if (batchId <= lastBatchId) {
+      require(batchId == lastBatchId,
+        s"batch $batchId replayed behind persisted progress $lastBatchId — " +
+          "the engine replays at most the last uncommitted batch, so an " +
+          "older id means this checkpoint dir and index dir belong to " +
+          "different streams")
+      true
+    } else false
+  }
+
+  /** Empty pair frame for a replay whose original run emitted none. */
+  private[ops] def emptyPairs(spark: org.apache.spark.sql.SparkSession,
+      scoreCol: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", scoreCol)
+  }
+
+  /** The (progress, last_pairs) frames a fold persists with its
+    * generation — written BEFORE the check dirs (see compactFrames).
+    */
+  private[ops] def progressFrames(batchId: Long,
+      pairs: DataFrame): Seq[(String, DataFrame)] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    Seq(
+      "progress" -> Seq(batchId).toDF("last_batch_id").coalesce(1),
+      "last_pairs" -> pairs)
+  }
+
+  /** Read a generation's persisted (progress, last_pairs) slot;
+    * (-1, None) for pre-exactly-once generations.
+    */
+  private[ops] def progressSlot(spark: org.apache.spark.sql.SparkSession,
+      base: String): (Long, Option[DataFrame]) = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/progress"))) {
+      val b = spark.read.parquet(s"$base/progress").collect()(0).getLong(0)
+      val p =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/last_pairs")))
+          Some(spark.read.parquet(s"$base/last_pairs"))
+        else None
+      (b, p)
+    } else (-1L, None)
   }
 
   /** Rebuild a [[StreamingDedup]] from its compaction directory — the
@@ -830,17 +869,7 @@ object Dedup {
       eagerCheckpoint: Boolean = true): StreamingDedup = {
     val ix = loadIndex(spark, compactPath)
     val base = newestCommittedGen(spark, compactPath, textGenDirs, "dedup index")
-    val fs = new org.apache.hadoop.fs.Path(compactPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val (bid, pairs) =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/progress"))) {
-        val b = spark.read.parquet(s"$base/progress").collect()(0).getLong(0)
-        val p =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/last_pairs")))
-            Some(spark.read.parquet(s"$base/last_pairs"))
-          else None
-        (b, p)
-      } else (-1L, None)
+    val (bid, pairs) = progressSlot(spark, base)
     new StreamingDedup(ix, compactPath, compactEvery = 1, id, text, threshold,
       numHashes, bands, k, eagerCheckpoint, bid, pairs)
   }

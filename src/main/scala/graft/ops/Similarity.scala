@@ -395,10 +395,20 @@ object Similarity {
     */
   private def chunkedByTable(buckets: DataFrame, chunks: Int)(
       scoredOf: DataFrame => DataFrame): DataFrame =
-    if (chunks <= 1) scoredOf(buckets)
+    chunkedBy(chunks)(filter => scoredOf(filter(buckets)))
+
+  /** The sequential bounded-spill chunk loop itself, shared by the
+    * one-frame (self-pairs) and two-frame (incremental cross) verify
+    * paths: the body receives the chunk's table_id FILTER to apply to
+    * every bucket frame it joins, each chunk materializes
+    * (localCheckpoint) so its shuffle files free before the next, and
+    * the post-threshold distinct restores the single-plan output.
+    */
+  private def chunkedBy(chunks: Int)(
+      body: (DataFrame => DataFrame) => DataFrame): DataFrame =
+    if (chunks <= 1) body(identity)
     else (0 until chunks).map { c =>
-      val part = scoredOf(
-        buckets.filter(pmod(col("table_id"), lit(chunks)) === c))
+      val part = body(_.filter(pmod(col("table_id"), lit(chunks)) === c))
         .localCheckpoint(true)
       System.gc() // free the finished chunk's shuffle files (see above)
       part
@@ -613,15 +623,7 @@ object Similarity {
         .filter(col("cos_sim") >= threshold)
         .select("rep_a", "rep_b", "cos_sim")
     }
-    val scored =
-      if (verifyChunks <= 1) crossChunk(identity)
-      else (0 until verifyChunks).map { c =>
-        val part = crossChunk(
-          _.filter(pmod(col("table_id"), lit(verifyChunks)) === c))
-          .localCheckpoint(true)
-        System.gc() // free the finished chunk's shuffle files
-        part
-      }.reduce(_ unionByName _).distinct()
+    val scored = chunkedBy(verifyChunks)(crossChunk)
     val cross = scored
       .join(index.members.select(col("rep_id").as("rep_a"), col("__id").as("__ca")), "rep_a")
       .join(b.members.select(col("rep_id").as("rep_b"), col("__id").as("__cb")), "rep_b")
@@ -765,19 +767,9 @@ object Similarity {
       require(compactEvery == 1,
         "ingestOnce (exactly-once) requires compactEvery = 1: every fold " +
           "must persist before the engine commits the batch's offsets")
-      require(batchId >= 0, "batch ids are nonnegative")
-      if (batchId <= lastBatchId) {
-        require(batchId == lastBatchId,
-          s"batch $batchId replayed behind persisted progress $lastBatchId — " +
-            "the engine replays at most the last uncommitted batch, so an " +
-            "older id means this checkpoint dir and index dir belong to " +
-            "different streams")
-        lastPairs.getOrElse {
-          val spark = batch.sparkSession
-          import spark.implicits._
-          Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos_sim")
-        }
-      } else {
+      if (Dedup.replayGuard(batchId, lastBatchId))
+        lastPairs.getOrElse(Dedup.emptyPairs(batch.sparkSession, "cos_sim"))
+      else {
         val out = ingestCore(batch, Some(batchId))
         lastBatchId = batchId
         lastPairs = Some(out)
@@ -793,13 +785,7 @@ object Similarity {
       index0 =
         if (folded % compactEvery == 0)
           compactEmbeddingIndex(next, compactPath,
-            extraFrames = batchId.toSeq.flatMap { bid =>
-              val spark = out.sparkSession
-              import spark.implicits._
-              Seq(
-                "progress" -> Seq(bid).toDF("last_batch_id").coalesce(1),
-                "last_pairs" -> out)
-            })
+            extraFrames = batchId.toSeq.flatMap(Dedup.progressFrames(_, out)))
         else next
       out
     }
@@ -816,17 +802,7 @@ object Similarity {
     val ix = loadEmbeddingIndex(spark, compactPath)
     val base = Dedup.newestCommittedGen(spark, compactPath, vecGenDirs,
       "embedding index")
-    val fs = new org.apache.hadoop.fs.Path(compactPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val (bid, pairs) =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/progress"))) {
-        val b = spark.read.parquet(s"$base/progress").collect()(0).getLong(0)
-        val p =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/last_pairs")))
-            Some(spark.read.parquet(s"$base/last_pairs"))
-          else None
-        (b, p)
-      } else (-1L, None)
+    val (bid, pairs) = Dedup.progressSlot(spark, base)
     new StreamingVecDedup(ix, compactPath, compactEvery = 1, idCol, vecCol,
       threshold, eagerCheckpoint, maxBucketSize, bid, pairs)
   }
