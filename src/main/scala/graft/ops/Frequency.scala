@@ -96,6 +96,76 @@ class MisraGries(k: Int)
   */
 object Frequency {
 
+  /** Streaming corpus monitor: fold one [[MisraGries]] summary per
+    * micro-batch into O(k) driver state — the heavy-hitter analogue of
+    * the streaming dedup loops. Mergeability is the whole design: the
+    * folded state obeys the same n/(k+1) bound as a batch pass over
+    * everything seen, so `candidates` is a guaranteed superset of the
+    * stream-so-far heavy hitters at any trigger, with no token-keyed
+    * shuffle and no keyed state store (the state is ONE ≤k-entry map,
+    * not one entry per distinct token — a web stream's distinct-token
+    * state would grow without bound). Exact counts, when needed, come
+    * from a recount over the accumulated corpus filtered to the
+    * candidates ([[heavyHitters]]'s second pass).
+    *
+    * `save`/`resume` persist the summary as a tiny parquet frame
+    * (≤k+1 rows) for restart — the fold is associative, so resuming
+    * from a saved summary and folding the remaining batches equals the
+    * single-pass summary over everything (spec-pinned).
+    */
+  final class StreamingHeavyHitters private (k: Int,
+      private var state: MgSummary) {
+    def this(k: Int) = this(k, MgSummary(Map.empty, 0L))
+    private val mg = new MisraGries(k)
+
+    def summary: MgSummary = state
+
+    /** Fold one micro-batch of items (nulls ignored). */
+    def ingest(batch: DataFrame, itemCol: String): Unit = {
+      val s = batch.select(col(itemCol).cast("string").as("item"))
+        .filter(col("item").isNotNull)
+        .as(Encoders.STRING)
+        .select(new MisraGries(k).toColumn).head()
+      state = mg.merge(state, s)
+    }
+
+    /** Candidate items at `minShare` of the stream so far — a
+      * guaranteed superset of the true heavy hitters: any item with
+      * true count ≥ minShare·n has stored count ≥ minShare·n −
+      * n/(k+1) (the MG bound), so that is the cutoff. A cutoff ≤ 0
+      * (k too small for minShare) degrades to every stored key —
+      * still ≤ k, still a superset.
+      */
+    def candidates(minShare: Double): Seq[String] = {
+      val cutoff = state.n.toDouble * minShare - state.n.toDouble / (k + 1)
+      state.counts.collect { case (t, c) if c.toDouble >= cutoff => t }.toSeq
+    }
+
+    /** Persist the summary: one row per counter plus an n row. */
+    def save(path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+      import spark.implicits._
+      (state.counts.toSeq.map { case (t, c) => (t, c, false) } :+
+        (("", state.n, true)))
+        .toDF("item", "cnt", "is_n")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  object StreamingHeavyHitters {
+    def apply(k: Int): StreamingHeavyHitters = new StreamingHeavyHitters(k)
+
+    /** Resume from [[StreamingHeavyHitters.save]] output. */
+    def resume(k: Int, path: String,
+        spark: org.apache.spark.sql.SparkSession): StreamingHeavyHitters = {
+      val rows = spark.read.parquet(path).collect()
+      val n = rows.find(_.getAs[Boolean]("is_n"))
+        .map(_.getAs[Long]("cnt")).getOrElse(0L)
+      val counts = rows.filterNot(_.getAs[Boolean]("is_n"))
+        .map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
+      new StreamingHeavyHitters(k, MgSummary(counts, n))
+    }
+  }
+
   /** All values of `itemCol` with frequency ≥ ceil(minShare · n) where
     * n is the total (non-null) item count — exact counts, exact
     * threshold. Output: (itemCol, cnt, share). NULL items are ignored

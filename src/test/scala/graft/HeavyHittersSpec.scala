@@ -125,6 +125,31 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("StreamingHeavyHitters: fold, save, resume ≡ continuous monitor; candidates superset") {
+    val k = 48
+    val items = zipfStream(5000, 400, 77L)
+    val chunks = items.grouped(1250).toSeq
+    // continuous monitor over all four chunks
+    val cont = Frequency.StreamingHeavyHitters(k)
+    chunks.foreach(c => cont.ingest(c.toDF("g"), "g"))
+    // save after two chunks, resume, fold the rest — associativity
+    // means the resumed state must equal the continuous one
+    val first = Frequency.StreamingHeavyHitters(k)
+    chunks.take(2).foreach(c => first.ingest(c.toDF("g"), "g"))
+    val path = java.nio.file.Files.createTempDirectory("graft_hh").toString + "/sum"
+    first.save(path, spark)
+    val resumed = Frequency.StreamingHeavyHitters.resume(k, path, spark)
+    chunks.drop(2).foreach(c => resumed.ingest(c.toDF("g"), "g"))
+    assert(resumed.summary == cont.summary)
+    assert(cont.summary.n == items.size)
+    // candidates at any trigger are a superset of the true heavy set
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val minShare = 0.05
+    val cand = cont.candidates(minShare).toSet
+    for ((t, c) <- exact if c >= math.ceil(minShare * items.size))
+      assert(cand.contains(t), s"monitor missed heavy item $t ($c)")
+  }
+
   test("k below the guarantee floor is rejected loudly") {
     val df = Seq("a").toDF("g")
     intercept[IllegalArgumentException] {
