@@ -54,15 +54,19 @@ object PgLogical {
     * never mislabeled as an arity error (size(NULL) is NULL, so the
     * arity check alone cannot distinguish the two).
     */
-  def resolve(frames: DataFrame): DataFrame = {
+  def resolve(frames: DataFrame,
+      giantKeyThreshold: Long = AsOf.DefaultGiantKeyThreshold): DataFrame = {
     val rels = frames.filter(col("op") === "RELATION")
       .select(col("rel_id"), col("lsn").as("rel_lsn"),
         col("rel_name"), col("cols"))
     val rows = frames.filter(col("op").isin("INSERT", "UPDATE", "DELETE"))
       .select("lsn", "op", "rel_id", "tuple")
+    // one busy table = one hot rel_id: the as-of auto-switch (or a
+    // forced threshold) keeps descriptor resolution off a single task
     AsOf.asOfJoin(rows, rels, key = "rel_id",
         leftTime = "lsn", rightTime = "rel_lsn",
-        rightTiebreak = col("rel_lsn"), valueCols = Seq("rel_name", "cols"))
+        rightTiebreak = col("rel_lsn"), valueCols = Seq("rel_name", "cols"),
+        giantKeyThreshold = giantKeyThreshold)
       .withColumn("col_names", split(col("cols"), ","))
       .withColumn("__vals", from_json(col("tuple"), ArrayType(StringType)))
       .withColumn("unknown_relation", col("rel_name").isNull)

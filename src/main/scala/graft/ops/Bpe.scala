@@ -92,8 +92,8 @@ object Bpe {
     * Stops early when no pair occurs twice (freq 1 merges are noise).
     */
   def train(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
-    var vocab = words.select(toSymbols(col("word")).as("syms"), col("freq"))
-      .localCheckpoint(true)
+    var vocab = Materialize.barrier(
+      words.select(toSymbols(col("word")).as("syms"), col("freq")))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     var i = 0
@@ -121,8 +121,8 @@ object Bpe {
         val a = top(0).getString(0)
         val b = top(0).getString(1)
         out += ((a, b))
-        vocab = vocab.select(applyMerge(col("syms"), a, b).as("syms"),
-          col("freq")).localCheckpoint(true)
+        vocab = Materialize.barrier(vocab.select(
+          applyMerge(col("syms"), a, b).as("syms"), col("freq")))
         i += 1
       }
     }

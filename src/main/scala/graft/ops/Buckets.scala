@@ -190,6 +190,76 @@ object Buckets {
       .drop("__pid", "__ls", "__off")
   }
 
+  /** `LAST_VALUE(valueCol) IGNORE NULLS OVER (PARTITION BY partCols
+    * ORDER BY orderCol, tieCol ROWS UNBOUNDED PRECEDING)` — the
+    * carry-forward — via the same distributed-rank machinery as
+    * [[runningSumByRange]]: a carry IS a running "sum" where + is
+    * "rightmost non-null", which is associative, so the same
+    * local-prefix-plus-broadcast-carry decomposition is EXACT (and,
+    * being pure selection with no arithmetic, bit-identical to the
+    * window for any value type). One range repartition bounds every
+    * per-task sort at ~N/parts rows regardless of key skew; each
+    * row's carry = its local per-(pid, group) carry, falling back to
+    * the latest non-null final carry of earlier pids — a
+    * (parts + groups)-row broadcast control frame cumulated with one
+    * per-group window over THAT frame only. This is the giant-key
+    * fallback for as-of joins ([[AsOf.asOfJoin]]) and descriptor
+    * resolution ([[graft.cdc.PgLogical]]): at 100 TB one dominant
+    * entity key (or one busy table's rel_id) stops being ONE task's
+    * sort+scan of that key's whole history.
+    *
+    * `valueCol` MAY be null (nulls are what the carry skips);
+    * order/partition nulls raise via [[requireKeys]]. (orderCol,
+    * tieCol) must totally order rows within each group — the same
+    * determinism contract as the window it replaces.
+    */
+  def lastValueByRange(df: DataFrame, valueCol: String, orderCol: String,
+      tieCol: String, partCols: Seq[String] = Nil,
+      out: String = "last_value"): DataFrame = {
+    val ranged = rangedWithPid(df, orderCol, tieCol, partCols, "lastValueByRange")
+    val groupPid = col("__pid") +: partCols.map(col)
+    val localW = Window.partitionBy(groupPid: _*)
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__lc",
+      last(col(valueCol), ignoreNulls = true).over(localW))
+    // each (pid, group)'s FINAL carry = the local carry of its last
+    // row in (orderCol, tieCol) order — max_by reads it off without
+    // another window pass
+    val ctl = local.groupBy(groupPid: _*)
+      .agg(max_by(col("__lc"), struct(col(orderCol), col(tieCol))).as("__pl"))
+    val carryW = Window.partitionBy(partCols.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = ctl
+      .withColumn("__carry", last(col("__pl"), ignoreNulls = true).over(carryW))
+      .drop("__pl")
+    local.join(broadcast(boundary), "__pid" +: partCols)
+      .withColumn(out, coalesce(col("__lc"), col("__carry")))
+      .drop("__pid", "__lc", "__carry")
+  }
+
+  /** The giant-group plan choice as ONE bounded control read (the
+    * lmBuckets precedent generalized to ANY key type): per-group
+    * counts aggregate server-side, the giants filter runs INSIDE the
+    * aggregate, and the total group count rides the same single output
+    * row — the driver holds O(giants), never O(distinct groups). NULL
+    * group values are never giants (collect_list skips them) and are
+    * excluded from the all-giant test, so callers can route null-key
+    * rows to their no-match/window leg unconditionally. Returns
+    * (giant group values, all-non-null-groups-giant?).
+    */
+  private[graft] def giantGroups(d: DataFrame, groupCol: String,
+      giantThreshold: Long): (Seq[Any], Boolean) = {
+    val row = d.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .agg(count(col(groupCol)).as("__total"),
+        collect_list(when(col("__n") >= giantThreshold, col(groupCol)))
+          .as("__giants"))
+      .collect()(0)
+    val total = row.getAs[Long]("__total")
+    val giants = row.getAs[scala.collection.Seq[Any]]("__giants").toSeq
+    (giants, total > 0 && giants.size == total)
+  }
+
   /** EXACT discrete quantiles — per group, or global with empty
     * `partCols` — WITHOUT a per-group (or global) sort: the quantile
     * value at q is the row at rank ⌈q·n⌉ of `ORDER BY valueCol,
@@ -242,8 +312,8 @@ object Buckets {
   }
 
   /** The shared range leg: null-checked keys, one range repartition,
-    * pid stamped, then MATERIALIZED (`localCheckpoint(true)`) before
-    * any consumer derives from it. The checkpoint is load-bearing for
+    * pid stamped, then MATERIALIZED ([[Materialize.barrier]]) before
+    * any consumer derives from it. The barrier is load-bearing for
     * correctness, not just cost: the local leg and the control leg
     * both read this frame, and without a barrier each re-evaluates the
     * repartitionByRange independently — column pruning makes the two
@@ -253,11 +323,12 @@ object Buckets {
     * fallback exists for) the legs can disagree on partition
     * boundaries and `__pid`, double-counting ranks near boundaries.
     * Materializing once pins a single physical partitioning that both
-    * legs share (the lmBucketsOn/semanticDedup precedent).
+    * legs share (the lmBucketsOn/semanticDedup precedent); the seam
+    * picks a cluster-safe materializer off local masters.
     */
   private def rangedWithPid(df0: DataFrame, orderCol: String, tieCol: String,
       partCols: Seq[String], op: String): DataFrame =
-    rangedPlan(df0, orderCol, tieCol, partCols, op).localCheckpoint(true)
+    Materialize.barrier(rangedPlan(df0, orderCol, tieCol, partCols, op))
 
   /** The un-materialized ranged leg — exposed (package-private) so
     * PlanInvariantSpec can pin the RangePartitioning exchange that the

@@ -27,7 +27,7 @@ object Dedup {
     * plan recomputes the subtree per read but stays fault-tolerant).
     */
   private def maybeCheckpoint(df: DataFrame, eager: Boolean): DataFrame =
-    if (eager) df.localCheckpoint(true) else df
+    if (eager) Materialize.barrier(df) else df
 
   /** Exact dedup: md5 over normalized text, groups keyed by the hash;
     * canonical doc = min id per group.
@@ -396,7 +396,7 @@ object Dedup {
       // localCheckpoint truncates lineage each round — without it the
       // plan nests joins per iteration (measured: 559 exchanges after
       // 5 rounds) and any executor retry recomputes the whole history
-      labels = labels.localCheckpoint(true)
+      labels = Materialize.barrier(labels)
       // sum() over an empty frame is NULL — an empty pair graph (no
       // near-dups at all) is converged by definition, not an NPE
       val sumRow = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))

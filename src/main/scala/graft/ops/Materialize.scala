@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The ONE seam for correctness-load-bearing materialization.
+  *
+  * Several operators must pin a frame to a SINGLE physical evaluation
+  * before multiple consumers derive from it (the range-rank legs, the
+  * chunked-verify slices, the BPE merge table): without a barrier each
+  * consumer re-evaluates the lineage independently, and a
+  * non-deterministic stage in that lineage — RangePartitioner's
+  * reservoir sample under partial sampling is the in-repo case — lets
+  * the consumers silently disagree (the r12 partial-sampling
+  * double-count).
+  *
+  * `localCheckpoint(eager = true)` is the right barrier on a
+  * single-JVM master: truncated lineage, blocks in the one executor,
+  * no HDFS round-trip. But it is NOT executor-loss-tolerant — local
+  * checkpoints live only on executors, so on a real cluster losing one
+  * executor mid-query kills the job unrecoverably (invisible on
+  * local[32], fatal at 1000 executors). The cluster path therefore
+  * uses `persist(DISK_ONLY_2)` + a count barrier instead:
+  *
+  *  - DISK_ONLY_2 keeps TWO replicas, so a single executor loss serves
+  *    the block from the replica with no recompute at all;
+  *  - when both replicas are lost, the lost partitions recompute from
+  *    lineage — and that recompute is DETERMINISTIC even through a
+  *    range exchange, because a persisted frame is one physical plan
+  *    with ONE RangePartitioner whose sampled boundaries were fixed
+  *    when the DAG first ran; recompute reuses the partitioner object,
+  *    never re-samples (spec-pinned in MaterializeSpec);
+  *  - the count() barrier makes the persist EAGER, so every consumer
+  *    forked after `barrier` returns reads stored blocks, matching
+  *    localCheckpoint's eager contract.
+  */
+object Materialize {
+
+  /** Materialize `df` once; every later consumer reads the stored
+    * result, never re-evaluates the lineage.
+    */
+  def barrier(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(eager = true)
+    else clusterBarrier(df)
+
+  /** The cluster-mode leg — package-visible so the spec can exercise
+    * it on a local master (where `barrier` would pick localCheckpoint).
+    */
+  private[graft] def clusterBarrier(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.DISK_ONLY_2)
+    p.count()
+    p
+  }
+
+  /** Best-effort release of a frame returned by [[barrier]] once every
+    * consumer has run — bounds the blocks held across a long sweep
+    * (the 100× suite's driver-heap floor). Non-blocking: safe to call
+    * opportunistically; a frame never released is reclaimed by the
+    * ContextCleaner when unreferenced.
+    */
+  def release(df: DataFrame): Unit = df.unpersist(blocking = false)
+}

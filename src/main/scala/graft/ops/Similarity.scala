@@ -408,8 +408,8 @@ object Similarity {
       body: (DataFrame => DataFrame) => DataFrame): DataFrame =
     if (chunks <= 1) body(identity)
     else (0 until chunks).map { c =>
-      val part = body(_.filter(pmod(col("table_id"), lit(chunks)) === c))
-        .localCheckpoint(true)
+      val part = Materialize.barrier(
+        body(_.filter(pmod(col("table_id"), lit(chunks)) === c)))
       System.gc() // free the finished chunk's shuffle files (see above)
       part
     }.reduce(_ unionByName _).distinct()
@@ -602,8 +602,8 @@ object Similarity {
         "or accept the reduced recall.")
     val b0 = buildEmbeddingIndex(batch, idCol, vecCol, index.nPlanes, index.nTables)
     val b = if (!eagerCheckpoint) b0
-      else EmbeddingIndex(b0.buckets.localCheckpoint(true),
-        b0.repVecs.localCheckpoint(true), b0.members.localCheckpoint(true),
+      else EmbeddingIndex(Materialize.barrier(b0.buckets),
+        Materialize.barrier(b0.repVecs), Materialize.barrier(b0.members),
         b0.nPlanes, b0.nTables)
     // the cross verify is the 100× spill wall (corpus×batch candidate
     // volume all in flight at once) — chunk it when asked; the INDEX
@@ -1028,11 +1028,10 @@ object Similarity {
     // label join and the keeper derivation — without this, each of the
     // four consumers replays the full k-means lineage (its iterated
     // broadcast-cross assignments), measured ~2× the query's wall
-    val assigned = kmeansCore(df, idCol, vecCol, k, iterations, quantScale,
-        twoLevel)
-      .withColumn("__n2", expr(
-        "aggregate(__q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-      .localCheckpoint(true)
+    val assigned = Materialize.barrier(
+      kmeansCore(df, idCol, vecCol, k, iterations, quantScale, twoLevel)
+        .withColumn("__n2", expr(
+          "aggregate(__q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")))
     val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
       col("__q").as("__qa"), col("__n2").as("__na2"))
     val b = assigned.select(col(idCol).as("id_b"), col("cluster"),

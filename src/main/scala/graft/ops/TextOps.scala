@@ -370,7 +370,7 @@ object TextOps {
     // (the same reasoning as Dedup.ngramCoverage)
     val tok0 = docs.select(col(id), explode(tokens(col(text))).as("__t"))
       .filter(length(col("__t")) > 0)
-    val tok = if (eagerCheckpoint) tok0.localCheckpoint(true) else tok0
+    val tok = if (eagerCheckpoint) Materialize.barrier(tok0) else tok0
     val freq = tok.groupBy("__t").agg(count(lit(1)).as("__f"))
     tok.join(freq, "__t")
       .groupBy(col(id))

@@ -1561,7 +1561,21 @@ object CdcQueries {
     * so the as-of pick is unambiguous on both engines. The oracle uses
     * DuckDB's native ASOF LEFT JOIN.
     */
-  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+  def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofJoinMode(s, dir, graft.ops.AsOf.DefaultGiantKeyThreshold)
+
+  /** Forced scale mode (threshold 0 ⇒ every key is "giant") — held to
+    * the SAME DuckDB ASOF LEFT JOIN oracle as [[asofJoin]], the
+    * row-87/88 precedent: the driver gate itself proves the
+    * range-partitioned carry ([[graft.ops.Buckets.lastValueByRange]])
+    * ≡ the key-windowed carry, ties, exact-time matches and no-match
+    * NULLs included.
+    */
+  def asofJoinRanged(s: SparkSession, dir: String): DataFrame =
+    asofJoinMode(s, dir, 0L)
+
+  private def asofJoinMode(s: SparkSession, dir: String,
+      giantKeyThreshold: Long): DataFrame = {
     val ev = events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"), cents(col("value")).as("cents"))
@@ -1571,7 +1585,8 @@ object CdcQueries {
         col("event_id").as("signup_event_id"), col("ts").as("signup_ts"))
     graft.ops.AsOf.asOfJoin(purchases, signups, "user_id",
         leftTime = "ts", rightTime = "ts", rightTiebreak = col("signup_event_id"),
-        valueCols = Seq("signup_event_id", "signup_ts"))
+        valueCols = Seq("signup_event_id", "signup_ts"),
+        giantKeyThreshold = giantKeyThreshold)
       .orderBy("event_id")
   }
 
@@ -1915,6 +1930,7 @@ object CdcQueries {
     "cdc_pipeline_e2e" -> (pipelineE2e _),
     "cdc_incremental_apply" -> (incrementalApply _),
     "cdc_asof_join" -> (asofJoin _),
+    "cdc_asof_join_ranged" -> (asofJoinRanged _),
     "cdc_latest_by_key" -> (latestByKey _),
     "cdc_unique_by_time_key" -> (uniqueByTimeKey _),
     "cdc_apply_upsert_delete" -> (applyUpsertDelete _),
@@ -1962,6 +1978,7 @@ object CdcQueries {
   val oracles: Map[String, String] = Map(
     "cdc_incremental_apply" -> incrementalApplySql,
     "cdc_asof_join" -> asofJoinSql,
+    "cdc_asof_join_ranged" -> asofJoinSql,
     "cdc_latest_by_key" -> latestByKeySql,
     "cdc_unique_by_time_key" -> uniqueByTimeKeySql,
     "cdc_apply_upsert_delete" -> applyUpsertDeleteSql,

@@ -1664,14 +1664,9 @@ object LlmQueries {
     */
   private[graft] def giantSourceSplit(d: DataFrame, groupCol: String,
       giantThreshold: Long): (Set[String], Boolean) = {
-    val row = d.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-      .agg(count(lit(1)).as("__total"),
-        collect_list(when(col("__n") >= giantThreshold, col(groupCol)))
-          .as("__giants"))
-      .collect()(0)
-    val total = row.getAs[Long]("__total")
-    val giants = row.getAs[scala.collection.Seq[String]]("__giants").toSet
-    (giants, total > 0 && giants.size == total)
+    val (giants, allGiant) =
+      graft.ops.Buckets.giantGroups(d, groupCol, giantThreshold)
+    (giants.map(_.asInstanceOf[String]).toSet, allGiant)
   }
 
   private[graft] def lmBucketsOn(d: DataFrame,
@@ -1685,7 +1680,8 @@ object LlmQueries {
     // window leg): materialize it ONCE so none of them can replay the
     // full scoring lineage (the semanticDedup precedent). The pure
     // window mode has a single consumer — no barrier there.
-    val scored = if (giants.nonEmpty) scored0.localCheckpoint(true) else scored0
+    val scored =
+      if (giants.nonEmpty) graft.ops.Materialize.barrier(scored0) else scored0
     lmTercileBuckets(scored, giants, allGiant)
   }
 

@@ -38,7 +38,8 @@ class DocCountsSpec extends AnyFunSuite {
       "data_decontamination" -> "data_decontamination_bloom",
       "text_lm_buckets" -> "text_lm_buckets_ranged",
       "data_pack_sequences" -> "data_pack_sequences_ranged",
-      "data_interleave_order" -> "data_interleave_order_ranged")
+      "data_interleave_order" -> "data_interleave_order_ranged",
+      "cdc_asof_join" -> "cdc_asof_join_ranged")
     for ((exact, mode) <- pairs) {
       assert(SparkEntry.oracleSql.contains(exact), exact)
       assert(SparkEntry.oracleSql.contains(mode), mode)
