@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   */
 case class MgSummary(counts: Map[String, Long], n: Long)
 
+/** The MUTABLE aggregation buffer: a plain `java.util.HashMap` mutated
+  * in place per row, kryo-serialized only at the partial/final shuffle
+  * boundary (≤ k+1 entries — trivial either way). The first cut used
+  * an immutable `Map` buffer and rebuilt it per row: O(k) boxing on
+  * every decrement event, which at 100× made pass 1 CPU-bound enough
+  * to eat the plan's 8.9× shuffle win (r12 verdict item 4). Per-row
+  * work is now one hash probe + one primitive bump on the common path.
+  */
+final class MgBuf(val counts: java.util.HashMap[String, Long], var n: Long)
+    extends Serializable {
+  def toSummary: MgSummary = {
+    val b = scala.collection.immutable.Map.newBuilder[String, Long]
+    counts.forEach((t, c) => b += t -> c)
+    MgSummary(b.result(), n)
+  }
+}
+
 /** Typed Misra-Gries aggregate. Spark's partial-aggregation pipeline is
   * exactly the mergeable-summary model: each input partition folds its
   * rows through [[reduce]] (bounded state: ≤ k+1 counters, O(1)
@@ -30,45 +47,80 @@ case class MgSummary(counts: Map[String, Long], n: Long)
   * is the corpus' whole vocabulary per partition.
   */
 class MisraGries(k: Int)
-    extends Aggregator[String, MgSummary, MgSummary] with Serializable {
+    extends Aggregator[String, MgBuf, MgSummary] with Serializable {
   require(k > 0, "k must be positive")
 
-  def zero: MgSummary = MgSummary(Map.empty, 0L)
+  def zero: MgBuf = new MgBuf(new java.util.HashMap[String, Long], 0L)
 
-  def reduce(b: MgSummary, item: String): MgSummary = {
+  def reduce(b: MgBuf, item: String): MgBuf = {
     val m = b.counts
-    val m2 = m.get(item) match {
-      case Some(c) => m.updated(item, c + 1L)
-      case None if m.size < k => m.updated(item, 1L)
+    val c = m.getOrDefault(item, 0L)
+    if (c > 0L) m.put(item, c + 1L)
+    else if (m.size < k) m.put(item, 1L)
+    else {
       // full and unseen: decrement every counter (the new item's
       // implicit counter of 1 decrements to 0 — it is not stored)
-      case None =>
-        m.iterator.collect { case (t, c) if c > 1L => (t, c - 1L) }.toMap
-    }
-    MgSummary(m2, b.n + 1L)
-  }
-
-  def merge(a: MgSummary, b: MgSummary): MgSummary = {
-    val combined = b.counts.foldLeft(a.counts) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    val trimmed =
-      if (combined.size <= k) combined
-      else {
-        // subtract the (k+1)-th largest count from every counter and
-        // drop the non-positive — at most k survive, and any item's
-        // loss is bounded by what the dropped counters themselves prove
-        // was low-count mass
-        val kth = combined.valuesIterator.toArray.sortBy(-_).apply(k)
-        combined.iterator.collect { case (t, c) if c > kth => (t, c - kth) }
-          .toMap
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
       }
-    MgSummary(trimmed, a.n + b.n)
+    }
+    b.n += 1L
+    b
   }
 
-  def finish(r: MgSummary): MgSummary = r
-  def bufferEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+  def merge(a: MgBuf, b: MgBuf): MgBuf = {
+    MisraGries.foldInto(a.counts, b.counts, k)
+    a.n += b.n
+    a
+  }
+
+  def finish(r: MgBuf): MgSummary = r.toSummary
+  def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
   def outputEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+}
+
+object MisraGries {
+  /** Pointwise-add `other` into `into`, then (if over k counters)
+    * subtract the (k+1)-th largest count from every counter and drop
+    * the non-positive — at most k survive, and any item's loss is
+    * bounded by what the dropped counters themselves prove was
+    * low-count mass (the Agarwal et al. mergeable-summaries trim).
+    * Shared by the aggregator's shuffle-side [[MisraGries.merge]] and
+    * the driver-side [[mergeSummaries]] the streaming monitor folds
+    * with — one trim implementation, two call shapes.
+    */
+  private def foldInto(into: java.util.HashMap[String, Long],
+      other: java.util.HashMap[String, Long], k: Int): Unit = {
+    other.forEach((t, c) => into.put(t, into.getOrDefault(t, 0L) + c))
+    if (into.size > k) {
+      val arr = new Array[Long](into.size)
+      var i = 0
+      val vs = into.values().iterator()
+      while (vs.hasNext) { arr(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(arr)
+      val kth = arr(arr.length - 1 - k) // the (k+1)-th largest
+      val it = into.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= kth) it.remove() else e.setValue(e.getValue - kth)
+      }
+    }
+  }
+
+  /** The immutable-summary merge (driver-side, O(k) values — the
+    * streaming monitor's per-trigger fold). Same invariants as the
+    * aggregator's merge.
+    */
+  def mergeSummaries(a: MgSummary, b: MgSummary, k: Int): MgSummary = {
+    val m = new java.util.HashMap[String, Long](a.counts.size * 2)
+    a.counts.foreach { case (t, c) => m.put(t, c) }
+    val o = new java.util.HashMap[String, Long](b.counts.size * 2)
+    b.counts.foreach { case (t, c) => o.put(t, c) }
+    foldInto(m, o, k)
+    new MgBuf(m, a.n + b.n).toSummary
+  }
 }
 
 /** Exact heavy hitters at corpus scale — the two-pass
@@ -111,12 +163,16 @@ object Frequency {
     * `save`/`resume` persist the summary as a tiny parquet frame
     * (≤k+1 rows) for restart — the fold is associative, so resuming
     * from a saved summary and folding the remaining batches equals the
-    * single-pass summary over everything (spec-pinned).
+    * single-pass summary over everything (spec-pinned). Persistence
+    * follows the index discipline ([[Dedup.writeGenAndGc]]): each save
+    * is a NEW generation dir with the commit sentinel written LAST, so
+    * a crash mid-save can never lose the previous summary (the r12
+    * delete-then-overwrite did exactly that) and [[resume]] refuses a
+    * torn write loudly instead of silently loading half a summary.
     */
   final class StreamingHeavyHitters private (k: Int,
       private var state: MgSummary) {
     def this(k: Int) = this(k, MgSummary(Map.empty, 0L))
-    private val mg = new MisraGries(k)
 
     def summary: MgSummary = state
 
@@ -126,7 +182,7 @@ object Frequency {
         .filter(col("item").isNotNull)
         .as(Encoders.STRING)
         .select(new MisraGries(k).toColumn).head()
-      state = mg.merge(state, s)
+      state = MisraGries.mergeSummaries(state, s, k)
     }
 
     /** Candidate items at `minShare` of the stream so far — a
@@ -141,23 +197,33 @@ object Frequency {
       state.counts.collect { case (t, c) if c.toDouble >= cutoff => t }.toSeq
     }
 
-    /** Persist the summary: one row per counter plus an n row. */
+    /** Persist the summary (one row per counter plus an n row) as the
+      * next COMMITTED generation under `path` — sentinel last, prior
+      * committed generation GC'd only after the new one commits.
+      */
     def save(path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
       import spark.implicits._
-      (state.counts.toSeq.map { case (t, c) => (t, c, false) } :+
+      val frame = (state.counts.toSeq.map { case (t, c) => (t, c, false) } :+
         (("", state.n, true)))
-        .toDF("item", "cnt", "is_n")
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .toDF("item", "cnt", "is_n").coalesce(1)
+      Dedup.writeGenAndGc(path, Seq("summary" -> frame))
     }
   }
 
   object StreamingHeavyHitters {
     def apply(k: Int): StreamingHeavyHitters = new StreamingHeavyHitters(k)
 
-    /** Resume from [[StreamingHeavyHitters.save]] output. */
+    /** Resume from the newest COMMITTED generation written by
+      * [[StreamingHeavyHitters.save]]; a torn generation (crash before
+      * the sentinel) is skipped, and a path with NO committed
+      * generation refuses loudly — it cannot be told apart from a
+      * half-deleted summary.
+      */
     def resume(k: Int, path: String,
         spark: org.apache.spark.sql.SparkSession): StreamingHeavyHitters = {
-      val rows = spark.read.parquet(path).collect()
+      val base = Dedup.newestCommittedGen(spark, path, Seq("summary"),
+        "heavy-hitters summary")
+      val rows = spark.read.parquet(s"$base/summary").collect()
       val n = rows.find(_.getAs[Boolean]("is_n"))
         .map(_.getAs[Long]("cnt")).getOrElse(0L)
       val counts = rows.filterNot(_.getAs[Boolean]("is_n"))

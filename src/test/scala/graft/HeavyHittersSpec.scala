@@ -33,7 +33,7 @@ class HeavyHittersSpec extends SparkSpec {
       // reduced independently, merged pairwise left-to-right
       val chunks = items.grouped(math.max(1, items.size / 7)).toSeq
       val summaries = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
-      val merged = summaries.reduce(mg.merge)
+      val merged = mg.finish(summaries.reduce(mg.merge))
       val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
       assert(merged.n == items.size)
       assert(merged.counts.size <= k)
@@ -93,14 +93,14 @@ class HeavyHittersSpec extends SparkSpec {
     import org.apache.spark.sql.{DataFrame, Encoders}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val k = 64
-    val mg = new MisraGries(k)
     val items = zipfStream(3000, 300, 20260815L)
     val stream = MemoryStream[String]
-    val state = new java.util.concurrent.atomic.AtomicReference(mg.zero)
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      MgSummary(Map.empty[String, Long], 0L))
     val q = stream.toDF().writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val s = batch.select(col("value").cast("string").as("item"))
         .as(Encoders.STRING).select(new MisraGries(k).toColumn).head()
-      state.set(mg.merge(state.get, s))
+      state.set(MisraGries.mergeSummaries(state.get, s, k))
       ()
     }.start()
     items.grouped(1000).foreach { chunk =>
@@ -148,6 +148,42 @@ class HeavyHittersSpec extends SparkSpec {
     val cand = cont.candidates(minShare).toSet
     for ((t, c) <- exact if c >= math.ceil(minShare * items.size))
       assert(cand.contains(t), s"monitor missed heavy item $t ($c)")
+  }
+
+  test("save survives a crash mid-write; torn generations refuse loudly") {
+    val k = 16
+    val items = zipfStream(1500, 80, 5L)
+    val mon = Frequency.StreamingHeavyHitters(k)
+    mon.ingest(items.toDF("g"), "g")
+    val path = java.nio.file.Files.createTempDirectory("graft_hh_torn").toString + "/sum"
+    mon.save(path, spark)
+    val before = Frequency.StreamingHeavyHitters.resume(k, path, spark).summary
+    // simulate a crash DURING the next save: a new generation dir with
+    // data but no sentinel and no _SUCCESS — the r12 overwrite protocol
+    // would have deleted the good summary before this point
+    val dir = new java.io.File(path)
+    val gens = dir.listFiles().map(_.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens.length == 1, gens.mkString(","))
+    val tornGen = new java.io.File(dir, "gen=99/summary")
+    assert(tornGen.mkdirs())
+    java.nio.file.Files.writeString(
+      tornGen.toPath.resolve("part-00000.parquet"), "torn garbage")
+    // resume skips the torn generation and loads the committed one
+    val resumed = Frequency.StreamingHeavyHitters.resume(k, path, spark)
+    assert(resumed.summary == before)
+    // a path holding ONLY torn generations refuses loudly
+    val only = java.nio.file.Files.createTempDirectory("graft_hh_only").toString + "/sum"
+    val t2 = new java.io.File(only, "gen=0/summary")
+    assert(t2.mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      Frequency.StreamingHeavyHitters.resume(k, only, spark)
+    }
+    assert(e.getMessage.contains("no committed"))
+    // the next save numbers PAST the torn dir (never writes into it)
+    mon.save(path, spark)
+    val gens2 = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toInt).sorted
+    assert(gens2.last > 99, gens2.mkString(","))
   }
 
   test("k below the guarantee floor is rejected loudly") {
