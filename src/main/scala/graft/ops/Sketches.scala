@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches for corpus accounting.
@@ -64,5 +64,228 @@ object Sketches {
         abs(col("est") - col("n_exact").cast("double")) /
           col("n_exact").cast("double"))
       .select("scope", "n_exact", "sketch_size", "kth_hash", "est", "rel_err")
+  }
+
+  /** Per-scope BOTTOM-k rows by (h, v) — the mergeable uniform-sample
+    * summary underlying [[sampledQuantiles]]. Bottom-k by a uniform
+    * row hash IS a deterministic k-row uniform sample without
+    * replacement, and it is MERGEABLE the same way KMV is: the union's
+    * bottom-k is the bottom-k of the concatenated bottom-ks (Agarwal
+    * et al. 2012 treat the random sample as the canonical mergeable
+    * summary; hashing replaces the RNG so the sample is a pure
+    * FUNCTION of the data — re-derivable by a SQL oracle, identical
+    * across engines, partitionings and replays).
+    *
+    * The plan is the associative combine written as two bounded
+    * stages, NEVER a per-scope sort of the corpus: stage 1 takes each
+    * task's local bottom-k per (pid, scope) — a window over one
+    * task's slice; stage 2 takes the global bottom-k of the ≤ k·P
+    * surviving rows per scope — a control-frame-sized window. One
+    * dominant scope costs its local top-ks, not one task's sort of
+    * the whole scope. Output carries `rank` (1-based position in the
+    * scope's sample by (h, v)) and every input column.
+    */
+  def bottomKSample(scoped: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pid = scoped.withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid"), col("scope"))
+      .orderBy(col("h"), col("v"))
+    val local = pid.withColumn("__r", row_number().over(localW))
+      .filter(col("__r") <= k).drop("__r")
+    val globalW = Window.partitionBy(col("scope")).orderBy(col("h"), col("v"))
+    local.withColumn("rank", row_number().over(globalW))
+      .filter(col("rank") <= k)
+      .drop("__pid")
+  }
+
+  /** Per-scope APPROXIMATE quantiles from a [[bottomKSample]], with
+    * the exact answer joined alongside for audit — the quantile
+    * complement of [[kmvEstimates]] (distinct counts) and the batch
+    * complement of [[graft.ops.Frequency]]'s row-90/93 pairing.
+    *
+    * `scoped` must carry (scope, h, v): `h` a uniform row hash
+    * ([[uniformHash]] of the row's IDENTITY — not the value — so the
+    * sample is uniform over rows), `v` the measured value. The
+    * estimate at q is the EXACT discrete quantile of the k-row sample
+    * (value at rank ⌈q·m⌉ of the sample ordered by (v, h), m =
+    * sample size) — integer-rank selection, no interpolation, so both
+    * engines agree bit-for-bit and the sketch's error is AUDITED via
+    * the joined exact value ([[Buckets.quantilesByRange]], the row-91
+    * machinery — itself never a per-scope corpus sort). A scope with
+    * ≤ k rows samples itself: est = exact by construction. Sampling
+    * error is the classic order-statistic bound (±O(1/√k) in rank);
+    * at 100 TB you keep only the k-row samples per scope and drop the
+    * exact leg — the sample, unlike the corpus, folds per micro-batch
+    * in O(k) driver state ([[StreamingQuantiles]]).
+    *
+    * Output: (scope, q, est, exact, err = est − exact) — err in value
+    * units, integer-exact for integral `v`.
+    */
+  def sampledQuantiles(scoped: DataFrame, k: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must sit in (0, 1]")
+    val sample = bottomKSample(scoped, k)
+    // re-rank the sample by VALUE (the h-rank picked the rows; the
+    // quantile reads the value order) — a ≤k-row-per-scope frame
+    val valW = Window.partitionBy(col("scope")).orderBy(col("v"), col("h"))
+    val byValue = sample.withColumn("__vr", row_number().over(valW))
+    val targets = sample.groupBy("scope").agg(count(lit(1)).as("__m"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__vr", ceil(col("q") * col("__m").cast("double")).cast("int"))
+      .drop("__m")
+    val est = byValue.join(broadcast(targets), Seq("scope", "__vr"))
+      .select(col("scope"), col("q"), col("v").as("est"))
+    val exact = Buckets.quantilesByRange(scoped, "v", "h", qs, Seq("scope"))
+      .select(col("scope"), col("q"), col("value").as("exact"))
+    est.join(exact, Seq("scope", "q"))
+      .withColumn("err", col("est") - col("exact"))
+  }
+
+  /** Driver-side bottom-k merge (O(k log k) on ≤2k entries) — the
+    * streaming monitor's per-trigger fold. Associative and
+    * commutative: bottom-k of a union is the bottom-k of the
+    * concatenated bottom-ks.
+    */
+  def mergeSamples(a: QSample, b: QSample, k: Int): QSample =
+    QSample((a.entries ++ b.entries).sortBy(e => (e.h, e.v)).take(k),
+      a.n + b.n)
+}
+
+/** One sampled (h, v) row of a [[QSample]]. */
+case class QEntry(h: Long, v: Long)
+
+/** A mergeable bottom-k quantile summary: the k rows with smallest
+  * (h, v) — a deterministic uniform sample — plus the total row count.
+  * Merging two summaries = bottom-k of their concatenation; estimates
+  * are integer-rank selections over the sample (the
+  * [[Sketches.sampledQuantiles]] rule).
+  */
+case class QSample(entries: Seq[QEntry], n: Long) {
+  /** Discrete quantile estimate: value at rank ⌈q·m⌉ of the sample
+    * ordered by (v, h); None on an empty sample. Exact whenever the
+    * stream so far fit inside the sample (n ≤ k).
+    */
+  def estimate(q: Double): Option[Long] = {
+    require(q > 0.0 && q <= 1.0, "q must sit in (0, 1]")
+    if (entries.isEmpty) None
+    else {
+      val byValue = entries.sortBy(e => (e.v, e.h))
+      Some(byValue(math.ceil(q * byValue.size).toInt - 1).v)
+    }
+  }
+}
+
+/** Mutable bottom-k buffer: a size-bounded max-heap of (h, v) — the
+  * head is the LARGEST kept pair, so a new row either beats it (pop +
+  * push, O(log k)) or is discarded in O(1). Kryo-serialized only at
+  * the partial/final shuffle boundary, like [[MgBuf]].
+  */
+final class BkBuf(val heap: java.util.PriorityQueue[(Long, Long)], var n: Long)
+    extends Serializable
+
+/** Typed bottom-k aggregate — Spark's partial aggregation IS the
+  * mergeable-sample model: each partition folds to one ≤k-pair heap,
+  * the shuffle moves k·P pairs, the merge re-bounds to k. The same
+  * two-stage shape as [[Sketches.bottomKSample]], expressed as a
+  * single Aggregator for the STREAMING path (one pass per micro-batch
+  * yields both the batch's sample and its row count).
+  */
+class BottomKAgg(k: Int)
+    extends Aggregator[(Long, Long), BkBuf, QSample] with Serializable {
+  require(k > 0, "k must be positive")
+  private def cmp: java.util.Comparator[(Long, Long)] =
+    implicitly[Ordering[(Long, Long)]].reverse
+
+  def zero: BkBuf = new BkBuf(new java.util.PriorityQueue(cmp), 0L)
+
+  def reduce(b: BkBuf, row: (Long, Long)): BkBuf = {
+    if (b.heap.size < k) b.heap.add(row)
+    else if (implicitly[Ordering[(Long, Long)]].lt(row, b.heap.peek())) {
+      b.heap.poll(); b.heap.add(row)
+    }
+    b.n += 1L
+    b
+  }
+
+  def merge(a: BkBuf, b: BkBuf): BkBuf = {
+    val it = b.heap.iterator()
+    while (it.hasNext) {
+      val row = it.next()
+      if (a.heap.size < k) a.heap.add(row)
+      else if (implicitly[Ordering[(Long, Long)]].lt(row, a.heap.peek())) {
+        a.heap.poll(); a.heap.add(row)
+      }
+    }
+    a.n += b.n
+    a
+  }
+
+  def finish(r: BkBuf): QSample = {
+    val arr = new Array[(Long, Long)](r.heap.size)
+    r.heap.toArray(arr)
+    QSample(arr.sorted.map { case (h, v) => QEntry(h, v) }.toSeq, r.n)
+  }
+
+  def bufferEncoder: Encoder[BkBuf] = Encoders.kryo[BkBuf]
+  def outputEncoder: Encoder[QSample] = Encoders.product[QSample]
+}
+
+/** Streaming quantile monitor — the quantile analogue of
+  * [[Frequency.StreamingHeavyHitters]] (row 93 to row 90): fold one
+  * [[BottomKAgg]] summary per micro-batch into O(k) driver state.
+  * Mergeability is the design: bottom-k-by-hash of the stream so far
+  * equals a batch pass over everything seen (associative, ORDER-
+  * INDEPENDENT — unlike MG, the sample is a pure function of the data
+  * set), so per-trigger length/score quantiles need no re-scan of the
+  * accumulated corpus and no keyed state store. Persistence follows
+  * the generation + commit-sentinel discipline.
+  */
+object StreamingQuantiles {
+  def apply(k: Int): StreamingQuantiles = new StreamingQuantiles(k)
+
+  /** Resume from the newest COMMITTED generation of [[StreamingQuantiles.save]];
+    * torn generations are skipped or refused loudly, never half-read.
+    */
+  def resume(k: Int, path: String,
+      spark: org.apache.spark.sql.SparkSession): StreamingQuantiles = {
+    val base = Dedup.newestCommittedGen(spark, path, Seq("sample"),
+      "quantile sample")
+    val rows = spark.read.parquet(s"$base/sample").collect()
+    val n = rows.find(_.getAs[Boolean]("is_n"))
+      .map(_.getAs[Long]("v")).getOrElse(0L)
+    val entries = rows.filterNot(_.getAs[Boolean]("is_n"))
+      .map(r => QEntry(r.getAs[Long]("h"), r.getAs[Long]("v")))
+      .sortBy(e => (e.h, e.v)).toSeq
+    new StreamingQuantiles(k, QSample(entries, n))
+  }
+}
+
+final class StreamingQuantiles private (k: Int, private var state: QSample) {
+  def this(k: Int) = this(k, QSample(Seq.empty, 0L))
+
+  def sample: QSample = state
+
+  /** Fold one micro-batch: ONE distributed pass (partial-aggregated
+    * bottom-k + count in the same job), then an O(k log k) driver
+    * merge. Rows with a NULL hash or value are ignored.
+    */
+  def ingest(batch: DataFrame, hCol: String, vCol: String): Unit = {
+    val s = batch
+      .select(col(hCol).cast("long").as("_1"), col(vCol).cast("long").as("_2"))
+      .filter(col("_1").isNotNull && col("_2").isNotNull)
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .select(new BottomKAgg(k).toColumn).head()
+    state = Sketches.mergeSamples(state, s, k)
+  }
+
+  /** Persist the sample (one row per entry plus an n row) as the next
+    * committed generation under `path`.
+    */
+  def save(path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val frame = (state.entries.map(e => (e.h, e.v, false)) :+
+      ((0L, state.n, true)))
+      .toDF("h", "v", "is_n").coalesce(1)
+    Dedup.writeGenAndGc(path, Seq("sample" -> frame))
   }
 }

@@ -1859,6 +1859,71 @@ object LlmQueries {
       |FROM ex JOIN sk USING (scope)
       |ORDER BY ex.scope""".stripMargin
 
+  // -- sampled quantile sketch (mergeable bottom-k) -----------------------------
+  /** [[graft.ops.Sketches.sampledQuantiles]] — per-source APPROXIMATE
+    * length quantiles from a mergeable bottom-k-by-hash sample (k=64),
+    * with the exact row-91 answer joined alongside so the sketch's
+    * error is AUDITED, not trusted — the quantile complement of the
+    * KMV row (row 69's precedent: deterministic md5 hashing + integer
+    * ranks, so the oracle re-derives sample membership AND both
+    * quantile selections bit-for-bit). The `__ALL__` scope is built
+    * from the same hash set, demonstrating the merge property the
+    * streaming monitor ([[graft.ops.StreamingQuantiles]]) folds with:
+    * at 100 TB the k-row samples ARE the state — per-source quantiles
+    * at any trigger without re-scanning the corpus.
+    */
+  def sketchQuantilesSampled(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir).select(col("source"),
+      graft.ops.Sketches.uniformHash(col("doc_id").cast("string")).as("h"),
+      col("n_chars").cast("long").as("v"))
+    val scoped = hashed.select(col("source").as("scope"), col("h"), col("v"))
+      .unionByName(hashed.select(lit("__ALL__").as("scope"), col("h"), col("v")))
+    graft.ops.Sketches.sampledQuantiles(scoped, k = 64,
+        qs = Seq(0.25, 0.5, 0.9, 0.99))
+      .orderBy("scope", "q")
+  }
+
+  val sketchQuantilesSampledSql: String =
+    """WITH sc AS (
+      |  SELECT source AS scope,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+      |    CAST(n_chars AS BIGINT) AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT '__ALL__',
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+      |    CAST(n_chars AS BIGINT)
+      |  FROM documents),
+      |smp AS (
+      |  SELECT scope, h, v,
+      |    ROW_NUMBER() OVER (PARTITION BY scope ORDER BY h, v) AS hr
+      |  FROM sc),
+      |s64 AS (SELECT scope, h, v FROM smp WHERE hr <= 64),
+      |m AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS m FROM s64 GROUP BY scope),
+      |sv AS (
+      |  SELECT scope, v,
+      |    ROW_NUMBER() OVER (PARTITION BY scope ORDER BY v, h) AS vr
+      |  FROM s64),
+      |qv AS (SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.50 AS DOUBLE)),
+      |    (CAST(0.90 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS t(q)),
+      |est AS (
+      |  SELECT m.scope, qv.q, sv.v AS est
+      |  FROM m CROSS JOIN qv
+      |  JOIN sv ON sv.scope = m.scope
+      |    AND sv.vr = CAST(CEIL(qv.q * CAST(m.m AS DOUBLE)) AS BIGINT)),
+      |r AS (
+      |  SELECT scope, v,
+      |    ROW_NUMBER() OVER (PARTITION BY scope ORDER BY v, h) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY scope) AS BIGINT) AS n
+      |  FROM sc),
+      |ex AS (
+      |  SELECT r.scope, qv.q, r.v AS exact
+      |  FROM r CROSS JOIN qv
+      |  WHERE r.rn = CAST(CEIL(qv.q * CAST(r.n AS DOUBLE)) AS BIGINT))
+      |SELECT est.scope, est.q, est.est, ex.exact, est.est - ex.exact AS err
+      |FROM est JOIN ex ON est.scope = ex.scope AND est.q = ex.q
+      |ORDER BY est.scope, est.q""".stripMargin
+
   // -- exact heavy hitters (Misra-Gries prefilter + recount) -------------------
   /** [[graft.ops.Frequency.heavyHitters]] — every bigram holding ≥ 0.1 %
     * of all bigram occurrences, with EXACT counts. The scale plan is
@@ -3143,6 +3208,7 @@ object LlmQueries {
     "embedding_kmeans" -> (embeddingKmeans _),
     "dedup_semantic" -> (dedupSemantic _),
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
+    "sketch_quantiles_sampled" -> (sketchQuantilesSampled _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "data_quantiles_exact" -> (dataQuantilesExact _),
     "data_length_trim" -> (dataLengthTrim _),
@@ -3227,6 +3293,7 @@ object LlmQueries {
     "embedding_kmeans" -> embeddingKmeansSql,
     "dedup_semantic" -> dedupSemanticSql,
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
+    "sketch_quantiles_sampled" -> sketchQuantilesSampledSql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "data_quantiles_exact" -> dataQuantilesExactSql,
     "data_length_trim" -> dataLengthTrimSql,
