@@ -135,6 +135,13 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // the full line above is ~8 KB (143+ queries × value + spread) —
+    // longer than a tail-capture window, which is exactly how the
+    // r11/r12 driver artifacts ended up `parsed: null` (the captured
+    // tail starts mid-line). Emit a COMPACT line LAST: totals + gate +
+    // a pointer to the full artifact, small enough that any
+    // last-line/tail JSON parse gets a complete object.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"attempts":$attempts,"pass_totals":$pt,"sf":"$sfDir","n_queries":${names.size},"detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -365,6 +365,51 @@ object ScaleSmoke {
         .reduce(_ || _))
         .select(col("source"), col("n_chars").as("value"))
     }
+    // the as-of join in the regime its r13 auto-switch exists for:
+    // ONE dominant entity key (80% of both sides) — synthesized on the
+    // fly like the zipf corpora (no events fixture at 100×), hash-
+    // deterministic times, right side deduped on (key, t) so the pick
+    // is unambiguous. @hotkey takes the range-partitioned carry
+    // (lastValueByRange; max task ~ partition size); the counter-
+    // factual window carries the hot key's ENTIRE history through one
+    // task's sort+scan — the dedicated straggler the spread column
+    // records.
+    def hotAsofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      val n = if (dir == base) 60000L else 60000L * reps
+      val ev = s.range(n).select(col("id"),
+        when(pmod(col("id"), lit(5)) =!= 0, lit(1L))
+          .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(2000L)) + 2L)
+          .as("user_id"),
+        pmod(xxhash64(col("id"), lit(7)), lit(1000000000L)).as("ts"))
+      val left = ev.filter(pmod(col("id"), lit(4)) =!= 0)
+        .select(col("user_id"), col("ts"), col("id").as("event_id"))
+      val right = graft.cdc.Msort.uniqueByTimeKey(
+        ev.filter(pmod(col("id"), lit(4)) === 0)
+          .select(col("user_id"), col("ts"), col("id").as("signup_id")),
+        Seq("user_id"), "ts", col("signup_id"))
+        .withColumn("signup_ts", col("ts"))
+      (left, right)
+    }
+    def hotAsof(threshold: Long) = (s: SparkSession, dir: String) => {
+      val (l, r) = hotAsofSides(s, dir)
+      graft.ops.AsOf.asOfJoin(l, r, "user_id", leftTime = "ts",
+        rightTime = "ts", rightTiebreak = col("signup_id"),
+        valueCols = Seq("signup_id", "signup_ts"),
+        giantKeyThreshold = threshold)
+    }
+    // the bin-bucketed range join one order beyond its oracle scale:
+    // synthetic points against 52 weekly 3-day windows — candidate
+    // volume is points × overlapping-bins (≤2), never points × windows
+    val rangeJoinBig = (s: SparkSession, dir: String) => {
+      val n = if (dir == base) 60000L else 60000L * reps
+      val week = 604800L
+      val pts = s.range(n).select(col("id").as("event_id"),
+        pmod(xxhash64(col("id"), lit(11)), lit(week * 52)).as("t"))
+      val wins = s.range(52).select(col("id").as("campaign_id"),
+        (col("id") * week).as("lo"), (col("id") * week + 259200L).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(pts, "t", wins, "lo", "hi",
+        binWidth = week)
+    }
     // Expected-exponent bound per op, from the r7 10× measurements:
     // LSH families tracked ≤ n^1.33 (band-bucket candidate cost), the
     // banded GTID islands and per-key CDC ops tracked ~linear. A 3×
@@ -410,7 +455,14 @@ object ScaleSmoke {
         ("sketch_heavy_hitters@zipf", 1.0, hhZipf),
         ("sketch_heavy_hitters@zipf-naive", 1.0, hhZipfNaive),
         ("data_quantiles@dominant", 1.0, quantDominant),
-        ("data_quantiles@dominant-window", 1.0, quantDominantWindow))
+        ("data_quantiles@dominant-window", 1.0, quantDominantWindow),
+        // r13: the two custom-op CDC rows with no prior dominant-key
+        // scale row — the as-of carry under one hot entity key (range
+        // path vs the one-task-window counterfactual) and the binned
+        // range join
+        ("cdc_asof_join@hotkey", 1.0, hotAsof(100000L)),
+        ("cdc_asof_join@hotkey-window", 1.0, hotAsof(Long.MaxValue)),
+        ("q_range_join@big", 1.0, rangeJoinBig))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),

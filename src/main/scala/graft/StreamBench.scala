@@ -23,9 +23,12 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamBench {
 
   /** The full streaming CURATION loop measured per trigger: scrub →
-    * quality gate → LM perplexity gate → incremental near-dup
-    * probe+fold, 64 micro-batches with compaction every 8 — the
-    * nightly-ingest shape, CCNet stage order included. The LM is a
+    * quality gate → LM perplexity gate → length-band trim (the
+    * O(k)-state quantile monitor supplies per-trigger [p05, p95] with
+    * no corpus re-scan; the exact distributed-rank pass audits it at
+    * every compaction) → incremental near-dup probe+fold, 64
+    * micro-batches with compaction every 8 — the nightly-ingest
+    * shape, CCNet stage order included. The LM is a
     * TRAINED ARTIFACT (saveLm/loadLm): model A scores the first half,
     * then a RELOAD swaps in model B (retrained on a grown reference —
     * the nightly-refresh shape StreamingCurationSpec proves correct)
@@ -39,7 +42,7 @@ object StreamBench {
   private def curationLoop(spark: SparkSession, base: String,
       nBatches: Int, compactEvery: Int): String = {
     import spark.implicits._
-    import graft.ops.{Dedup, TextOps}
+    import graft.ops.{Buckets, Dedup, Sketches, StreamingQuantiles, TextOps}
     val docs = Tables.documents(spark, base)
       .select("doc_id", "source", "text").cache()
     docs.count() // materialize once; the loop measures curation, not the scan
@@ -59,7 +62,18 @@ object StreamBench {
         "doc_id", "text"),
       tmp, compactEvery, "doc_id", "text", threshold = 0.8)
     var pairsTotal = 0L
+    var trimmedTotal = 0L
     val swapAt = nBatches / 2
+    // the LENGTH-BAND TRIM stage (rows 91/92 deployed in the loop):
+    // per trigger the O(k)-state quantile monitor supplies the
+    // [p05, p95] band with NO corpus re-scan; every compaction the
+    // EXACT distributed-rank pass (quantilesByRange) over the
+    // accumulated kept lengths audits the band — the lengths ledger
+    // is (doc_id, len) only, appended per trigger like the index
+    val monitor = StreamingQuantiles(256)
+    var lengthsLedger = Seq.empty[(Long, Long)].toDF("doc_id", "len")
+    val exactWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastExact = Map.empty[Double, Long]
     val walls = (0 until nBatches).map { i =>
       val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
       val curated = TextOps.gopherFilters(
@@ -73,18 +87,47 @@ object StreamBench {
       val gated = TextOps.scoreLm(model, curated, "doc_id", "text")
         .filter(col("mean_bits") <= 11.0) // the pinned CCNet-gate cut
         .select("doc_id", "text")
-      pairsTotal += state.ingest(gated).count()
+        .withColumn("len", length(col("text")).cast("long"))
+      monitor.ingest(gated
+        .withColumn("h", Sketches.uniformHash(col("doc_id").cast("string"))),
+        "h", "len")
+      val band = (monitor.sample.estimate(0.05), monitor.sample.estimate(0.95))
+      val kept = (band._1, band._2) match {
+        case (Some(lo), Some(hi)) =>
+          gated.filter(col("len") >= lo && col("len") <= hi)
+        case _ => gated
+      }
+      val keptC = kept.cache()
+      val gatedN = gated.count()
+      trimmedTotal += gatedN - keptC.count()
+      lengthsLedger = lengthsLedger.unionByName(keptC.select("doc_id", "len"))
+      pairsTotal += state.ingest(keptC.select("doc_id", "text")).count()
+      if ((i + 1) % compactEvery == 0) {
+        // exact recalibration over everything kept so far — wall
+        // recorded separately so the flat per-trigger claim stays honest
+        val te = System.nanoTime()
+        lengthsLedger = graft.ops.Materialize.barrier(lengthsLedger) // bound ledger plan growth
+        lastExact = Buckets.quantilesByRange(
+            lengthsLedger, "len", "doc_id", Seq(0.05, 0.5, 0.95))
+          .collect().map(r => r.getDouble(r.fieldIndex("q")) ->
+            r.getAs[Long]("value")).toMap
+        exactWalls += (System.nanoTime() - te) / 1e9
+      }
+      keptC.unpersist()
       (System.nanoTime() - t0) / 1e9
     }
     val q = nBatches / 4
     val firstQ = walls.take(q).sum / q
     val lastQ = walls.takeRight(q).sum / q
     val ramp = lastQ / firstQ
+    val estP95 = monitor.sample.estimate(0.95).getOrElse(-1L)
+    val exactP95 = lastExact.getOrElse(0.95, -1L)
     println(f"curation loop: $nBatches triggers, compactEvery=$compactEvery, " +
-      f"pairs=$pairsTotal, firstQ ${firstQ}%.2f s/trigger, lastQ ${lastQ}%.2f, " +
-      f"ramp ${ramp}%.2fx, swap trigger ${walls(swapAt)}%.2f s")
+      f"pairs=$pairsTotal, trimmed=$trimmedTotal, firstQ ${firstQ}%.2f s/trigger, " +
+      f"lastQ ${lastQ}%.2f, ramp ${ramp}%.2fx, swap trigger ${walls(swapAt)}%.2f s, " +
+      f"p95 est/exact $estP95/$exactP95")
     docs.unpersist()
-    f"""{"mode": "curation_loop", "triggers": $nBatches, "compact_every": $compactEvery, "pairs": $pairsTotal, "first_q_sec": $firstQ%.3f, "last_q_sec": $lastQ%.3f, "ramp": $ramp%.2f, "lm_swap_at": $swapAt, "lm_swap_sec": ${walls(swapAt)}%.3f, "walls": [${walls.map(w => f"$w%.2f").mkString(",")}]}"""
+    f"""{"mode": "curation_loop", "triggers": $nBatches, "compact_every": $compactEvery, "pairs": $pairsTotal, "trimmed": $trimmedTotal, "first_q_sec": $firstQ%.3f, "last_q_sec": $lastQ%.3f, "ramp": $ramp%.2f, "lm_swap_at": $swapAt, "lm_swap_sec": ${walls(swapAt)}%.3f, "p95_est": $estP95, "p95_exact": $exactP95, "exact_walls": [${exactWalls.map(w => f"$w%.2f").mkString(",")}], "walls": [${walls.map(w => f"$w%.2f").mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {

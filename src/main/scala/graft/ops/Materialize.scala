@@ -38,10 +38,20 @@ object Materialize {
 
   /** Materialize `df` once; every later consumer reads the stored
     * result, never re-evaluates the lineage.
+    *
+    * Cluster masters with a configured checkpoint dir get a RELIABLE
+    * checkpoint — the strongest barrier: lineage truncated (the
+    * iterative callers' plan-growth fix, same as the local leg) AND
+    * blocks on fault-tolerant storage, so executor loss costs a
+    * re-read, never a job. Without a checkpoint dir the persist+count
+    * fallback below applies.
     */
-  def barrier(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(eager = true)
+  def barrier(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isLocal) df.localCheckpoint(eager = true)
+    else if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else clusterBarrier(df)
+  }
 
   /** The cluster-mode leg — package-visible so the spec can exercise
     * it on a local master (where `barrier` would pick localCheckpoint).

@@ -32,6 +32,16 @@ object Sketches {
   def uniformHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[uniformHash]] — spec oracles and monitor
+    * callers hashing outside a plan must agree with the column
+    * expression bit-for-bit.
+    */
+  def uniformHashLong(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Per-scope KMV distinct-count estimates, plus the exact count and
     * relative error for audit (at sketch scale the exact count is the
     * point of the exercise — at 100 TB you'd keep only the k-row

@@ -390,4 +390,81 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamedPairs.contains((201L, 203L)),
       "the near-dup pair must survive the model swap between its ends")
   }
+
+  test("length-band trim slots into the loop: O(k) monitor band + exact recalibration, restart-safe") {
+    import graft.ops.{Buckets, QEntry, Sketches, StreamingQuantiles}
+    // the rows-91/92 deployment: per trigger the quantile monitor
+    // (O(k) driver state, no corpus re-scan) supplies the trim band;
+    // at "compaction" the exact distributed-rank pass over the
+    // accumulated lengths ledger audits it. Proven here: the monitor's
+    // sample through the loop ≡ one batch pass over everything kept
+    // BEFORE trimming (associativity through the loop), the exact
+    // recalibration ≡ the naive sorted-rank quantile, trim decisions
+    // are deterministic (second run identical), and a save/resume
+    // restart mid-stream changes nothing.
+    val k = 64
+    val rnd = new scala.util.Random(20260815L)
+    // lengths: a body of mid-length docs plus short/long outliers the
+    // band must trim
+    def mkDoc(i: Long): (Long, String) = {
+      val len = rnd.nextInt(10) match {
+        case 0 => 5 + rnd.nextInt(10) // short outlier
+        case 9 => 2000 + rnd.nextInt(500) // long outlier
+        case _ => 200 + rnd.nextInt(200)
+      }
+      (i, "x" * len)
+    }
+    val docs = (1L to 300L).map(mkDoc)
+    val batches = docs.grouped(75).toSeq
+
+    def runLoop(resumeAt: Option[Int]): (Seq[QEntry], Long, Set[Long], Map[Double, Long]) = {
+      var monitor = StreamingQuantiles(k)
+      var ledger = Seq.empty[(Long, Long)].toDF("doc_id", "len")
+      var kept = Set.empty[Long]
+      val path = java.nio.file.Files.createTempDirectory("graft_trim").toString + "/q"
+      var lastExact = Map.empty[Double, Long]
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        resumeAt.filter(_ == bi).foreach { _ =>
+          // crash/restart between triggers: persist + new monitor
+          monitor.save(path, spark)
+          monitor = StreamingQuantiles.resume(k, path, spark)
+        }
+        val b = batch.toDF("doc_id", "text")
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("h",
+            Sketches.uniformHash(col("doc_id").cast("string")))
+        monitor.ingest(b, "h", "len")
+        val (lo, hi) = (monitor.sample.estimate(0.05).get,
+          monitor.sample.estimate(0.95).get)
+        val keptB = b.filter(col("len") >= lo && col("len") <= hi)
+        kept ++= keptB.select("doc_id").as[Long].collect()
+        ledger = ledger.unionByName(keptB.select("doc_id", "len"))
+        if (bi % 2 == 1) {
+          lastExact = Buckets.quantilesByRange(
+              ledger, "len", "doc_id", Seq(0.05, 0.5, 0.95))
+            .collect().map(r => r.getDouble(r.fieldIndex("q")) ->
+              r.getAs[Long]("value")).toMap
+        }
+      }
+      (monitor.sample.entries, monitor.sample.n, kept, lastExact)
+    }
+
+    val (entries, n, kept, exact) = runLoop(None)
+    // monitor state ≡ one batch bottom-k over ALL pre-trim lengths
+    val allHashed = docs.map { case (id, text) =>
+      (Sketches.uniformHashLong(id.toString), text.length.toLong) }
+    assert(n == docs.size)
+    assert(entries == allHashed.sorted.take(k).map { case (h, v) => QEntry(h, v) })
+    // exact recalibration ≡ naive sorted-rank quantiles of the ledger
+    val keptLens = docs.filter(d => kept(d._1)).map(_._2.length.toLong).sorted
+    for ((q, v) <- exact)
+      assert(v == keptLens(math.ceil(q * keptLens.size).toInt - 1),
+        s"exact q=$q")
+    // outliers actually trimmed, body retained
+    assert(kept.size < docs.size)
+    assert(kept.size > docs.size / 2)
+    // determinism + restart-safety: identical kept set and state
+    assert(runLoop(None) == ((entries, n, kept, exact)))
+    assert(runLoop(Some(2)) == ((entries, n, kept, exact)))
+  }
 }
