@@ -392,10 +392,17 @@ object ScaleSmoke {
     }
     def hotAsof(threshold: Long) = (s: SparkSession, dir: String) => {
       val (l, r) = hotAsofSides(s, dir)
+      // the signup_ts filter (true for every row — ts ≥ 0 and no-match
+      // rows coalesce to 0) forces the carry under count(): without a
+      // carried-column reference Catalyst prunes the unreferenced
+      // window/carry outright and the row times an empty plan (the
+      // text_lm_perplexity hazard — the un-forced first measurement
+      // read 1.30 s flat from 60k to 6M rows)
       graft.ops.AsOf.asOfJoin(l, r, "user_id", leftTime = "ts",
         rightTime = "ts", rightTiebreak = col("signup_id"),
         valueCols = Seq("signup_id", "signup_ts"),
         giantKeyThreshold = threshold)
+        .filter(coalesce(col("signup_ts"), lit(0L)) >= 0L)
     }
     // the bin-bucketed range join one order beyond its oracle scale:
     // synthetic points against 52 weekly 3-day windows — candidate

@@ -17,14 +17,14 @@ object Dedup {
   private def norm(text: Column): Column = lower(trim(text))
 
   /** Small frames read 3–5× inside one plan (membership maps, shingle
-    * frames) are eagerly `localCheckpoint`ed — measured 10–30% on the
-    * dedup family. The trade (every `eagerCheckpoint` param below):
-    * localCheckpoint materializes EAGERLY at plan-construction time and
-    * its blocks are non-replicated executor-local state, so an executor
-    * loss after checkpointing fails the job with no lineage to
-    * recompute. On a long-lived cluster where retry-through-lineage
-    * matters more than the re-read, pass `eagerCheckpoint = false` (the
-    * plan recomputes the subtree per read but stays fault-tolerant).
+    * frames) are eagerly materialized ([[Materialize.barrier]]) —
+    * measured 10–30% on the dedup family. The seam picks the
+    * materializer per master: localCheckpoint locally (fast,
+    * non-replicated — fine in one JVM), reliable checkpoint or
+    * replicated persist on a cluster (executor-loss-tolerant). Callers
+    * that prefer retry-through-lineage over the re-read can still pass
+    * `eagerCheckpoint = false` (the plan recomputes the subtree per
+    * read).
     */
   private def maybeCheckpoint(df: DataFrame, eager: Boolean): DataFrame =
     if (eager) Materialize.barrier(df) else df
