@@ -243,15 +243,16 @@ object Buckets {
     * counts aggregate server-side, the giants filter runs INSIDE the
     * aggregate, and the total group count rides the same single output
     * row — the driver holds O(giants), never O(distinct groups). NULL
-    * group values are never giants (collect_list skips them) and are
-    * excluded from the all-giant test, so callers can route null-key
-    * rows to their no-match/window leg unconditionally. Returns
-    * (giant group values, all-non-null-groups-giant?).
+    * group values are never giants (collect_list skips them) and COUNT
+    * toward the all-giant test's total, so a frame containing null-key
+    * rows never reports all-giant — callers' mixed path keeps routing
+    * those rows to its window/no-match leg (spec-pinned in
+    * PackRangeSpec). Returns (giant group values, all-groups-giant?).
     */
   private[graft] def giantGroups(d: DataFrame, groupCol: String,
       giantThreshold: Long): (Seq[Any], Boolean) = {
     val row = d.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-      .agg(count(col(groupCol)).as("__total"),
+      .agg(count(lit(1)).as("__total"),
         collect_list(when(col("__n") >= giantThreshold, col(groupCol)))
           .as("__giants"))
       .collect()(0)

@@ -175,6 +175,8 @@ class OracleLintSpec extends SparkSpec {
     "sketch_distinct_kmv" -> Set("est", "rel_err"),
     "sketch_heavy_hitters" -> Set("share"),
     "data_quantiles_exact" -> Set("q"),
+    // q is the quantile label; est/exact/err stay integer-exact BIGINTs
+    "sketch_quantiles_sampled" -> Set("q"),
     "text_bpe_apply" -> Set("tokens_per_word"),
     "text_code_detect" -> Set("brace_ratio"),
     "text_gopher_filters" -> Set("mean_word_len", "symbol_word_ratio", "alpha_word_ratio"),
