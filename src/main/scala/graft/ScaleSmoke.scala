@@ -708,6 +708,12 @@ object ScaleSmoke {
       // suite dies on disk even though every op passes alone (observed:
       // SPILL_OUT_OF_MEMORY / no-space at op 4 of the r11 full sweep).
       // A GC between ops is outside every timed region.
+      // releaseAll first: finished barriers' blocks (localCheckpoint —
+      // DRIVER-heap-resident in local mode, the r12 sweep's 96 GB
+      // floor) drop deterministically instead of waiting for a GC to
+      // let the ContextCleaner notice them; each op rebuilds its own
+      // barriers from scratch, so nothing live spans this seam.
+      graft.ops.Materialize.releaseAll(spark)
       System.gc()
       Thread.sleep(1000)
       // listener events arrive on the async bus: a job's count()

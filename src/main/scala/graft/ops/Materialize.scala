@@ -69,4 +69,19 @@ object Materialize {
     * ContextCleaner when unreferenced.
     */
   def release(df: DataFrame): Unit = df.unpersist(blocking = false)
+
+  /** Sweep hygiene: drop EVERY block the context still tracks —
+    * localCheckpoint blocks included, which `release` can't reach (the
+    * checkpointed DataFrame's unpersist doesn't touch the internal
+    * RDD). Between independent operations (the 100× suite's inter-op
+    * seam) this frees finished barriers deterministically instead of
+    * waiting for a driver GC to let the ContextCleaner notice them —
+    * in local mode those blocks live in the DRIVER's heap, which is
+    * where the r12 sweep's 96 GB floor came from. Do NOT call while
+    * frames from [[barrier]] are still in use: their blocks drop and,
+    * with lineage truncated, a later read fails.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 }
