@@ -197,6 +197,37 @@ class PlanInvariantSpec extends SparkSpec {
       "target-rank probe must be a broadcast hash join")
   }
 
+  test("asof ranged plan: materialized range carry, no per-key corpus window") {
+    // the forced giant-key mode must not quietly fall back to the
+    // key-partitioned carry window (one task sorting+scanning a hot
+    // key's whole history — the 9.5 s straggler the 100× row
+    // measured). That window's signature partitions by the key alone
+    // and orders by __t; the range path's windows partition by
+    // (__pid, key) and (key ordered by __pid over the control frame),
+    // so the regex matches ONLY the fallback.
+    val p = graft.queries.CdcQueries.asofJoinRanged(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      "expected the materialized (checkpointed) ranged leg in the asof plan")
+    assert("windowspecdefinition\\(user_id#\\d+, __t".r.findFirstIn(p).isEmpty,
+      "per-key corpus window leaked into the forced ranged asof plan")
+    assert(p.contains("BroadcastHashJoin"),
+      "boundary-carry frame must join back as a broadcast")
+  }
+
+  test("sampled-quantile plan: two-stage bottom-k, broadcast probes") {
+    // the sample must form as local-per-(pid, scope) bottom-k before
+    // any scope-partitioned pass (so the scope-alone window only ever
+    // sees the <= k*P survivors, never the corpus), and both the
+    // target-rank probe and the est/exact join must broadcast
+    val p = graft.queries.LlmQueries.sketchQuantilesSampled(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(__pid#\\d+, scope".r.findFirstIn(p).isDefined,
+      "local per-(pid, scope) bottom-k stage missing from the sample plan")
+    assert(p.contains("BroadcastHashJoin"),
+      "quantile probes must be broadcast hash joins")
+  }
+
   test("heavy-hitter recount: broadcast set probe before the aggregate, no extra shuffle") {
     // the recount pass must filter to the MG candidates BEFORE its
     // group-by (an In/InSet predicate under the partial aggregate),
