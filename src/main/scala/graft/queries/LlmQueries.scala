@@ -1924,6 +1924,43 @@ object LlmQueries {
       |FROM est JOIN ex ON est.scope = ex.scope AND est.q = ex.q
       |ORDER BY est.scope, est.q""".stripMargin
 
+  // -- deterministic per-source uniform document sample -------------------------
+  /** [[graft.ops.Sketches.bottomKSample]] carrying PAYLOAD columns —
+    * the k-docs-per-source uniform sample every training pipeline
+    * needs for eval slices and spot debugging. Hash-determined
+    * membership (smallest md5-derived doc hashes) means the sample is
+    * a pure function of the data: identical across engines,
+    * partitionings, replays AND snapshots (a doc's membership never
+    * flips unless k-th-hash displacement pushes it out — the stable
+    * eval-set property random sampling lacks), and mergeable across
+    * corpus increments (union's bottom-k = bottom-k of bottom-ks), so
+    * nightly snapshots maintain the sample in O(k) per source without
+    * re-scanning. The plan never sorts a scope: per-partition local
+    * bottom-k, then a ≤k·P control-frame pass.
+    */
+  def dataSampleUniformK(s: SparkSession, dir: String): DataFrame = {
+    val scoped = docs(s, dir).select(col("source").as("scope"),
+      graft.ops.Sketches.uniformHash(col("doc_id").cast("string")).as("h"),
+      col("doc_id").as("v"), col("n_chars"), col("lang"))
+    graft.ops.Sketches.bottomKSample(scoped, k = 8)
+      .select(col("scope").as("source"), col("rank").cast("long").as("rank"),
+        col("v").as("doc_id"), col("n_chars"), col("lang"))
+      .orderBy("source", "rank")
+  }
+
+  val dataSampleUniformKSql: String =
+    """WITH h AS (
+      |  SELECT source, doc_id, n_chars, lang,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_chars, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+      |  FROM h)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, lang
+      |FROM r WHERE rank <= 8
+      |ORDER BY source, rank""".stripMargin
+
   // -- exact heavy hitters (Misra-Gries prefilter + recount) -------------------
   /** [[graft.ops.Frequency.heavyHitters]] — every bigram holding ≥ 0.1 %
     * of all bigram occurrences, with EXACT counts. The scale plan is
@@ -3209,6 +3246,7 @@ object LlmQueries {
     "dedup_semantic" -> (dedupSemantic _),
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
     "sketch_quantiles_sampled" -> (sketchQuantilesSampled _),
+    "data_sample_uniform_k" -> (dataSampleUniformK _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "data_quantiles_exact" -> (dataQuantilesExact _),
     "data_length_trim" -> (dataLengthTrim _),
@@ -3294,6 +3332,7 @@ object LlmQueries {
     "dedup_semantic" -> dedupSemanticSql,
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
     "sketch_quantiles_sampled" -> sketchQuantilesSampledSql,
+    "data_sample_uniform_k" -> dataSampleUniformKSql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "data_quantiles_exact" -> dataQuantilesExactSql,
     "data_length_trim" -> dataLengthTrimSql,
