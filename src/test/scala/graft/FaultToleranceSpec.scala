@@ -68,6 +68,22 @@ class FaultToleranceSpec extends SparkSpec {
     assert(faults.value > 0)
   }
 
+  test("clusterBarrier materialization survives first-attempt task loss") {
+    // the cluster leg of the Materialize seam: the count() barrier's
+    // job hits an injected first-attempt failure, the scheduler
+    // retries through lineage, and the persisted blocks then hold the
+    // exact input — the localCheckpoint leg can't make this promise
+    // (its blocks are the only copy), which is why the seam exists
+    import graft.ops.Materialize
+    val faults = spark.sparkContext.longAccumulator("injected_faults_mat")
+    val src = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val m = Materialize.clusterBarrier(faultingCopy(src, faults))
+    assert(sortedRows(m) == sortedRows(src))
+    assert(faults.value > 0, "no retry attempt ran — test is vacuous")
+    Materialize.release(m)
+  }
+
   /** A copy of `df` whose scan throws on the first attempt of partition
     * 0 in every stage that reads it. Implemented with mapPartitions on
     * the Row iterator (keeps the schema) so the failure happens inside
