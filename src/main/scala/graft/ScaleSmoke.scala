@@ -365,6 +365,16 @@ object ScaleSmoke {
         .reduce(_ || _))
         .select(col("source"), col("n_chars").as("value"))
     }
+    // uniform doc sampling when one source owns 95% of the corpus:
+    // bottomKSample's whole claim is that no scope ever sorts — local
+    // per-partition bottom-k, then a ≤k·P control-frame pass; the
+    // rank filter forces the windows under count() (cardinality
+    // depends on them, so Catalyst cannot prune)
+    val sampleDominant = (s: SparkSession, dir: String) =>
+      graft.ops.Sketches.bottomKSample(
+        dominantDocs(s, dir).select(col("source").as("scope"),
+          graft.ops.Sketches.uniformHash(col("doc_id").cast("string")).as("h"),
+          col("doc_id").as("v"), col("n_chars")), 64)
     // the as-of join in the regime its r13 auto-switch exists for:
     // ONE dominant entity key (80% of both sides) — synthesized on the
     // fly like the zipf corpora (no events fixture at 100×), hash-
@@ -467,6 +477,7 @@ object ScaleSmoke {
         // scale row — the as-of carry under one hot entity key (range
         // path vs the one-task-window counterfactual) and the binned
         // range join
+        ("data_sample_uniform@dominant", 1.0, sampleDominant),
         ("cdc_asof_join@hotkey", 1.0, hotAsof(100000L)),
         ("cdc_asof_join@hotkey-window", 1.0, hotAsof(Long.MaxValue)),
         ("q_range_join@big", 1.0, rangeJoinBig))
