@@ -1961,6 +1961,60 @@ object LlmQueries {
       |FROM r WHERE rank <= 8
       |ORDER BY source, rank""".stripMargin
 
+  // -- deterministic per-source WEIGHTED document sample -----------------------
+  /** Length-weighted k-docs-per-source sample — the weighted
+    * counterpart of [[dataSampleUniformK]] (training pipelines sample
+    * eval/inspection slices proportional to token mass, not doc
+    * count). Weighted-without-replacement via the classic DUPLICATION
+    * scheme: a doc with integer weight w holds w tickets; its sampling
+    * key is the MINIMUM of the w ticket hashes, so P(doc drawn first)
+    * = w/Σw exactly (min of w uniforms ~ Beta(1, w)), and successive
+    * ranks follow the without-replacement recursion — the
+    * integer-exact stand-in for Efraimidis–Spirakis exponential keys
+    * (WRS-2006), whose −ln(u)/w keys would hang cross-engine
+    * determinism on transcendental rounding. The min-of-tickets is ONE
+    * codegen'd per-row array expression (`array_min(transform(
+    * sequence(1, w), …))`) — no explode, no pre-shuffle, cost = w ≤ 8
+    * md5s per row — and the key then rides [[graft.ops.Sketches.bottomKSample]]'s
+    * mergeable two-stage machinery: membership is a pure function of
+    * the data (engine/partitioning/replay-stable), samples merge
+    * across corpus increments, and no scope is ever sorted.
+    */
+  def dataSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val weight = least(greatest(
+      expr("(coalesce(n_chars, 0) - 1) div 100") + lit(1), lit(1)), lit(8))
+      .cast("int")
+    val ticketMin = array_min(transform(
+      sequence(lit(1), weight),
+      t => graft.ops.Sketches.uniformHash(
+        concat(col("doc_id").cast("string"), lit(":"), t.cast("string")))))
+    val scoped = docs(s, dir).select(col("source").as("scope"),
+      ticketMin.as("h"), col("doc_id").as("v"), weight.as("weight"),
+      col("n_chars"))
+    graft.ops.Sketches.bottomKSample(scoped, k = 8)
+      .select(col("scope").as("source"), col("rank").cast("long").as("rank"),
+        col("v").as("doc_id"), col("weight"), col("n_chars"))
+      .orderBy("source", "rank")
+  }
+
+  val dataSampleWeightedSql: String =
+    """WITH w AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(least(greatest((coalesce(n_chars, 0) - 1) // 100 + 1, 1), 8) AS INT) AS weight
+      |  FROM documents),
+      |k AS (
+      |  SELECT source, doc_id, n_chars, weight,
+      |    list_min(list_transform(generate_series(1, weight),
+      |      t -> CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 15)) AS BIGINT))) AS h
+      |  FROM w),
+      |r AS (
+      |  SELECT source, doc_id, n_chars, weight,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+      |  FROM k)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, weight, n_chars
+      |FROM r WHERE rank <= 8
+      |ORDER BY source, rank""".stripMargin
+
   // -- exact heavy hitters (Misra-Gries prefilter + recount) -------------------
   /** [[graft.ops.Frequency.heavyHitters]] — every bigram holding ≥ 0.1 %
     * of all bigram occurrences, with EXACT counts. The scale plan is
@@ -3247,6 +3301,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
     "sketch_quantiles_sampled" -> (sketchQuantilesSampled _),
     "data_sample_uniform_k" -> (dataSampleUniformK _),
+    "data_sample_weighted" -> (dataSampleWeighted _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "data_quantiles_exact" -> (dataQuantilesExact _),
     "data_length_trim" -> (dataLengthTrim _),
@@ -3333,6 +3388,7 @@ object LlmQueries {
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
     "sketch_quantiles_sampled" -> sketchQuantilesSampledSql,
     "data_sample_uniform_k" -> dataSampleUniformKSql,
+    "data_sample_weighted" -> dataSampleWeightedSql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "data_quantiles_exact" -> dataQuantilesExactSql,
     "data_length_trim" -> dataLengthTrimSql,

@@ -109,6 +109,37 @@ class QuantileSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed"))
   }
 
+  test("weighted sample: ticket-min key matches driver recompute; P(first) tracks weight") {
+    // the duplication scheme's key — min of w ticket hashes — must be
+    // exactly what the column expression computes (membership is a
+    // pure function of the data), and the first draw must land on a
+    // doc with probability proportional to its weight
+    def key(id: Long, w: Int): Long =
+      (1 to w).map(t => Sketches.uniformHashLong(s"$id:$t")).min
+    val nScopes = 400
+    // per scope: one weight-8 doc + eight weight-1 docs => P(heavy first) = 1/2
+    val rows = (0 until nScopes).flatMap { sc =>
+      val heavy = (s"s$sc", sc.toLong * 100, 8)
+      val light = (1 to 8).map(i => (s"s$sc", sc.toLong * 100 + i, 1))
+      heavy +: light
+    }
+    val df = rows.toDF("scope", "doc", "w").withColumn("h",
+      array_min(transform(sequence(lit(1), col("w")),
+        t => Sketches.uniformHash(concat(col("doc").cast("string"),
+          lit(":"), t.cast("string"))))))
+      .withColumn("v", col("doc"))
+    // expression ≡ driver recompute, row by row
+    df.select("doc", "w", "h").collect().foreach { r =>
+      assert(r.getLong(2) == key(r.getLong(0), r.getInt(1)), s"doc ${r.getLong(0)}")
+    }
+    val first = Sketches.bottomKSample(df, 1)
+    val heavyFirsts = first.filter(col("doc") % 100 === 0).count()
+    // exact expectation nScopes/2; the fixture is deterministic — the
+    // band just documents how tight proportional-to-weight runs
+    assert(heavyFirsts > (0.42 * nScopes).toInt && heavyFirsts < (0.58 * nScopes).toInt,
+      s"heavy-doc first-draw share ${heavyFirsts.toDouble / nScopes}")
+  }
+
   test("BottomKAgg under adversarial merge shapes keeps the true bottom-k") {
     val k = 16
     val agg = new BottomKAgg(k)
