@@ -2050,6 +2050,60 @@ object LlmQueries {
       |WHERE c.cnt >= CAST(ceil(CAST(0.001 AS DOUBLE) * CAST(n.n AS DOUBLE)) AS BIGINT)
       |ORDER BY c.cnt DESC, c.gram""".stripMargin
 
+  // -- Count-Min sketch point-frequency estimates -------------------------------
+  /** [[graft.ops.CountMin]] — d×w counter sketch over the token
+    * stream, probed at the exact top-20 tokens with the true counts
+    * joined alongside so the sketch's one-sided error is AUDITED
+    * (overcount = est − exact ≥ 0, the CMS guarantee). The dual of
+    * [[sketchHeavyHitters]]' Misra-Gries pass: MG names heavy-hitter
+    * candidates with undercount-only state, CMS answers a point query
+    * for ANY token with overcount-only counters that merge by pure
+    * addition — the build's shuffle carries ≤ d·w cells per partition
+    * whatever the vocabulary (never the Zipf tail a `groupBy(token)`
+    * would move). The exact leg exists to audit the sketch at test
+    * scale; at 100 TB you keep only the d·w counters (and the probe
+    * join stays a broadcast of a control-frame-sized counter table).
+    */
+  def sketchCountMin(s: SparkSession, dir: String): DataFrame = {
+    val p = graft.ops.CountMin.Params(d = 3, w = 64)
+    val toks = docs(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("item"))
+      .filter(length(col("item")) > 0)
+    val ctrs = graft.ops.CountMin.counters(toks, "item", p)
+    val probes = toks.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item")).limit(20)
+    probes.join(graft.ops.CountMin.estimates(probes.select("item"), ctrs, p),
+        Seq("item"))
+      .select(col("item").as("token"), col("exact_cnt"), col("est"),
+        (col("est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val sketchCountMinSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+      |  FROM documents),
+      |t AS (SELECT item FROM toks WHERE length(item) > 0),
+      |rs AS (SELECT * FROM (VALUES (0), (1), (2)) AS v(r)),
+      |cells AS (
+      |  SELECT rs.r,
+      |    CAST(concat('0x', substr(md5(CAST(rs.r AS VARCHAR) || ':' || t.item), 1, 15)) AS BIGINT) % 64 AS bucket
+      |  FROM t CROSS JOIN rs),
+      |ctrs AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY r, bucket),
+      |exact AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM t GROUP BY item),
+      |probes AS (SELECT item, exact_cnt FROM exact ORDER BY exact_cnt DESC, item LIMIT 20),
+      |pcells AS (
+      |  SELECT p.item, p.exact_cnt, rs.r,
+      |    CAST(concat('0x', substr(md5(CAST(rs.r AS VARCHAR) || ':' || p.item), 1, 15)) AS BIGINT) % 64 AS bucket
+      |  FROM probes p CROSS JOIN rs),
+      |est AS (
+      |  SELECT pc.item, pc.exact_cnt, MIN(coalesce(ctrs.c, 0)) AS est
+      |  FROM pcells pc LEFT JOIN ctrs ON ctrs.r = pc.r AND ctrs.bucket = pc.bucket
+      |  GROUP BY pc.item, pc.exact_cnt)
+      |SELECT item AS token, exact_cnt, CAST(est AS BIGINT) AS est,
+      |  CAST(est - exact_cnt AS BIGINT) AS overcount
+      |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
+
   // -- exact distributed quantiles ---------------------------------------------
   /** [[graft.ops.Buckets.quantilesByRange]] — per-source EXACT discrete
     * quantiles (p25/p50/p75/p95 of document length) with NO per-source
@@ -3303,6 +3357,7 @@ object LlmQueries {
     "data_sample_uniform_k" -> (dataSampleUniformK _),
     "data_sample_weighted" -> (dataSampleWeighted _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "sketch_count_min" -> (sketchCountMin _),
     "data_quantiles_exact" -> (dataQuantilesExact _),
     "data_length_trim" -> (dataLengthTrim _),
     "data_zorder_layout" -> (dataZorderLayout _),
@@ -3390,6 +3445,7 @@ object LlmQueries {
     "data_sample_uniform_k" -> dataSampleUniformKSql,
     "data_sample_weighted" -> dataSampleWeightedSql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
+    "sketch_count_min" -> sketchCountMinSql,
     "data_quantiles_exact" -> dataQuantilesExactSql,
     "data_length_trim" -> dataLengthTrimSql,
     "data_zorder_layout" -> dataZorderLayoutSql,

@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.{CountMin, Sketches, StreamingCountMin}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch: the distributed build matches a driver-side
+  * simulation cell-for-cell, estimates never undercount, the streaming
+  * fold is order-independent (pure addition), and persistence follows
+  * the torn-write-refusing generation protocol.
+  */
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = CountMin.Params(d = 3, w = 32)
+
+  /** Zipf-ish deterministic corpus: token i appears ~N/i times. */
+  private def fixture(n: Int): Seq[String] =
+    (1 to n).flatMap(i => Seq.fill(n / i)(s"tok$i"))
+
+  private def simulate(items: Seq[String]): Array[Long] = {
+    val cells = new Array[Long](p.d * p.w)
+    for (it <- items; r <- 0 until p.d)
+      cells(r * p.w + CountMin.bucketLong(r, it, p.w)) += 1L
+    cells
+  }
+
+  test("distributed counters == driver simulation, under any partitioning") {
+    val items = fixture(60)
+    val want = simulate(items)
+    for (parts <- Seq(1, 5, 17)) {
+      val got = new Array[Long](p.d * p.w)
+      CountMin.counters(items.toDF("item").repartition(parts), "item", p)
+        .collect().foreach { r =>
+          got(r.getAs[Int]("r") * p.w + r.getAs[Long]("bucket").toInt) =
+            r.getAs[Long]("c")
+        }
+      assert(got.toSeq == want.toSeq, s"parts=$parts")
+    }
+  }
+
+  test("estimates never undercount; exact when the item's cells are collision-free") {
+    val items = fixture(60)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctrs = CountMin.counters(items.toDF("item"), "item", p)
+    val probes = exact.keys.toSeq.toDF("item")
+    val est = CountMin.estimates(probes, ctrs, p).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cells = simulate(items)
+    for ((tok, cnt) <- exact) {
+      assert(est(tok) >= cnt, s"$tok undercounted: ${est(tok)} < $cnt")
+      // min-of-cells is what the estimate must BE
+      val want = (0 until p.d)
+        .map(r => cells(r * p.w + CountMin.bucketLong(r, tok, p.w))).min
+      assert(est(tok) == want, tok)
+    }
+    // an item never ingested estimates 0 (left join reads empty cells
+    // as 0 only when no other token shares them — assert the bound)
+    val ghost = CountMin.estimates(Seq("never-seen-tok-xyz").toDF("item"), ctrs, p)
+      .collect().head.getLong(1)
+    assert(ghost >= 0L)
+  }
+
+  test("streaming fold == batch under any chunking; counters add") {
+    val items = fixture(80)
+    val batch = StreamingCountMin(p)
+    batch.ingest(items.toDF("item"), "item")
+    for (chunk <- Seq(30, 77, items.size)) {
+      val m = StreamingCountMin(p)
+      items.grouped(chunk).foreach(c => m.ingest(c.toDF("item"), "item"))
+      assert(m.counterArray.toSeq == batch.counterArray.toSeq, s"chunk=$chunk")
+      assert(m.n == items.size)
+      assert(m.estimate("tok1") == batch.estimate("tok1"))
+    }
+    assert(batch.counterArray.toSeq == simulate(items).toSeq)
+    assert(batch.estimate("tok1") >= items.count(_ == "tok1"))
+  }
+
+  test("save/resume: round-trip, torn generation refused, crash keeps previous") {
+    val items = fixture(50)
+    val m = StreamingCountMin(p)
+    m.ingest(items.take(200).toDF("item"), "item")
+    val path = java.nio.file.Files.createTempDirectory("graft_cms").toString + "/c"
+    m.save(path, spark)
+    val resumed = StreamingCountMin.resume(p, path, spark)
+    assert(resumed.counterArray.toSeq == m.counterArray.toSeq)
+    assert(resumed.n == m.n)
+    // resumed + remaining == continuous
+    resumed.ingest(items.drop(200).toDF("item"), "item")
+    m.ingest(items.drop(200).toDF("item"), "item")
+    assert(resumed.counterArray.toSeq == m.counterArray.toSeq)
+    // commit the updated state, then a torn NEXT generation (crash
+    // before sentinel) must fall back to it, not shadow it
+    m.save(path, spark)
+    assert(new java.io.File(path, "gen=50/cms").mkdirs())
+    val after = StreamingCountMin.resume(p, path, spark)
+    assert(after.counterArray.toSeq == m.counterArray.toSeq)
+    assert(after.n == m.n)
+    // torn-only path refuses loudly
+    val only = java.nio.file.Files.createTempDirectory("graft_cms2").toString + "/c"
+    assert(new java.io.File(only, "gen=0/cms").mkdirs())
+    val e = intercept[IllegalArgumentException](
+      StreamingCountMin.resume(p, only, spark))
+    assert(e.getMessage.contains("no committed"))
+  }
+}
