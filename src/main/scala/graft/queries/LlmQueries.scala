@@ -2583,6 +2583,60 @@ object LlmQueries {
       |FROM cells c JOIN alloc a USING (source)
       |ORDER BY c.source, c.bucket""".stripMargin
 
+  // -- materialized repeat-upsampling ------------------------------------------
+  /** The step after a mix plan: MATERIALIZE a >1× weight as (doc,
+    * epoch) repeats — the sequence a trainer actually reads when
+    * low-resource LANGUAGES are upsampled (the multilingual-mix
+    * standard move). Weights are integer per-mille (each language
+    * upsampled toward the largest language's doc count, capped at
+    * 4×), and the fractional remainder is resolved PER DOC by its
+    * uniform hash (doc repeats ⌊w⌋+1 times iff h mod 1000 < w mod
+    * 1000), so a language at 2.3× repeats every doc twice and a
+    * deterministic, hash-stable 30% slice a third time — expected
+    * epochs per language = n·w/1000 exactly, with no RNG and no drift
+    * across snapshots/replays (a doc's epoch count only changes if
+    * its language's weight does). Plan shape at 100 TB: one
+    * partially-aggregated per-language count, two 1-row/langs-row
+    * broadcast control frames, then a MAP-SIDE explode — the repeats
+    * never shuffle, they stream straight to the writer.
+    */
+  def dataRepeatUpsample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val per = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val mx = per.agg(max(col("n_docs")).as("__max_docs"))
+    val w = per.crossJoin(broadcast(mx)) // 1-row max
+      .withColumn("w_pm", least(greatest(
+        expr("(__max_docs * 1000) div n_docs"), lit(1000L)), lit(4000L)))
+      .select("lang", "w_pm")
+    d.join(broadcast(w), "lang")
+      .withColumn("__u",
+        graft.ops.Sketches.uniformHash(col("doc_id").cast("string")) % lit(1000L))
+      .withColumn("epochs", (expr("w_pm div 1000") +
+        when(col("__u") < col("w_pm") % lit(1000L), lit(1L)).otherwise(lit(0L)))
+        .cast("long"))
+      .select(col("doc_id"), col("lang"), col("w_pm"), col("epochs"),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+      .orderBy("lang", "doc_id", "epoch")
+  }
+
+  val dataRepeatUpsampleSql: String =
+    """WITH per AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+      |mx AS (SELECT CAST(MAX(n_docs) AS BIGINT) AS max_docs FROM per),
+      |w AS (
+      |  SELECT lang, CAST(least(greatest((max_docs * 1000) // n_docs, 1000), 4000) AS BIGINT) AS w_pm
+      |  FROM per, mx),
+      |e AS (
+      |  SELECT d.doc_id, d.lang, w.w_pm,
+      |    CAST(w.w_pm // 1000 + CASE WHEN
+      |      CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      |        < w.w_pm % 1000 THEN 1 ELSE 0 END AS BIGINT) AS epochs
+      |  FROM documents d JOIN w ON w.lang = d.lang)
+      |SELECT doc_id, lang, w_pm, epochs, CAST(epoch AS BIGINT) AS epoch
+      |FROM (SELECT doc_id, lang, w_pm, epochs,
+      |        unnest(generate_series(1, epochs)) AS epoch FROM e)
+      |ORDER BY lang, doc_id, epoch""".stripMargin
+
   // -- the FLAGSHIP corpus-curation pipeline in one planned query -------------
   /** The full LLM-corpus curation deployment as ONE Catalyst plan
     * (LLM-side sibling of `cdc_pipeline_e2e`): PII scrub → Gopher/C4
@@ -3377,6 +3431,7 @@ object LlmQueries {
     "embedding_quantize_int8" -> (embeddingQuantizeInt8 _),
     "data_mix_weights" -> (dataMixWeights _),
     "data_mix_plan" -> (dataMixPlan _),
+    "data_repeat_upsample" -> (dataRepeatUpsample _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_pack_sequences_ranged" -> (dataPackSequencesRanged _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
@@ -3469,6 +3524,7 @@ object LlmQueries {
     "embedding_quantize_int8" -> embeddingQuantizeInt8Sql,
     "data_mix_weights" -> dataMixWeightsSql,
     "data_mix_plan" -> dataMixPlanSql,
+    "data_repeat_upsample" -> dataRepeatUpsampleSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     // the forced prefix-sum mode shares the window oracle — the driver
     // gate itself proves distributed packing ≡ the window packer

@@ -42,6 +42,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row (min,max) span crossed with a ~row-per-week scaffold to derive bucket keys; the range join itself is the hash equi-join asserted below",
     "data_mix_weights" ->
       "1-row corpus-total broadcast normalizes per-source weights",
+    "data_repeat_upsample" ->
+      "1-row max-language-count broadcast sets the per-mille upsample weights; the doc-to-weight join is a broadcast equi-join on lang",
     "text_tfidf_top_terms" ->
       "1-row corpus doc-count broadcast scales the fixed-point idf",
     "text_lm_perplexity" ->
