@@ -375,6 +375,58 @@ object ScaleSmoke {
         dominantDocs(s, dir).select(col("source").as("scope"),
           graft.ops.Sketches.uniformHash(col("doc_id").cast("string")).as("h"),
           col("doc_id").as("v"), col("n_chars")), 64)
+    // the weighted variant under the same dominant source: the
+    // ticket-min key adds ≤8 md5s/row of map-side CPU but NO plan
+    // change — the row measures that the weighting rides the uniform
+    // row's flat-task two-stage shape (same shuffle, same spread)
+    val sampleWeightedDominant = (s: SparkSession, dir: String) => {
+      val weight = least(greatest(
+        expr("(coalesce(n_chars, 0) - 1) div 100") + lit(1), lit(1)), lit(8))
+        .cast("int")
+      val key = array_min(transform(sequence(lit(1), weight),
+        t => graft.ops.Sketches.uniformHash(
+          concat(col("doc_id").cast("string"), lit(":"), t.cast("string")))))
+      graft.ops.Sketches.bottomKSample(
+        dominantDocs(s, dir).select(col("source").as("scope"),
+          key.as("h"), col("doc_id").as("v"), col("n_chars")), 64)
+    }
+    // the CMS build + probe on the Zipfian corpus: the sketch's whole
+    // claim is that the shuffle carries ≤ d·w cells per partition
+    // whatever the vocabulary — the counterfactual for a point-
+    // frequency answer is the naive full groupBy(token) the
+    // sketch_heavy_hitters@zipf-naive row already times on the SAME
+    // corpus (its shuffle moves every per-partition distinct token).
+    // Probes are a fixed literal head+tail token set, so the row times
+    // the sketch path itself, not an exact-count audit leg. The est
+    // filter (true always — counters are non-negative) forces the
+    // counter build under count(): ctrs' groupBy keys are provably
+    // unique, so without a referenced counter column Catalyst
+    // eliminates the left join outright and the row times an empty
+    // plan (the text_lm_perplexity hazard — the un-forced first
+    // reading was 0.25 s / 0.0 MB shuffle at 100×)
+    val cmsZipf = (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = graft.ops.CountMin.Params(d = 3, w = 4096)
+      val probes = ((1 to 10).map(i => s"tok$i") ++
+        Seq("tok499", "tok4999", "tok49999")).toDF("item")
+      graft.ops.CountMin.estimates(probes,
+        graft.ops.CountMin.counters(zipfToks(s, dir), "g", p), p)
+        .filter(col("est") >= 0L)
+    }
+    // the production hash mode: same sketch, xxhash64 buckets — the
+    // md5 row above prices cross-ENGINE determinism (the oracle's
+    // requirement); this row is what a deployment runs once the
+    // machinery is proven (every CMS guarantee is hash-agnostic)
+    val cmsZipfFast = (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = graft.ops.CountMin.Params(d = 3, w = 4096)
+      val probes = ((1 to 10).map(i => s"tok$i") ++
+        Seq("tok499", "tok4999", "tok49999")).toDF("item")
+      graft.ops.CountMin.estimates(probes,
+        graft.ops.CountMin.counters(zipfToks(s, dir), "g", p,
+          fastHash = true), p, fastHash = true)
+        .filter(col("est") >= 0L)
+    }
     // the as-of join in the regime its r13 auto-switch exists for:
     // ONE dominant entity key (80% of both sides) — synthesized on the
     // fly like the zipf corpora (no events fixture at 100×), hash-
@@ -478,6 +530,9 @@ object ScaleSmoke {
         // path vs the one-task-window counterfactual) and the binned
         // range join
         ("data_sample_uniform@dominant", 1.0, sampleDominant),
+        ("data_sample_weighted@dominant", 1.0, sampleWeightedDominant),
+        ("sketch_count_min@zipf", 1.0, cmsZipf),
+        ("sketch_count_min@zipf-fasthash", 1.0, cmsZipfFast),
         ("cdc_asof_join@hotkey", 1.0, hotAsof(100000L)),
         ("cdc_asof_join@hotkey-window", 1.0, hotAsof(Long.MaxValue)),
         ("q_range_join@big", 1.0, rangeJoinBig))

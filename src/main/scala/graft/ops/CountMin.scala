@@ -35,10 +35,19 @@ object CountMin {
   }
 
   /** Row-r bucket of an item — one codegen'd expression, shared by the
-    * build and the probe so they can never disagree.
+    * build and the probe so they can never disagree. Two hash modes:
+    * md5-derived (the default — cross-ENGINE deterministic, so a SQL
+    * oracle re-derives every counter bit-for-bit) and `fastHash`
+    * (xxhash64 — cross-RUN deterministic within Spark, ~an order of
+    * magnitude cheaper per row; the production choice once the
+    * machinery is oracle-proven, since a sketch's estimates are
+    * approximations either way and every CMS guarantee is
+    * hash-agnostic). Build and probe must use the SAME mode.
     */
-  def bucket(r: Column, item: Column, w: Int): Column =
-    Sketches.uniformHash(concat(r.cast("string"), lit(":"), item)) % lit(w)
+  def bucket(r: Column, item: Column, w: Int,
+      fastHash: Boolean = false): Column =
+    if (fastHash) pmod(xxhash64(r, item), lit(w.toLong))
+    else Sketches.uniformHash(concat(r.cast("string"), lit(":"), item)) % lit(w)
 
   /** Driver-side twin of [[bucket]] (streaming estimates, spec
     * oracles) — must agree with the column expression bit-for-bit.
@@ -53,12 +62,14 @@ object CountMin {
     * rows per partition whatever the vocabulary. Output (r, bucket,
     * c), only touched cells.
     */
-  def counters(items: DataFrame, itemCol: String, p: Params): DataFrame = {
+  def counters(items: DataFrame, itemCol: String, p: Params,
+      fastHash: Boolean = false): DataFrame = {
     val base = items.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
     base
       .select(explode(sequence(lit(0), lit(p.d - 1))).as("r"), col("item"))
-      .groupBy(col("r"), bucket(col("r"), col("item"), p.w).as("bucket"))
+      .groupBy(col("r"),
+        bucket(col("r"), col("item"), p.w, fastHash).as("bucket"))
       .agg(count(lit(1)).as("c"))
   }
 
@@ -70,10 +81,11 @@ object CountMin {
     * ever touched reads counter 0 (est = 0 — CMS never undercounts,
     * and an absent item estimates as ≥ 0 correctly).
     */
-  def estimates(probes: DataFrame, ctrs: DataFrame, p: Params): DataFrame = {
+  def estimates(probes: DataFrame, ctrs: DataFrame, p: Params,
+      fastHash: Boolean = false): DataFrame = {
     val cells = probes
       .select(col("item"), explode(sequence(lit(0), lit(p.d - 1))).as("r"))
-      .withColumn("bucket", bucket(col("r"), col("item"), p.w))
+      .withColumn("bucket", bucket(col("r"), col("item"), p.w, fastHash))
     cells.join(broadcast(ctrs), Seq("r", "bucket"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))

@@ -60,6 +60,21 @@ class CountMinSpec extends SparkSpec {
     assert(ghost >= 0L)
   }
 
+  test("fastHash mode: overcount-only invariant is hash-agnostic; build/probe agree") {
+    val items = fixture(60)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctrs = CountMin.counters(items.toDF("item"), "item", p, fastHash = true)
+    // total mass per sketch row is conserved whatever the hash
+    val mass = ctrs.groupBy("r").agg(sum("c").as("m")).collect()
+      .map(r => r.getAs[Int]("r") -> r.getAs[Long]("m")).toMap
+    assert((0 until p.d).forall(r => mass(r) == items.size.toLong))
+    val est = CountMin.estimates(exact.keys.toSeq.toDF("item"), ctrs, p,
+        fastHash = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((tok, cnt) <- exact)
+      assert(est(tok) >= cnt, s"$tok undercounted under fastHash")
+  }
+
   test("streaming fold == batch under any chunking; counters add") {
     val items = fixture(80)
     val batch = StreamingCountMin(p)
