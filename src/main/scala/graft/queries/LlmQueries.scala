@@ -2637,6 +2637,61 @@ object LlmQueries {
       |        unnest(generate_series(1, epochs)) AS epoch FROM e)
       |ORDER BY lang, doc_id, epoch""".stripMargin
 
+  // -- greedy token-budget selection --------------------------------------------
+  /** Fill a global token budget with the best documents: rank the
+    * corpus by quality (desc, doc_id tiebreak) and keep the maximal
+    * prefix whose cumulative token count fits 60% of the corpus —
+    * the "select the top-quality B tokens for this run" step between
+    * scoring and packing. The cumulative sum is
+    * [[graft.ops.Buckets.runningSumByRange]] with EMPTY partCols — a
+    * GLOBAL prefix sum with no global sort and no single-task window
+    * (one range repartition bounds every local sort at ~N/parts; the
+    * cross-partition offsets ride a parts-row broadcast control
+    * frame), which is exactly the shape a naive
+    * `SUM OVER (ORDER BY …)` plan serializes into one task at 100 TB.
+    * The budget itself is a 1-row control read (60% of total tokens,
+    * integer `div`). quality_score's IEEE chain is the
+    * text_quality_score precedent — bit-identical across engines, and
+    * doc_id breaks any score tie, so the kept set is exact.
+    */
+  def dataBudgetCut(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityFeatures(docs(s, dir), "text")
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("__ord", negate(col("quality_score")))
+    val tot = q.agg(sum(col("n_tokens")).as("__tt"))
+    Buckets.runningSumByRange(q, "n_tokens", "__ord", "doc_id",
+        Nil, "cum_tokens")
+      .crossJoin(broadcast(tot)) // 1-row total-token budget
+      .filter(col("cum_tokens") <= expr("(__tt * 6) div 10"))
+      .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+  }
+
+  val dataBudgetCutSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tokens_d,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, CAST(n_tokens_d AS BIGINT) AS n_tokens,
+      |    1.0 - least(1.0, (n_punct / n_chars_d) * 4) - least(1.0, (n_digits / n_chars_d) * 4) * 0.5
+      |      + least(0.5, n_stop / n_tokens_d) AS quality_score
+      |  FROM f),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM q),
+      |c AS (
+      |  SELECT doc_id, quality_score, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens
+      |  FROM q)
+      |SELECT doc_id, quality_score, n_tokens, cum_tokens
+      |FROM c, tot WHERE cum_tokens <= (tt * 6) // 10
+      |ORDER BY quality_score DESC, doc_id""".stripMargin
+
   // -- the FLAGSHIP corpus-curation pipeline in one planned query -------------
   /** The full LLM-corpus curation deployment as ONE Catalyst plan
     * (LLM-side sibling of `cdc_pipeline_e2e`): PII scrub → Gopher/C4
@@ -3432,6 +3487,7 @@ object LlmQueries {
     "data_mix_weights" -> (dataMixWeights _),
     "data_mix_plan" -> (dataMixPlan _),
     "data_repeat_upsample" -> (dataRepeatUpsample _),
+    "data_budget_cut" -> (dataBudgetCut _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_pack_sequences_ranged" -> (dataPackSequencesRanged _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
@@ -3525,6 +3581,7 @@ object LlmQueries {
     "data_mix_weights" -> dataMixWeightsSql,
     "data_mix_plan" -> dataMixPlanSql,
     "data_repeat_upsample" -> dataRepeatUpsampleSql,
+    "data_budget_cut" -> dataBudgetCutSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     // the forced prefix-sum mode shares the window oracle — the driver
     // gate itself proves distributed packing ≡ the window packer

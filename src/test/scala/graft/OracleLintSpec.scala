@@ -136,6 +136,7 @@ class OracleLintSpec extends SparkSpec {
     "cdc_state_at" -> Set("value"),
     "cdc_stream_apply" -> Set("value"),
     "cdc_unique_by_time_key" -> Set("value"),
+    "data_budget_cut" -> Set("quality_score"),
     "data_decontamination_semantic" -> Set("max_cos"),
     "data_mix_plan" -> Set("share", "sample_rate"),
     "data_mix_weights" -> Set("share"),

@@ -44,6 +44,8 @@ class PlanInvariantSpec extends SparkSpec {
       "1-row corpus-total broadcast normalizes per-source weights",
     "data_repeat_upsample" ->
       "1-row max-language-count broadcast sets the per-mille upsample weights; the doc-to-weight join is a broadcast equi-join on lang",
+    "data_budget_cut" ->
+      "1-row total-token broadcast sets the 60% budget; the prefix sum itself is runningSumByRange's pid equi-join over the checkpointed ranged leg",
     "text_tfidf_top_terms" ->
       "1-row corpus doc-count broadcast scales the fixed-point idf",
     "text_lm_perplexity" ->
