@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact distributed second-moment (covariance precursor) matrix over
+  * an embedding column — the PCA/whitening/decorrelation input every
+  * representation-quality pass needs.
+  *
+  * Floats are the enemy of cross-engine exactness here: a float
+  * Σ x_i·x_j depends on ADDITION ORDER, so a distributed sum can never
+  * hash-match an oracle (or itself, across partitionings). The repo's
+  * standard move applies: quantize each element to a fixed-point
+  * integer grid (q = round(x·10⁴) — one IEEE multiply + one
+  * half-away-from-zero round, bit-identical in Spark and DuckDB), then
+  * accumulate EXACT integer sums Σ q_i·q_j, Σ q_i, n. Integer addition
+  * is associative and commutative, so the result is a pure function of
+  * the data — identical under any partitioning, replay, or engine —
+  * and covariance/PCA derive from the moments in one driver-side O(d²)
+  * step with the quantization error bounded by the grid (|x| ≤ 1 ⇒
+  * |q| ≤ 10⁴ ⇒ Σ|q_i·q_j| ≤ 10⁸·n: no Long overflow below 9·10¹⁰
+  * vectors).
+  *
+  * The plan is the mergeable-summary shape, NOT a row explosion: a
+  * d(d+1)/2-slot array buffer per partition folded through Spark's
+  * partial aggregation (each input row costs one local O(d²)
+  * multiply-add sweep — the irreducible covariance work), the shuffle
+  * moves ONE buffer per partition, and the only driver materialization
+  * is the ≤ d(d+3)/2+1-slot merged summary. A naive pairs-explode plan
+  * (unnest i × unnest j, groupBy (i, j)) shuffles n·d(d+1)/2 rows —
+  * the 100 TB non-starter the oracle SQL is allowed to be.
+  */
+object Covariance {
+
+  /** Upper-triangle index of (i, j), 0 ≤ i ≤ j < d, rows-first:
+    * (0,0)(0,1)…(0,d−1)(1,1)… — shared by reduce and the unpack so
+    * they can never disagree.
+    */
+  def triIndex(i: Int, j: Int, d: Int): Int =
+    i * d - i * (i - 1) / 2 + (j - i)
+
+  /** Fixed-point element quantization, the column side: one codegen'd
+    * array expression. 1-based `i` would be the oracle's index; the
+    * array stays positional here.
+    */
+  def quantized(embCol: String, scale: Long = 10000L) =
+    expr(s"transform($embCol, x -> cast(round(cast(x as double) * $scale.0D) as bigint))")
+
+  /** One distributed pass → the exact moment frame: (i, j, s_xy, s_x,
+    * s_y, n) for every 1-based upper-triangle pair i ≤ j (d(d+1)/2
+    * rows — a control frame by construction). Vectors whose length ≠ d
+    * raise (a silent skip would unbalance the moments).
+    */
+  def moments(vectors: DataFrame, embCol: String, d: Int,
+      scale: Long = 10000L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qs = vectors.select(quantized(embCol, scale).as("value"))
+      .as[Array[Long]]
+    val summary = qs.select(new CovMoments(d).toColumn).head()
+    val nPairs = d * (d + 1) / 2
+    val n = summary(nPairs + d)
+    val rows = for (i <- 0 until d; j <- i until d) yield
+      (i + 1L, j + 1L, summary(triIndex(i, j, d)),
+        summary(nPairs + i), summary(nPairs + j), n)
+    rows.toDF("i", "j", "s_xy", "s_x", "s_y", "n")
+  }
+}
+
+/** Typed moment aggregate: buffer = [d(d+1)/2 upper-tri product sums |
+  * d element sums | count]. reduce is the per-row O(d²) multiply-add
+  * sweep (primitive long array, no boxing); merge is elementwise add —
+  * Spark's partial aggregation moves one buffer per partition.
+  */
+class CovMoments(d: Int)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]]
+    with Serializable {
+  require(d > 0, "d must be positive")
+  private val nPairs = d * (d + 1) / 2
+
+  def zero: Array[Long] = new Array[Long](nPairs + d + 1)
+
+  def reduce(b: Array[Long], q: Array[Long]): Array[Long] = {
+    require(q.length == d,
+      s"vector of dim ${q.length} in a dim-$d covariance pass")
+    var i = 0
+    var idx = 0
+    while (i < d) {
+      val qi = q(i)
+      b(nPairs + i) += qi
+      var j = i
+      while (j < d) { b(idx) += qi * q(j); idx += 1; j += 1 }
+      i += 1
+    }
+    b(nPairs + d) += 1L
+    b
+  }
+
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var k = 0
+    while (k < a.length) { a(k) += b(k); k += 1 }
+    a
+  }
+
+  def finish(r: Array[Long]): Array[Long] = r
+  def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+}

@@ -3190,6 +3190,40 @@ object LlmQueries {
       |  CAST(SUM(qx) AS DOUBLE) / COUNT(*) AS mean_q
       |FROM ex GROUP BY dim ORDER BY dim""".stripMargin
 
+  // -- exact second-moment (covariance precursor) matrix ------------------------
+  /** [[graft.ops.Covariance.moments]] — the exact d×d upper-triangle
+    * second-moment matrix over fixed-point-quantized embeddings (q =
+    * round(x·10⁴)), the PCA/whitening/decorrelation input. Float sums
+    * depend on addition order, so the repo's integer-exact doctrine
+    * applies: quantize once, accumulate exact integer Σq_i·q_j, Σq_i,
+    * n — identical under any partitioning, replay, or engine.
+    * Plan = ONE pass with a mergeable d(d+1)/2-slot array `Aggregator`
+    * (per-row local O(d²) multiply-add sweep — the irreducible
+    * covariance work; shuffle = one buffer per partition; driver holds
+    * ONE ≤d(d+3)/2+1-slot summary). The oracle's pairs-explode
+    * (n·d(d+1)/2 shuffled rows) is exactly the plan this operator
+    * exists to avoid at 100 TB.
+    */
+  def embeddingCovariance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Covariance.moments(embs(s, dir), "embedding", d = 64)
+      .orderBy("i", "j")
+
+  val embeddingCovarianceSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i,
+      |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT) AS q
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+      |m AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s_xy
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i),
+      |s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s_i FROM ex GROUP BY i),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+      |SELECT m.i, m.j, m.s_xy, sa.s_i AS s_x, sb.s_i AS s_y, n.n
+      |FROM m JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j CROSS JOIN n
+      |ORDER BY m.i, m.j""".stripMargin
+
   // -- k-NN join within labels ------------------------------------------------
   def knnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinWithinGroups(embs(s, dir), "vec_id", "embedding", "label", k = 3)
@@ -3500,6 +3534,7 @@ object LlmQueries {
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_graph_components" -> (annGraphComponents _),
     "embedding_dim_stats" -> (embeddingDimStats _),
+    "embedding_covariance" -> (embeddingCovariance _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
@@ -3596,6 +3631,7 @@ object LlmQueries {
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_graph_components" -> annGraphComponentsSql,
     "embedding_dim_stats" -> embeddingDimStatsSql,
+    "embedding_covariance" -> embeddingCovarianceSql,
     "embedding_knn_join" -> knnJoinSql,
     "multimodal_pipeline" -> multimodalSql)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{CovMoments, Covariance}
+import org.apache.spark.sql.functions._
+
+/** The exact second-moment aggregate: distributed result equals a
+  * driver-side simulation under any partitioning, the merge is
+  * elementwise addition (associative), and dimension mismatches raise
+  * rather than silently unbalance the moments.
+  */
+class CovarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = 5
+
+  private def fixture(n: Int): Seq[Array[Long]] =
+    (0 until n).map(r => Array.tabulate(d)(i => ((r * 31 + i * 7) % 19 - 9).toLong))
+
+  private def simulate(rows: Seq[Array[Long]]): (Map[(Int, Int), Long], Array[Long], Long) = {
+    val tri = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    val sums = new Array[Long](d)
+    for (q <- rows; i <- 0 until d) {
+      sums(i) += q(i)
+      for (j <- i until d) tri((i, j)) += q(i) * q(j)
+    }
+    (tri.toMap, sums, rows.size.toLong)
+  }
+
+  test("moments == driver simulation, under any partitioning") {
+    val rows = fixture(200)
+    val (tri, sums, n) = simulate(rows)
+    for (parts <- Seq(1, 4, 13)) {
+      val df = rows.map(q => Tuple1(q.map(_.toFloat / 10000.0f)))
+        .toDF("embedding").repartition(parts)
+      val got = Covariance.moments(df, "embedding", d).collect()
+      assert(got.length == d * (d + 1) / 2, s"parts=$parts")
+      got.foreach { r =>
+        val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+        assert(r.getLong(2) == tri((i, j)), s"s_xy($i,$j) parts=$parts")
+        assert(r.getLong(3) == sums(i) && r.getLong(4) == sums(j), s"sums($i,$j)")
+        assert(r.getLong(5) == n)
+      }
+    }
+  }
+
+  test("merge is elementwise addition; triIndex is the row-major upper triangle") {
+    val agg = new CovMoments(d)
+    val rows = fixture(90)
+    val chunks = rows.grouped(23).toSeq
+    val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(merged.toSeq == whole.toSeq)
+    // triIndex covers 0..nPairs-1 exactly once, in the documented order
+    val idxs = for (i <- 0 until d; j <- i until d) yield Covariance.triIndex(i, j, d)
+    assert(idxs == (0 until d * (d + 1) / 2))
+  }
+
+  test("dimension mismatch raises") {
+    val agg = new CovMoments(d)
+    val e = intercept[IllegalArgumentException](
+      agg.reduce(agg.zero, Array(1L, 2L)))
+    assert(e.getMessage.contains("dim"))
+  }
+}
