@@ -413,6 +413,14 @@ object ScaleSmoke {
         graft.ops.CountMin.counters(zipfToks(s, dir), "g", p), p)
         .filter(col("est") >= 0L)
     }
+    // the exact second-moment matrix at 100× (50k vectors): the
+    // mergeable array-buffer aggregate does the whole pass inside
+    // moments()' one-summary control read — per-row O(d²) multiply-add
+    // is the irreducible work, shuffle is one buffer per partition, so
+    // the row should track ~linear with flat tasks
+    val covMoments = (s: SparkSession, dir: String) =>
+      graft.ops.Covariance.moments(Tables.embeddings(s, dir), "embedding",
+        d = 64)
     // the production hash mode: same sketch, xxhash64 buckets — the
     // md5 row above prices cross-ENGINE determinism (the oracle's
     // requirement); this row is what a deployment runs once the
@@ -533,6 +541,7 @@ object ScaleSmoke {
         ("data_sample_weighted@dominant", 1.0, sampleWeightedDominant),
         ("sketch_count_min@zipf", 1.0, cmsZipf),
         ("sketch_count_min@zipf-fasthash", 1.0, cmsZipfFast),
+        ("embedding_covariance@100x", 1.0, covMoments),
         ("cdc_asof_join@hotkey", 1.0, hotAsof(100000L)),
         ("cdc_asof_join@hotkey-window", 1.0, hotAsof(Long.MaxValue)),
         ("q_range_join@big", 1.0, rangeJoinBig))

@@ -90,6 +90,43 @@ class CountMinSpec extends SparkSpec {
     assert(batch.estimate("tok1") >= items.count(_ == "tok1"))
   }
 
+  test("monitor composition: MG lower bound + CMS upper bound sandwich the truth, restart-safe") {
+    // the deployed shape: Misra-Gries names WHO is heavy (stored count
+    // UNDERCOUNTS), the CMS answers HOW OFTEN for any probed item
+    // (estimate OVERCOUNTS) — so for every MG candidate, at every
+    // trigger: mg_stored <= true <= cms_est. Streamed with a mid-loop
+    // save/resume of both monitors; final state == continuous run.
+    import graft.ops.Frequency.StreamingHeavyHitters
+    val mgK = 8
+    val items = fixture(40) // zipf-ish: tok1 heavy, long tail
+    val batches = items.grouped(37).toSeq
+    def run(restartAt: Option[Int]): (Map[String, Long], Seq[Long]) = {
+      var hh = StreamingHeavyHitters(mgK)
+      var cms = StreamingCountMin(p)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mon").toString
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        restartAt.filter(_ == bi).foreach { _ =>
+          hh.save(s"$dir/hh", spark); cms.save(s"$dir/cms", spark)
+          hh = StreamingHeavyHitters.resume(mgK, s"$dir/hh", spark)
+          cms = StreamingCountMin.resume(p, s"$dir/cms", spark)
+        }
+        hh.ingest(b.toDF("item"), "item")
+        cms.ingest(b.toDF("item"), "item")
+        val seen = items.take(batches.take(bi + 1).map(_.size).sum)
+        for ((cand, stored) <- hh.summary.counts) {
+          val truth = seen.count(_ == cand).toLong
+          assert(stored <= truth, s"MG overcounted $cand at trigger $bi")
+          assert(cms.estimate(cand) >= truth, s"CMS undercounted $cand at trigger $bi")
+        }
+      }
+      (hh.summary.counts, cms.counterArray.toSeq)
+    }
+    val continuous = run(None)
+    assert(run(Some(1)) == continuous, "restart changed the monitors")
+    // the heavy head is named by MG and bounded tightly by CMS
+    assert(continuous._1.contains("tok1"))
+  }
+
   test("save/resume: round-trip, torn generation refused, crash keeps previous") {
     val items = fixture(50)
     val m = StreamingCountMin(p)
