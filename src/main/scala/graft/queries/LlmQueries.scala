@@ -2637,6 +2637,58 @@ object LlmQueries {
       |        unnest(generate_series(1, epochs)) AS epoch FROM e)
       |ORDER BY lang, doc_id, epoch""".stripMargin
 
+  // -- deterministic per-epoch training order -----------------------------------
+  /** The step after [[dataRepeatUpsample]]: give every (doc, epoch)
+    * repeat its position in a deterministically SHUFFLED per-epoch
+    * reading order (trainers must not see a source- or id-ordered
+    * stream; the order must still be a pure function of the data so
+    * every replay/restart reads the same sequence). Order key =
+    * uniform hash of (doc_id, epoch) — a fresh permutation per epoch —
+    * and position = rank within the epoch. The rank is
+    * [[graft.ops.Buckets.runningSumByRange]] of ones partitioned by
+    * epoch, because an epoch is the WHOLE CORPUS — the textbook giant
+    * group: a `ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY …)`
+    * window would funnel each epoch through ONE task's sort at 100 TB,
+    * while the range machinery bounds every local sort at ~N/parts and
+    * carries cross-partition offsets in a (parts × epochs)-row
+    * broadcast control frame.
+    */
+  def dataEpochOrder(s: SparkSession, dir: String): DataFrame = {
+    val rep = dataRepeatUpsample(s, dir)
+      .withColumn("h", graft.ops.Sketches.uniformHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
+      .withColumn("__one", lit(1L))
+    Buckets.runningSumByRange(rep, "__one", "h", "doc_id",
+        Seq("epoch"), "pos")
+      .select(col("epoch"), col("pos"), col("doc_id"), col("lang"))
+      .orderBy("epoch", "pos")
+  }
+
+  val dataEpochOrderSql: String =
+    """WITH per AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+      |mx AS (SELECT CAST(MAX(n_docs) AS BIGINT) AS max_docs FROM per),
+      |w AS (
+      |  SELECT lang, CAST(least(greatest((max_docs * 1000) // n_docs, 1000), 4000) AS BIGINT) AS w_pm
+      |  FROM per, mx),
+      |e AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CAST(w.w_pm // 1000 + CASE WHEN
+      |      CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      |        < w.w_pm % 1000 THEN 1 ELSE 0 END AS BIGINT) AS epochs
+      |  FROM documents d JOIN w ON w.lang = d.lang),
+      |rep AS (
+      |  SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+      |  FROM (SELECT doc_id, lang, unnest(generate_series(1, epochs)) AS epoch FROM e)),
+      |h AS (
+      |  SELECT doc_id, lang, epoch,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM rep)
+      |SELECT epoch,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |  doc_id, lang
+      |FROM h ORDER BY epoch, pos""".stripMargin
+
   // -- greedy token-budget selection --------------------------------------------
   /** Fill a global token budget with the best documents: rank the
     * corpus by quality (desc, doc_id tiebreak) and keep the maximal
@@ -3522,6 +3574,7 @@ object LlmQueries {
     "data_mix_plan" -> (dataMixPlan _),
     "data_repeat_upsample" -> (dataRepeatUpsample _),
     "data_budget_cut" -> (dataBudgetCut _),
+    "data_epoch_order" -> (dataEpochOrder _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_pack_sequences_ranged" -> (dataPackSequencesRanged _),
     "data_contamination_ngram" -> (dataContaminationNgram _),
@@ -3617,6 +3670,7 @@ object LlmQueries {
     "data_mix_plan" -> dataMixPlanSql,
     "data_repeat_upsample" -> dataRepeatUpsampleSql,
     "data_budget_cut" -> dataBudgetCutSql,
+    "data_epoch_order" -> dataEpochOrderSql,
     "data_pack_sequences" -> dataPackSequencesSql,
     // the forced prefix-sum mode shares the window oracle — the driver
     // gate itself proves distributed packing ≡ the window packer
