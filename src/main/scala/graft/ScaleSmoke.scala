@@ -366,10 +366,13 @@ object ScaleSmoke {
         .select(col("source"), col("n_chars").as("value"))
     }
     // uniform doc sampling when one source owns 95% of the corpus:
-    // bottomKSample's whole claim is that no scope ever sorts — local
-    // per-partition bottom-k, then a ≤k·P control-frame pass; the
-    // rank filter forces the windows under count() (cardinality
-    // depends on them, so Catalyst cannot prune)
+    // bottomKSample's whole claim is that no scope ever sorts — a
+    // map-side bounded-heap pass (r14: a real mapPartitions, not a
+    // __pid window that re-shuffled the corpus), then a ≤k·P
+    // control-frame rank; the rank filter forces the window under
+    // count() (cardinality depends on it, so Catalyst cannot prune),
+    // and the heap pass is a deserialization barrier count() can
+    // never see through
     val sampleDominant = (s: SparkSession, dir: String) =>
       graft.ops.Sketches.bottomKSample(
         dominantDocs(s, dir).select(col("source").as("scope"),

@@ -83,8 +83,15 @@ object CountMin {
     */
   def estimates(probes: DataFrame, ctrs: DataFrame, p: Params,
       fastHash: Boolean = false): DataFrame = {
+    // cast the probe item to string EXACTLY like counters() casts the
+    // build side: md5 mode would coerce anyway inside the concat, but
+    // xxhash64 hashes the raw TYPED value — an int-typed probe column
+    // would silently probe wrong buckets and return 0, an undercount
+    // that breaks the sketch's one guarantee. Build and probe must be
+    // unable to disagree on type.
     val cells = probes
-      .select(col("item"), explode(sequence(lit(0), lit(p.d - 1))).as("r"))
+      .select(col("item").cast("string").as("item"),
+        explode(sequence(lit(0), lit(p.d - 1))).as("r"))
       .withColumn("bucket", bucket(col("r"), col("item"), p.w, fastHash))
     cells.join(broadcast(ctrs), Seq("r", "bucket"), "left")
       .groupBy("item")
@@ -132,14 +139,23 @@ final class StreamingCountMin private (p: CountMin.Params,
   def estimate(item: String): Long =
     (0 until p.d).map(r => cells(r * p.w + CountMin.bucketLong(r, item, p.w))).min
 
-  /** Persist non-zero cells plus the total as the next COMMITTED
-    * generation under `path` — sentinel last, torn writes can never
-    * shadow the previous summary.
+  /** Persist non-zero cells plus the total AND the sketch shape as the
+    * next COMMITTED generation under `path` — sentinel last, torn
+    * writes can never shadow the previous summary. The shape rides
+    * along (idx −2 → d, idx −3 → w) because the cell indices are flat
+    * row-major: a resume with a different (d, w) whose product still
+    * covers the saved indices would silently MISPLACE counters across
+    * rows (save w=64, resume w=128 maps saved cell (r=1, b=0) to
+    * (r=0, b=64)), after which estimate() can UNDERCOUNT — breaking
+    * the overcount-only guarantee the monitor-composition invariant
+    * depends on. [[StreamingCountMin.resume]] refuses a shape
+    * mismatch as loudly as a torn generation.
     */
   def save(path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
     val frame = (cells.zipWithIndex.collect { case (c, i) if c != 0L =>
-      (i, c, false) }.toSeq :+ ((-1, total, true)))
+      (i, c, false) }.toSeq ++
+      Seq((-2, p.d.toLong, false), (-3, p.w.toLong, false), (-1, total, true)))
       .toDF("idx", "c", "is_n").coalesce(1)
     Dedup.writeGenAndGc(path, Seq("cms" -> frame))
   }
@@ -158,9 +174,29 @@ object StreamingCountMin {
     val rows = spark.read.parquet(s"$base/cms").collect()
     val cells = new Array[Long](p.d * p.w)
     var n = 0L
+    var savedD = -1L
+    var savedW = -1L
     rows.foreach { r =>
+      val idx = r.getAs[Int]("idx")
       if (r.getAs[Boolean]("is_n")) n = r.getAs[Long]("c")
-      else cells(r.getAs[Int]("idx")) = r.getAs[Long]("c")
+      else if (idx == -2) savedD = r.getAs[Long]("c")
+      else if (idx == -3) savedW = r.getAs[Long]("c")
+    }
+    // shape gate BEFORE touching cells: flat row-major indices only
+    // mean what (d, w) said they meant at save time — resuming into a
+    // different shape would silently misplace counters and let
+    // estimate() undercount. Refuse as loudly as a torn generation.
+    require(savedD > 0 && savedW > 0,
+      s"CMS summary at $base/cms carries no sketch shape — refusing to " +
+        "resume (pre-shape or torn generation)")
+    require(savedD == p.d && savedW == p.w,
+      s"CMS summary at $base/cms was saved with shape d=$savedD w=$savedW " +
+        s"but resume asked for d=${p.d} w=${p.w} — a shape change would " +
+        "misplace counters and break the overcount-only guarantee")
+    rows.foreach { r =>
+      val idx = r.getAs[Int]("idx")
+      if (!r.getAs[Boolean]("is_n") && idx >= 0)
+        cells(idx) = r.getAs[Long]("c")
     }
     new StreamingCountMin(p, cells, n)
   }

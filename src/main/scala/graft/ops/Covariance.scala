@@ -56,9 +56,19 @@ object Covariance {
       scale: Long = 10000L): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val qs = vectors.select(quantized(embCol, scale).as("value"))
-      .as[Array[Long]]
-    val summary = qs.select(new CovMoments(d).toColumn).head()
+    // loud contract, not a silent wrap/NPE: a NULL vector or element
+    // would die opaquely inside the Array[Long] encoder, and an
+    // element outside [-1, 1] breaks the Long-overflow bound the
+    // Scaladoc promises (it assumes |q| ≤ scale) — the moments would
+    // wrap silently while still hash-matching themselves
+    val guarded = vectors.select(
+      when(col(embCol).isNotNull && !exists(col(embCol), _.isNull),
+        quantized(embCol, scale))
+        .otherwise(raise_error(lit(s"graft.Covariance.moments: NULL " +
+          s"$embCol vector or element — nulls are not supported (they " +
+          "would unbalance the moments)"))).as("value"))
+    val qs = guarded.as[Array[Long]]
+    val summary = qs.select(new CovMoments(d, maxAbs = scale).toColumn).head()
     val nPairs = d * (d + 1) / 2
     val n = summary(nPairs + d)
     val rows = for (i <- 0 until d; j <- i until d) yield
@@ -72,8 +82,17 @@ object Covariance {
   * d element sums | count]. reduce is the per-row O(d²) multiply-add
   * sweep (primitive long array, no boxing); merge is elementwise add —
   * Spark's partial aggregation moves one buffer per partition.
+  *
+  * `maxAbs` is the runtime-checked magnitude contract: the overflow
+  * bound in [[Covariance]]'s Scaladoc (no Long wrap below 9·10¹⁰
+  * vectors) only holds when every |q| ≤ scale, i.e. |x| ≤ 1 on the
+  * raw embedding — reduce raises on the first violating element
+  * instead of letting Σq_i·q_j wrap into garbage that still
+  * hash-matches itself. Default Long.MaxValue keeps direct
+  * constructors unguarded; [[Covariance.moments]] always passes its
+  * scale.
   */
-class CovMoments(d: Int)
+class CovMoments(d: Int, maxAbs: Long = Long.MaxValue)
     extends Aggregator[Array[Long], Array[Long], Array[Long]]
     with Serializable {
   require(d > 0, "d must be positive")
@@ -88,6 +107,9 @@ class CovMoments(d: Int)
     var idx = 0
     while (i < d) {
       val qi = q(i)
+      require(qi <= maxAbs && qi >= -maxAbs,
+        s"quantized element $qi exceeds the fixed-point bound ±$maxAbs " +
+          "(raw |x| > 1 voids the documented Long-overflow contract)")
       b(nPairs + i) += qi
       var j = i
       while (j < d) { b(idx) += qi * q(j); idx += 1; j += 1 }

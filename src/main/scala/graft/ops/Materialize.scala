@@ -29,7 +29,9 @@ import org.apache.spark.storage.StorageLevel
   *    range exchange, because a persisted frame is one physical plan
   *    with ONE RangePartitioner whose sampled boundaries were fixed
   *    when the DAG first ran; recompute reuses the partitioner object,
-  *    never re-samples (spec-pinned in MaterializeSpec);
+  *    never re-samples (spec-pinned in MaterializeSpec's total-block-
+  *    loss recompute case; first-attempt TASK loss during the barrier
+  *    job itself is FaultToleranceSpec's clusterBarrier case);
   *  - the count() barrier makes the persist EAGER, so every consumer
   *    forked after `barrier` returns reads stored blocks, matching
   *    localCheckpoint's eager contract.

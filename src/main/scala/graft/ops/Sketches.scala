@@ -45,11 +45,15 @@ object Sketches {
   /** Per-scope KMV distinct-count estimates, plus the exact count and
     * relative error for audit (at sketch scale the exact count is the
     * point of the exercise — at 100 TB you'd keep only the k-row
-    * sketches). `df` must carry `scope` and `h` (a uniform hash);
+    * sketches). `df` must carry `scope` and `h` (a uniform LONG hash);
     * rows with duplicate (scope, h) collapse first — KMV is a set
-    * sketch. The rank window partitions BY SCOPE, so scopes sketch in
-    * parallel; the scale path replaces the window with the associative
-    * per-partition k-minimum combine the Scaladoc above describes.
+    * sketch. The k-minimum selection IS [[bottomKSample]] with v = h
+    * (r14, replacing a per-scope window over the distinct-hash frame):
+    * each task keeps its local k smallest hashes per scope in a
+    * bounded heap, so one dominant scope costs its local bottom-ks,
+    * never one task's sort of all its distinct hashes — the
+    * associative per-partition k-minimum combine the Scaladoc above
+    * describes, shared with the quantile sample machinery.
     *
     * Estimate rule: with fewer than k distinct values the sketch IS
     * the set (estimate = exact); otherwise (k−1)·M/h_k as one double
@@ -58,9 +62,7 @@ object Sketches {
   def kmvEstimates(scoped: DataFrame, k: Int): DataFrame = {
     require(k > 1, "k must exceed 1")
     val distinctHashes = scoped.select("scope", "h").distinct()
-    val w = Window.partitionBy("scope").orderBy("h")
-    val sketch = distinctHashes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    val sketch = bottomKSample(distinctHashes.withColumn("v", col("h")), k)
       .groupBy("scope")
       .agg(max("h").as("kth_hash"), count(lit(1)).as("sketch_size"))
     val exact = distinctHashes.groupBy("scope")
@@ -87,25 +89,59 @@ object Sketches {
     * across engines, partitionings and replays).
     *
     * The plan is the associative combine written as two bounded
-    * stages, NEVER a per-scope sort of the corpus: stage 1 takes each
-    * task's local bottom-k per (pid, scope) — a window over one
-    * task's slice; stage 2 takes the global bottom-k of the ≤ k·P
-    * surviving rows per scope — a control-frame-sized window. One
-    * dominant scope costs its local top-ks, not one task's sort of
+    * stages, NEVER a per-scope sort — and (r14) stage 1 is a genuine
+    * MAP-SIDE pass: a narrow mapPartitions keeps each task's local
+    * bottom-k per scope in a bounded heap (O(log k) per row, O(scopes
+    * · k) task memory), so the corpus itself is NEVER shuffled — only
+    * the ≤ k·P survivors per scope move, into stage 2's
+    * control-frame-sized rank window. (The previous formulation wrote
+    * stage 1 as a Window over (spark_partition_id, scope), which
+    * Catalyst cannot tie to the physical partitioning — it inserted a
+    * full hash exchange of the corpus. The heap pass is the honest
+    * map-side combine; mapPartitions is justified here because no
+    * built-in bounded top-k aggregate exists over arbitrary payload
+    * columns, and the alternative IS that corpus shuffle.) One
+    * dominant scope costs its local bottom-ks, not one task's sort of
     * the whole scope. Output carries `rank` (1-based position in the
-    * scope's sample by (h, v)) and every input column.
+    * scope's sample by (h, v)) and every input column. `h` and `v`
+    * must be LONG (every caller's hash/value type; enforced loudly);
+    * a NULL h or v sorts first, like the window ordering it replaces.
     */
   def bottomKSample(scoped: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val pid = scoped.withColumn("__pid", spark_partition_id())
-    val localW = Window.partitionBy(col("__pid"), col("scope"))
-      .orderBy(col("h"), col("v"))
-    val local = pid.withColumn("__r", row_number().over(localW))
-      .filter(col("__r") <= k).drop("__r")
+    val schema = scoped.schema
+    for (c <- Seq("h", "v"))
+      require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"bottomKSample: column '$c' must be LONG, got ${schema(c).dataType}")
+    val hIdx = schema.fieldIndex("h")
+    val vIdx = schema.fieldIndex("v")
+    val sIdx = schema.fieldIndex("scope")
+    // nulls-first total order on (h, v) — identical to the Window's
+    // default null ordering; payload columns never influence rank
+    val ord: Ordering[org.apache.spark.sql.Row] = Ordering.by { r =>
+      (!r.isNullAt(hIdx), if (r.isNullAt(hIdx)) 0L else r.getLong(hIdx),
+        !r.isNullAt(vIdx), if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
+    }
+    implicit val enc: Encoder[org.apache.spark.sql.Row] = Encoders.row(schema)
+    val local = scoped.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, java.util.PriorityQueue[org.apache.spark.sql.Row]]
+      it.foreach { r =>
+        // head = LARGEST kept (h, v): a new row either beats it
+        // (pop + push, O(log k)) or is discarded in O(1)
+        val heap = heaps.getOrElseUpdate(r.get(sIdx),
+          new java.util.PriorityQueue(math.max(k, 1), ord.reverse))
+        if (heap.size < k) heap.add(r)
+        else if (ord.lt(r, heap.peek())) { heap.poll(); heap.add(r) }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        import scala.jdk.CollectionConverters._
+        h.iterator().asScala
+      }
+    }
     val globalW = Window.partitionBy(col("scope")).orderBy(col("h"), col("v"))
     local.withColumn("rank", row_number().over(globalW))
       .filter(col("rank") <= k)
-      .drop("__pid")
   }
 
   /** Per-scope APPROXIMATE quantiles from a [[bottomKSample]], with

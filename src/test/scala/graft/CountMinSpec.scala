@@ -154,4 +154,46 @@ class CountMinSpec extends SparkSpec {
       StreamingCountMin.resume(p, only, spark))
     assert(e.getMessage.contains("no committed"))
   }
+
+  test("resume refuses a sketch-shape mismatch (flat indices would misplace)") {
+    // save with w=32, resume with w=64: d*w still covers every saved
+    // flat index, so without the shape gate the counters would land in
+    // the WRONG (row, bucket) cells and estimate() could undercount —
+    // the one failure the sketch's contract forbids. The gate refuses
+    // as loudly as a torn generation, for any differing d or w.
+    val items = fixture(40)
+    val m = StreamingCountMin(p)
+    m.ingest(items.toDF("item"), "item")
+    val path = java.nio.file.Files.createTempDirectory("graft_cms3").toString + "/c"
+    m.save(path, spark)
+    for (bad <- Seq(CountMin.Params(p.d, p.w * 2), CountMin.Params(p.d + 1, p.w))) {
+      val e = intercept[IllegalArgumentException](
+        StreamingCountMin.resume(bad, path, spark))
+      assert(e.getMessage.contains("shape"), bad.toString)
+    }
+    // the matching shape still round-trips
+    assert(StreamingCountMin.resume(p, path, spark)
+      .counterArray.toSeq == m.counterArray.toSeq)
+  }
+
+  test("non-string probe column agrees with the string build (both hash modes)") {
+    // counters() casts the build side to string; estimates() must cast
+    // the probe identically — under fastHash, xxhash64 of a raw INT
+    // probe would silently hit different buckets and return 0 (an
+    // undercount with no error). Build from string tokens "1".."40",
+    // probe with the INT column 1..40: estimates must be >= truth and
+    // equal to the string-probe estimates, in md5 AND xxhash64 modes.
+    val nums = (1 to 40).flatMap(i => Seq.fill(41 - i)(i))
+    for (fast <- Seq(false, true)) {
+      val ctrs = CountMin.counters(nums.toDF("item"), "item", p, fast)
+      val intEst = CountMin.estimates(nums.distinct.toDF("item"), ctrs, p, fast)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val strEst = CountMin.estimates(nums.distinct.map(_.toString).toDF("item"),
+          ctrs, p, fast)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(intEst == strEst, s"fastHash=$fast: typed probe diverged")
+      for (i <- 1 to 40)
+        assert(intEst(i.toString) >= (41 - i).toLong, s"fastHash=$fast tok=$i")
+    }
+  }
 }

@@ -61,4 +61,35 @@ class CovarianceSpec extends SparkSpec {
       agg.reduce(agg.zero, Array(1L, 2L)))
     assert(e.getMessage.contains("dim"))
   }
+
+  test("element magnitude outside the fixed-point bound raises, not wraps") {
+    // the documented no-overflow bound assumes |x| <= 1 (|q| <= scale);
+    // an element at 1.5 would silently wrap Sigma q_i*q_j into garbage
+    // that still hash-matches itself — moments() must raise instead
+    val bad = Seq(Tuple1(Array.fill(d)(1.5f))).toDF("embedding")
+    val e = intercept[Exception](
+      Covariance.moments(bad, "embedding", d).collect())
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("fixed-point bound") ||
+        Option(e.getCause).exists(_.getMessage.contains("fixed-point bound"))))
+    // boundary |x| == 1 (q == scale exactly) still passes
+    val edge = Seq(Tuple1(Array.fill(d)(1.0f))).toDF("embedding")
+    assert(Covariance.moments(edge, "embedding", d).count() == d * (d + 1) / 2)
+  }
+
+  test("null vector or element raises the contract message, not an encoder NPE") {
+    val nullVec = Seq((1L, null: Array[java.lang.Float]),
+      (2L, Array[java.lang.Float](1.0f, 1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val e1 = intercept[Exception](
+      Covariance.moments(nullVec, "embedding", d).collect())
+    assert(e1.toString.contains("NULL") ||
+      Option(e1.getCause).exists(_.toString.contains("NULL")))
+    val nullElem = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 1.0f, 1.0f, 1.0f)))
+      .toDF("embedding")
+    val e2 = intercept[Exception](
+      Covariance.moments(nullElem, "embedding", d).collect())
+    assert(e2.toString.contains("NULL") ||
+      Option(e2.getCause).exists(_.toString.contains("NULL")))
+  }
 }

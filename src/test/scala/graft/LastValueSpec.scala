@@ -1,14 +1,14 @@
 package graft
 
-import graft.ops.{AsOf, Buckets, Materialize}
+import graft.ops.{AsOf, Buckets}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** [[Buckets.lastValueByRange]] ≡ the IGNORE NULLS carry-forward
-  * window it replaces, the [[AsOf.asOfJoin]] giant-key auto-switch's
-  * path equivalence, and the cluster-safe [[Materialize]] seam.
+  * window it replaces, and the [[AsOf.asOfJoin]] giant-key
+  * auto-switch's path equivalence. (The [[Materialize]] seam's own
+  * contract lives in MaterializeSpec.)
   */
 class LastValueSpec extends SparkSpec {
   import spark.implicits._
@@ -116,24 +116,4 @@ class LastValueSpec extends SparkSpec {
     assert(tagged.toSeq === Seq(0L))
   }
 
-  test("Materialize.clusterBarrier: DISK_ONLY_2, eager, same rows") {
-    val df = (1 to 300).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "k")
-      .repartitionByRange(4, col("k"), col("id"))
-    val m = Materialize.clusterBarrier(df)
-    // eager + replicated persistence (locally one replica can land,
-    // but the REQUESTED level must be the 2-replica disk level)
-    assert(m.storageLevel === StorageLevel.DISK_ONLY_2)
-    assert(m.count() === 300)
-    assert(m.exceptAll(df).count() === 0)
-    Materialize.release(m)
-  }
-
-  test("Materialize.barrier picks localCheckpoint on a local master") {
-    // the local leg must keep the r12 semantics: truncated lineage
-    // (ExistingRDD scan), not a persisted view of the original plan
-    val df = (1 to 10).toDF("id")
-    val m = Materialize.barrier(df)
-    assert(m.queryExecution.optimizedPlan.collectLeaves()
-      .exists(_.getClass.getSimpleName.contains("LogicalRDD")))
-  }
 }

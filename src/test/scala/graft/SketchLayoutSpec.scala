@@ -37,6 +37,25 @@ class SketchLayoutSpec extends SparkSpec {
     assert(direct.getAs[Double]("est") === est)
   }
 
+  test("KMV rides the map-side bottom-k: no window below the heap pass") {
+    import spark.implicits._
+    // r13 verdict item 5: the KMV rank used to be a per-scope window
+    // over the whole distinct-hash frame — one giant scope = one
+    // task's sort. Ported onto bottomKSample, the only Window left
+    // must rank the heap SURVIVORS: its subtree contains the
+    // mapPartitions serialization barrier (SerializeFromObject), so
+    // no window (and no sort) ever sees the corpus-sized frame.
+    val scoped = (0 until 500).map(i => s"v$i").toDF("v")
+      .select(lit("s").as("scope"), Sketches.uniformHash(col("v")).as("h"))
+    val plan = Sketches.kmvEstimates(scoped, 16).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size == 1, s"expected exactly one Window, got ${windows.size}")
+    assert(windows.head.collect {
+      case n if n.getClass.getSimpleName.contains("SerializeFromObject") => n
+    }.nonEmpty, "the rank window no longer sits above the map-side heap pass")
+  }
+
   test("KMV: below-k scopes fall back to the exact count") {
     import spark.implicits._
     val few = Seq("a", "b", "c").toDF("v")
