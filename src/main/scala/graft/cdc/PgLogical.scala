@@ -53,9 +53,16 @@ object PgLogical {
     * DELETE/keepalive frame carrying no tuple is `malformed_tuple`,
     * never mislabeled as an arity error (size(NULL) is NULL, so the
     * arity check alone cannot distinguish the two).
+    *
+    * `knownGiants`: a resolver looping over batches of one feed sees
+    * the SAME rel_id keyspace every batch — compute
+    * [[AsOf.giantKeys]] once (or carry it between batches) and pass
+    * it here to skip the per-batch control read; plan choice only,
+    * a stale profile can never change the resolved rows.
     */
   def resolve(frames: DataFrame,
-      giantKeyThreshold: Long = AsOf.DefaultGiantKeyThreshold): DataFrame = {
+      giantKeyThreshold: Long = AsOf.DefaultGiantKeyThreshold,
+      knownGiants: Option[(Seq[Any], Boolean)] = None): DataFrame = {
     val rels = frames.filter(col("op") === "RELATION")
       .select(col("rel_id"), col("lsn").as("rel_lsn"),
         col("rel_name"), col("cols"))
@@ -66,7 +73,7 @@ object PgLogical {
     AsOf.asOfJoin(rows, rels, key = "rel_id",
         leftTime = "lsn", rightTime = "rel_lsn",
         rightTiebreak = col("rel_lsn"), valueCols = Seq("rel_name", "cols"),
-        giantKeyThreshold = giantKeyThreshold)
+        giantKeyThreshold = giantKeyThreshold, knownGiants = knownGiants)
       .withColumn("col_names", split(col("cols"), ","))
       .withColumn("__vals", from_json(col("tuple"), ArrayType(StringType)))
       .withColumn("unknown_relation", col("rel_name").isNull)

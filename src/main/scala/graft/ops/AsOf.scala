@@ -34,6 +34,26 @@ object AsOf {
     */
   val DefaultGiantKeyThreshold: Long = 1L << 20
 
+  /** The control read behind [[asOfJoin]]'s per-key plan choice,
+    * exposed so callers staging SEVERAL as-ofs over the same keyspace
+    * (PgLogical resolving batch after batch against one descriptor
+    * stream; any pipeline chaining as-of stages) pay the per-key
+    * aggregation pass ONCE and hand the profile to every call via
+    * `knownGiants`. Counts what asOfJoin's internal read counts: left
+    * rows plus MATCHABLE right rows (non-null key AND time) per key.
+    * Staleness is SAFE: the profile only picks the plan — both carry
+    * paths are bit-identical — so a cached/approximate skew profile
+    * can cost speed, never correctness.
+    */
+  def giantKeys(left: DataFrame, right: DataFrame, key: String,
+      rightTime: String,
+      giantKeyThreshold: Long = DefaultGiantKeyThreshold): (Seq[Any], Boolean) =
+    Buckets.giantGroups(
+      right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+        .select(col(key))
+        .unionByName(left.select(col(key))),
+      key, giantKeyThreshold)
+
   /** @param valueCols right-side columns to carry (must not collide
     *                  with left column names)
     * @param giantKeyThreshold per-key row count at which the carry
@@ -41,6 +61,12 @@ object AsOf {
     *                  forces the range path for EVERY key (the
     *                  oracle-equivalence test mode — it skips the
     *                  control read entirely)
+    * @param knownGiants a precomputed [[giantKeys]] profile; when
+    *                  supplied the per-call control read (a full
+    *                  aggregation pass over the tagged union) is
+    *                  skipped — the seam for callers that run many
+    *                  as-ofs over one keyspace. Plan choice only:
+    *                  a stale profile can never change the answer.
     * Semantics match SQL ASOF (`l.k = r.k AND l.t >= r.t`): a right
     * row AT the left row's exact time matches; among equal-time right
     * rows the latest by `rightTiebreak` wins; NULL keys or NULL right
@@ -50,7 +76,8 @@ object AsOf {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightTiebreak: Column,
       valueCols: Seq[String],
-      giantKeyThreshold: Long = DefaultGiantKeyThreshold): DataFrame = {
+      giantKeyThreshold: Long = DefaultGiantKeyThreshold,
+      knownGiants: Option[(Seq[Any], Boolean)] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"right value columns ${valueCols.intersect(leftCols)} collide with left")
@@ -102,7 +129,8 @@ object AsOf {
 
     val (giants, allGiant) =
       if (giantKeyThreshold <= 0L) (Seq.empty[Any], true)
-      else Buckets.giantGroups(unioned.select(key), key, giantKeyThreshold)
+      else knownGiants.getOrElse(
+        Buckets.giantGroups(unioned.select(key), key, giantKeyThreshold))
     val resolved =
       if (allGiant) viaRange(unioned)
       else if (giants.isEmpty) viaWindow(unioned)

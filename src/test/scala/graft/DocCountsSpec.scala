@@ -56,7 +56,8 @@ class DocCountsSpec extends AnyFunSuite {
       "text_lm_buckets" -> "text_lm_buckets_ranged",
       "data_pack_sequences" -> "data_pack_sequences_ranged",
       "data_interleave_order" -> "data_interleave_order_ranged",
-      "cdc_asof_join" -> "cdc_asof_join_ranged")
+      "cdc_asof_join" -> "cdc_asof_join_ranged",
+      "cdc_asof_join" -> "cdc_asof_join_precounted")
     for ((exact, mode) <- pairs) {
       assert(SparkEntry.oracleSql.contains(exact), exact)
       assert(SparkEntry.oracleSql.contains(mode), mode)

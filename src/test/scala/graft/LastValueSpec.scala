@@ -107,6 +107,35 @@ class LastValueSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin knownGiants: a supplied profile picks the plan, never the answer") {
+    val (left, right) = asofFixture(11L)
+    val want = sorted(runAsof(left, right, Long.MaxValue)) // pure window
+    // giantKeys computes exactly what the internal control read
+    // computes (left rows + matchable right rows per key)
+    val tagged = left.select("k").unionByName(
+      right.filter(col("k").isNotNull && col("ts").isNotNull).select("k"))
+    val wantCounts = tagged.groupBy("k").count().collect()
+      .collect { case r if !r.isNullAt(0) && r.getLong(1) >= 100 => r.getLong(0) }
+      .toSet
+    val (giants, allGiant) = AsOf.giantKeys(left, right, "k", "ts", 100L)
+    assert(giants.map(_.asInstanceOf[Long]).toSet === wantCounts)
+    assert(!allGiant)
+    // the CORRECT cached profile and two WRONG ones (stale "no
+    // giants"; overeager "everything is giant") must all produce the
+    // window mode's exact rows — the profile is plan choice only,
+    // which is what makes carrying it across batches safe
+    for (profile <- Seq((giants, allGiant), (Seq.empty[Any], false),
+        (Seq.empty[Any], true))) {
+      val got = sorted(AsOf.asOfJoin(left, right, "k", leftTime = "ts",
+        rightTime = "ts", rightTiebreak = col("tb"), valueCols = Seq("tb", "px"),
+        giantKeyThreshold = 100L, knownGiants = Some(profile)))
+      assert(got == want, s"profile=$profile diverged from the window mode")
+    }
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
   test("asOfJoin mixed mode: hot key resolved by range, cold by window") {
     val (left, right) = asofFixture(3L)
     // threshold 100 catches key 0 (~70% of 320 tagged rows) and no other
