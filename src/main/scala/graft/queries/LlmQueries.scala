@@ -3276,6 +3276,36 @@ object LlmQueries {
       |FROM m JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j CROSS JOIN n
       |ORDER BY m.i, m.j""".stripMargin
 
+  // -- deterministic integer-exact PCA projection ------------------------------
+  /** [[graft.ops.Pca]] — the CONSUMER of row 103's moment frame: the
+    * top-2 principal directions derived from the exact moments by an
+    * integer power iteration (40 steps, max-norm ±10⁴ grid, per-step
+    * exact integer Gram–Schmidt for component 2 — orthogonality by
+    * construction, not convergence), then applied as one codegen'd
+    * integer dot product per row. ONE distributed moment pass +
+    * O(d²·steps) driver arithmetic on the control summary + ONE
+    * map-side projection pass; no shuffle beyond the moment
+    * aggregate's buffer-per-partition combine. The oracle is
+    * GENERATED ([[graft.ops.Pca.pcaOracleSql]]) and replays the
+    * whole derivation — scatter, grid normalization, every power
+    * step, the sign fix, the orthogonalization, the projection — in
+    * DuckDB integer/HUGEINT arithmetic, so the driver gate certifies
+    * the Scala derivation ≡ the SQL derivation bit-for-bit, not just
+    * the final projection.
+    */
+  def embeddingPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val mom = graft.ops.Covariance.moments(e, "embedding", d = 64).collect()
+    val comps = graft.ops.Pca.topComponents(mom, d = 64, k = 2)
+    val q = graft.ops.Covariance.quantized("embedding")
+    e.select(col("vec_id"), col("label"),
+        graft.ops.Pca.project(q, comps(0)).as("p1"),
+        graft.ops.Pca.project(q, comps(1)).as("p2"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingPcaProjectSql: String = graft.ops.Pca.pcaOracleSql(k = 2)
+
   // -- k-NN join within labels ------------------------------------------------
   def knnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoinWithinGroups(embs(s, dir), "vec_id", "embedding", "label", k = 3)
@@ -3588,6 +3618,7 @@ object LlmQueries {
     "ann_graph_components" -> (annGraphComponents _),
     "embedding_dim_stats" -> (embeddingDimStats _),
     "embedding_covariance" -> (embeddingCovariance _),
+    "embedding_pca_project" -> (embeddingPcaProject _),
     "embedding_knn_join" -> (knnJoin _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
@@ -3686,6 +3717,7 @@ object LlmQueries {
     "ann_graph_components" -> annGraphComponentsSql,
     "embedding_dim_stats" -> embeddingDimStatsSql,
     "embedding_covariance" -> embeddingCovarianceSql,
+    "embedding_pca_project" -> embeddingPcaProjectSql,
     "embedding_knn_join" -> knnJoinSql,
     "multimodal_pipeline" -> multimodalSql)
 }
