@@ -2744,6 +2744,119 @@ object LlmQueries {
       |FROM c, tot WHERE cum_tokens <= (tt * 6) // 10
       |ORDER BY quality_score DESC, doc_id""".stripMargin
 
+  // -- the trainer-facing accounting chain in one planned query ---------------
+  /** The artifact a TRAINING RUN reads, composed end-to-end as ONE
+    * Catalyst plan — the LLM flagship sibling of [[corpusCurationE2e]]
+    * (that one curates text; this one turns the curated corpus into
+    * the epoch/shard manifest a data loader consumes): greedy
+    * token-budget cut (row 102's GLOBAL empty-partCols prefix sum —
+    * quality-ranked, keep 60% of the token mass) → per-language
+    * repeat-upsample over the KEPT set (row 101's hash-resolved
+    * per-mille weights — the weights re-derive from the post-cut
+    * counts, which is the semantically right order: upsampling
+    * balances what survived selection) → deterministic per-epoch
+    * reading order (row 104's giant-group rank — an epoch is the
+    * whole corpus) → shard assignment (row 61's zero-shuffle Lehmer
+    * hash), folded to the per-(epoch, shard) manifest accounting
+    * (docs, tokens, position span, language mix). The stages compose
+    * LAZILY — the only materialization barriers are the two
+    * op-internal pinned range exchanges the prefix-sum machinery
+    * itself owns (load-bearing for correctness, [[graft.ops.Materialize]]);
+    * no stage collects, re-reads, or re-shuffles what a previous
+    * stage already positioned. The oracle replays the whole chain in
+    * SQL (budget window → weights → unnest → per-epoch rank → shard →
+    * rollup), so a drift anywhere — a wrong kept set, a wrong epoch
+    * count, a wrong position — hash-fails the manifest.
+    */
+  def corpusTrainingManifest(s: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityFeatures(docs(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("__ord", negate(col("quality_score")))
+    val tot = q.agg(sum(col("n_tokens")).as("__tt"))
+    val kept = Buckets.runningSumByRange(q, "n_tokens", "__ord", "doc_id",
+        Nil, "cum_tokens")
+      .crossJoin(broadcast(tot)) // 1-row token budget
+      .filter(col("cum_tokens") <= expr("(__tt * 6) div 10"))
+      .select("doc_id", "lang", "n_tokens")
+    val per = kept.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val mx = per.agg(max(col("n_docs")).as("__max_docs"))
+    val w = per.crossJoin(broadcast(mx)) // 1-row max
+      .withColumn("w_pm", least(greatest(
+        expr("(__max_docs * 1000) div n_docs"), lit(1000L)), lit(4000L)))
+      .select("lang", "w_pm")
+    val rep = kept.join(broadcast(w), "lang")
+      .withColumn("__u",
+        graft.ops.Sketches.uniformHash(col("doc_id").cast("string")) % lit(1000L))
+      .withColumn("epochs", (expr("w_pm div 1000") +
+        when(col("__u") < col("w_pm") % lit(1000L), lit(1L)).otherwise(lit(0L)))
+        .cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+    val ordered = Buckets.runningSumByRange(
+      rep.withColumn("h", graft.ops.Sketches.uniformHash(
+          concat(col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
+        .withColumn("__one", lit(1L)),
+      "__one", "h", "doc_id", Seq("epoch"), "pos")
+    ordered
+      .withColumn("shard", pmod(pmod(col("doc_id"), lit(2147483647L)) *
+        lit(48271L), lit(2147483647L)) % 16)
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("epoch", "shard")
+  }
+
+  val corpusTrainingManifestSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tokens_d,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, CAST(n_tokens_d AS BIGINT) AS n_tokens,
+      |    1.0 - least(1.0, (n_punct / n_chars_d) * 4) - least(1.0, (n_digits / n_chars_d) * 4) * 0.5
+      |      + least(0.5, n_stop / n_tokens_d) AS quality_score
+      |  FROM f),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM q),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens
+      |  FROM q),
+      |kept AS (SELECT doc_id, lang, n_tokens FROM c, tot WHERE cum_tokens <= (tt * 6) // 10),
+      |per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM kept GROUP BY lang),
+      |mx AS (SELECT CAST(MAX(n_docs) AS BIGINT) AS max_docs FROM per),
+      |w AS (
+      |  SELECT lang, CAST(least(greatest((max_docs * 1000) // n_docs, 1000), 4000) AS BIGINT) AS w_pm
+      |  FROM per, mx),
+      |e AS (
+      |  SELECT k.doc_id, k.lang, k.n_tokens,
+      |    CAST(w.w_pm // 1000 + CASE WHEN
+      |      CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      |        < w.w_pm % 1000 THEN 1 ELSE 0 END AS BIGINT) AS epochs
+      |  FROM kept k JOIN w ON w.lang = k.lang),
+      |rep AS (
+      |  SELECT doc_id, lang, n_tokens, CAST(epoch AS BIGINT) AS epoch
+      |  FROM (SELECT doc_id, lang, n_tokens, unnest(generate_series(1, epochs)) AS epoch FROM e)),
+      |h AS (
+      |  SELECT doc_id, lang, n_tokens, epoch,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM rep),
+      |p AS (
+      |  SELECT epoch, doc_id, lang, n_tokens,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |    ((doc_id % 2147483647) * 48271) % 2147483647 % 16 AS shard
+      |  FROM h)
+      |SELECT epoch, shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
   // -- the FLAGSHIP corpus-curation pipeline in one planned query -------------
   /** The full LLM-corpus curation deployment as ONE Catalyst plan
     * (LLM-side sibling of `cdc_pipeline_e2e`): PII scrub → Gopher/C4
@@ -3626,6 +3739,7 @@ object LlmQueries {
     "dedup_apply" -> (dedupApply _),
     "dedup_embedding_apply" -> (dedupEmbeddingApply _),
     "corpus_curation_e2e" -> (corpusCurationE2e _),
+    "corpus_training_manifest" -> (corpusTrainingManifest _),
     "dedup_ngram_coverage" -> (dedupNgramCoverage _),
     "multimodal_pipeline" -> (multimodal _))
 
@@ -3643,6 +3757,7 @@ object LlmQueries {
     "dedup_apply" -> dedupApplySql,
     "dedup_embedding_apply" -> dedupEmbeddingApplySql,
     "corpus_curation_e2e" -> corpusCurationE2eSql,
+    "corpus_training_manifest" -> corpusTrainingManifestSql,
     "dedup_ngram_coverage" -> dedupNgramCoverageSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_incremental" -> dedupEmbeddingIncrementalSql,
