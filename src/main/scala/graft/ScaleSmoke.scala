@@ -438,6 +438,43 @@ object ScaleSmoke {
           fastHash = true), p, fastHash = true)
         .filter(col("est") >= 0L)
     }
+    // the greedy token-budget cut at 100×: the GLOBAL empty-partCols
+    // runningSumByRange — the one mode of the prefix-sum machinery no
+    // other reps100 row exercises (every other row partitions by
+    // source/epoch/key). The budget filter references the carried
+    // cum_tokens, so the prefix sum is forced under count(). The
+    // counterfactual is the naive global `SUM OVER (ORDER BY …)` —
+    // Spark plans an un-partitioned window as ONE task sorting and
+    // scanning the whole corpus (the shape the operator exists to
+    // kill); its wall/spread is the row's point of comparison.
+    val budgetCutWindow = (s: SparkSession, dir: String) => {
+      val q = graft.ops.TextOps.qualityFeatures(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("quality_score"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      val tot = q.agg(sum(col("n_tokens")).as("__tt"))
+      val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum_tokens") <= expr("(__tt * 6) div 10"))
+    }
+    // per-epoch training order at 100×: an epoch IS the whole corpus —
+    // the textbook giant group (dominant by construction, no remap
+    // needed). The range path bounds every local sort at ~N/parts with
+    // a (parts × epochs)-row broadcast carry; the counterfactual
+    // row_number window funnels EACH epoch through one task's sort of
+    // ~corpus-size rows. The pos filter (true always) forces the rank
+    // under count() on both paths.
+    val epochOrderDominant = (s: SparkSession, dir: String) =>
+      LlmQueries.dataEpochOrder(s, dir).filter(col("pos") >= 1L)
+    val epochOrderDominantWindow = (s: SparkSession, dir: String) => {
+      val rep = LlmQueries.dataRepeatUpsample(s, dir)
+        .withColumn("h", graft.ops.Sketches.uniformHash(concat(
+          col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
+      val w = Window.partitionBy("epoch").orderBy(col("h"), col("doc_id"))
+      rep.withColumn("pos", row_number().over(w))
+        .filter(col("pos") >= 1L)
+    }
     // the as-of join in the regime its r13 auto-switch exists for:
     // ONE dominant entity key (80% of both sides) — synthesized on the
     // fly like the zipf corpora (no events fixture at 100×), hash-
@@ -545,6 +582,10 @@ object ScaleSmoke {
         ("sketch_count_min@zipf", 1.0, cmsZipf),
         ("sketch_count_min@zipf-fasthash", 1.0, cmsZipfFast),
         ("embedding_covariance@100x", 1.0, covMoments),
+        ("data_budget_cut@100x", 1.0, LlmQueries.dataBudgetCut _),
+        ("data_budget_cut@100x-window", 1.0, budgetCutWindow),
+        ("data_epoch_order@dominant", 1.0, epochOrderDominant),
+        ("data_epoch_order@dominant-window", 1.0, epochOrderDominantWindow),
         ("cdc_asof_join@hotkey", 1.0, hotAsof(100000L)),
         ("cdc_asof_join@hotkey-window", 1.0, hotAsof(Long.MaxValue)),
         ("q_range_join@big", 1.0, rangeJoinBig))

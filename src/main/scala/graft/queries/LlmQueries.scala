@@ -2701,19 +2701,34 @@ object LlmQueries {
     * cross-partition offsets ride a parts-row broadcast control
     * frame), which is exactly the shape a naive
     * `SUM OVER (ORDER BY …)` plan serializes into one task at 100 TB.
-    * The budget itself is a 1-row control read (60% of total tokens,
-    * integer `div`). quality_score's IEEE chain is the
-    * text_quality_score precedent — bit-identical across engines, and
-    * doc_id breaks any score tie, so the kept set is exact.
+    * The budget itself is a 1-row control read off the RANKED frame —
+    * the total token count IS the prefix sum's own maximum (inclusive
+    * cumsum of non-negative counts), so the corpus-priced regex
+    * feature scan runs ONCE: the r14 100× stage audit caught the
+    * previous `q.agg(sum(...))` formulation re-running the whole
+    * qualityFeatures pass a second time just to price the budget
+    * (the row's two heaviest stages were both that scan); reading the
+    * max off the op-internal checkpoint costs a numeric re-scan
+    * instead. The SCORED frame is barriered before the range op for
+    * the same reason: repartitionByRange evaluates its child TWICE
+    * (once for RangePartitioner's boundary sampling, once for the
+    * exchange — the stage audit showed two equal full-regex stages),
+    * so an expensive child must be pinned first; the barriered frame
+    * is the narrow (id, score, tokens) projection, not the text.
+    * quality_score's IEEE chain is the text_quality_score precedent —
+    * bit-identical across engines, and doc_id breaks any score tie,
+    * so the kept set is exact.
     */
   def dataBudgetCut(s: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.qualityFeatures(docs(s, dir), "text")
-      .select(col("doc_id"), col("quality_score"),
-        col("n_tokens").cast("long").as("n_tokens"))
-      .withColumn("__ord", negate(col("quality_score")))
-    val tot = q.agg(sum(col("n_tokens")).as("__tt"))
-    Buckets.runningSumByRange(q, "n_tokens", "__ord", "doc_id",
-        Nil, "cum_tokens")
+    val q = graft.ops.Materialize.barrier(
+      TextOps.qualityFeatures(docs(s, dir), "text")
+        .select(col("doc_id"), col("quality_score"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .withColumn("__ord", negate(col("quality_score"))))
+    val ranked = Buckets.runningSumByRange(q, "n_tokens", "__ord", "doc_id",
+      Nil, "cum_tokens")
+    val tot = ranked.agg(max(col("cum_tokens")).as("__tt"))
+    ranked
       .crossJoin(broadcast(tot)) // 1-row total-token budget
       .filter(col("cum_tokens") <= expr("(__tt * 6) div 10"))
       .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
@@ -2769,13 +2784,19 @@ object LlmQueries {
     * count, a wrong position — hash-fails the manifest.
     */
   def corpusTrainingManifest(s: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.qualityFeatures(docs(s, dir), "text")
-      .select(col("doc_id"), col("lang"), col("quality_score"),
-        col("n_tokens").cast("long").as("n_tokens"))
-      .withColumn("__ord", negate(col("quality_score")))
-    val tot = q.agg(sum(col("n_tokens")).as("__tt"))
-    val kept = Buckets.runningSumByRange(q, "n_tokens", "__ord", "doc_id",
-        Nil, "cum_tokens")
+    // pre-barrier the scored projection: repartitionByRange evaluates
+    // its child twice (boundary sampling + exchange), and this child
+    // carries the full regex feature scan (row 102's one-scan rule)
+    val q = graft.ops.Materialize.barrier(
+      TextOps.qualityFeatures(docs(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .withColumn("__ord", negate(col("quality_score"))))
+    val ranked = Buckets.runningSumByRange(q, "n_tokens", "__ord", "doc_id",
+      Nil, "cum_tokens")
+    // budget = the prefix sum's own max (row 102's one-scan rule)
+    val tot = ranked.agg(max(col("cum_tokens")).as("__tt"))
+    val kept = ranked
       .crossJoin(broadcast(tot)) // 1-row token budget
       .filter(col("cum_tokens") <= expr("(__tt * 6) div 10"))
       .select("doc_id", "lang", "n_tokens")
