@@ -1808,9 +1808,11 @@ object CdcQueries {
     * component (cdc_changefeed_files, cdc_conveyor_modes,
     * cdc_userscript_lookup, cdc_userscript_deletes_to, cdc_merge_dlq);
     * this entry proves they COMPOSE into one lazy plan with no
-    * materialization barrier between stages. One summary row per
-    * route: admitted rows, dead letters, final keys, final cents,
-    * frontier reached.
+    * materialization barrier BETWEEN stages — the one pin is the
+    * parsed SOURCE frame (r14: json + double from_json is the
+    * expensive leaf every stage's lineage would otherwise re-parse;
+    * see the inline note). One summary row per route: admitted rows,
+    * dead letters, final keys, final cents, frontier reached.
     */
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -1827,13 +1829,21 @@ object CdcQueries {
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("value", DoubleType)))
     val keyArr = from_json(col("key"), ArrayType(LongType))
-    val parsed = Changefeed.read(s, outDir)
+    // parse ONCE: the pipeline's stages (era cuts, target state,
+    // conveyor bootstrap, acceptance, three route legs' summaries)
+    // each re-evaluate their lineage down to the leaf, and this leaf
+    // is a json scan + two from_json per row — ~a dozen full
+    // re-parses without a pin (measured: 16.5 → ~6 s at sf0.1). The
+    // STAGES still compose lazily; the barrier pins only the parsed
+    // source frame, exactly like the prefix-sum ops pin their range
+    // exchange ([[graft.ops.Materialize]]).
+    val parsed = graft.ops.Materialize.barrier(Changefeed.read(s, outDir)
       .select(keyArr.getItem(0).as("user_id"), keyArr.getItem(1).as("event_id"),
         from_json(col("data"), dataSchema).as("d"),
         col("hlc.nanos").as("nanos"), col("is_delete"))
       .select(col("user_id"), col("event_id"), col("nanos"), col("is_delete"),
         col("d.event_type").as("event_type"), cents(col("d.value")).as("cents"),
-        pmod(col("user_id"), lit(4L)).as("part"))
+        pmod(col("user_id"), lit(4L)).as("part")))
     val ordE = struct(col("nanos"), col("event_id"))
     // era cuts: days 0-10 are the ALREADY-APPLIED target; later
     // mutations are the in-flight feed whose first 20 days back the

@@ -2898,6 +2898,13 @@ object LlmQueries {
     val scrubbed = TextOps.piiScrub(raw, "text")
       .select(col("doc_id"), col("source"), col("scrubbed").as("text"),
         (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"))
+    // NO pin on the survivors, deliberately (r14 measured both ways):
+    // a Materialize.barrier here wins 1.6× at sf0.1 (the PII-regex +
+    // Gopher leaf re-evaluates ~4×) but LOSES 1.35× at 100× —
+    // checkpointing 500k TEXT-bearing rows costs more than the
+    // parallel regex re-evaluation it saves (46 → 62 s; max task 17 s
+    // in the checkpoint write). The cdc_pipeline_e2e parse-once pin
+    // is the opposite case: its pinned frame is narrow numerics.
     val sur = TextOps.gopherFilters(scrubbed, "text")
       .filter(col("keep"))
       .select("doc_id", "source", "text", "has_pii")
