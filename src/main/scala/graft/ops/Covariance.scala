@@ -53,7 +53,15 @@ object Covariance {
     * raise (a silent skip would unbalance the moments).
     */
   def moments(vectors: DataFrame, embCol: String, d: Int,
-      scale: Long = 10000L): DataFrame = {
+      scale: Long = 10000L): DataFrame =
+    expand(summarize(vectors, embCol, d, scale), d, vectors.sparkSession)
+
+  /** The one distributed pass → the raw mergeable summary array
+    * ([d(d+1)/2 upper-tri product sums | d element sums | count]) —
+    * the unit [[StreamingMoments]] folds per micro-batch.
+    */
+  private[ops] def summarize(vectors: DataFrame, embCol: String, d: Int,
+      scale: Long): Array[Long] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // loud contract, not a silent wrap/NPE: a NULL vector or element
@@ -68,13 +76,114 @@ object Covariance {
           s"$embCol vector or element — nulls are not supported (they " +
           "would unbalance the moments)"))).as("value"))
     val qs = guarded.as[Array[Long]]
-    val summary = qs.select(new CovMoments(d, maxAbs = scale).toColumn).head()
+    qs.select(new CovMoments(d, maxAbs = scale).toColumn).head()
+  }
+
+  /** Summary array → the (i, j, s_xy, s_x, s_y, n) moment frame —
+    * [[graft.ops.Pca.topComponents]]' input shape.
+    */
+  private[ops] def expand(summary: Array[Long], d: Int,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val nPairs = d * (d + 1) / 2
     val n = summary(nPairs + d)
     val rows = for (i <- 0 until d; j <- i until d) yield
       (i + 1L, j + 1L, summary(triIndex(i, j, d)),
         summary(nPairs + i), summary(nPairs + j), n)
     rows.toDF("i", "j", "s_xy", "s_x", "s_y", "n")
+  }
+}
+
+/** O(d²) streaming second-moment monitor — the covariance/PCA-refresh
+  * fold per micro-batch, completing row 103's streaming story the way
+  * rows 96/100 complete the quantile/CMS sketches': one distributed
+  * [[CovMoments]] pass per batch collapses to ONE ≤ d(d+3)/2+1-slot
+  * summary, added elementwise into driver state. Integer addition is
+  * associative AND order-independent, so stream ≡ batch under any
+  * chunking EXACTLY: at any trigger the state IS the moment frame a
+  * batch pass over everything seen would produce, and
+  * [[Pca.topComponents]] re-derives fresh principal directions from
+  * it with NO corpus re-scan — the drift-aware projection refresh a
+  * streaming curation loop needs. Persistence follows the
+  * generation + commit-sentinel discipline, with (d, scale) persisted
+  * and shape-checked on resume (the r14 CMS precedent: flat slot
+  * indices only mean what the shape said at save time, and a scale
+  * change would mix incompatible fixed-point grids).
+  */
+final class StreamingMoments private (d: Int, scale: Long,
+    private val slots: Array[Long]) {
+  def this(d: Int, scale: Long = 10000L) =
+    this(d, scale, new Array[Long](d * (d + 1) / 2 + d + 1))
+
+  def n: Long = slots(slots.length - 1)
+
+  /** The raw summary (row 103's mergeable array), exposed for specs. */
+  def summaryArray: Array[Long] = slots.clone()
+
+  /** Fold one micro-batch: one distributed pass, one control read,
+    * elementwise add.
+    */
+  def ingest(batch: DataFrame, embCol: String): Unit = {
+    val s = Covariance.summarize(batch, embCol, d, scale)
+    var k = 0
+    while (k < slots.length) { slots(k) += s(k); k += 1 }
+  }
+
+  /** The exact moment frame of everything ingested — feed it to
+    * [[Pca.topComponents]] for a projection refresh at any trigger.
+    */
+  def moments(spark: SparkSession): DataFrame =
+    Covariance.expand(slots, d, spark)
+
+  /** Persist every slot plus the shape as the next COMMITTED
+    * generation under `path` — sentinel last, torn writes can never
+    * shadow the previous summary.
+    */
+  def save(path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    val frame = (slots.zipWithIndex.map { case (v, i) => (i, v) }.toSeq ++
+      Seq((-1, d.toLong), (-2, scale)))
+      .toDF("idx", "v").coalesce(1)
+    Dedup.writeGenAndGc(path, Seq("moments" -> frame))
+  }
+}
+
+object StreamingMoments {
+  def apply(d: Int, scale: Long = 10000L): StreamingMoments =
+    new StreamingMoments(d, scale)
+
+  /** Resume from the newest COMMITTED generation of
+    * [[StreamingMoments.save]]; torn generations are skipped or
+    * refused loudly, and a (d, scale) mismatch refuses as loudly as a
+    * torn write — resuming flat slots into a different shape would
+    * scramble the triangle, and a different scale mixes incompatible
+    * fixed-point grids.
+    */
+  def resume(d: Int, path: String, spark: SparkSession,
+      scale: Long = 10000L): StreamingMoments = {
+    val base = Dedup.newestCommittedGen(spark, path, Seq("moments"),
+      "moment summary")
+    val rows = spark.read.parquet(s"$base/moments").collect()
+    var savedD = -1L
+    var savedScale = -1L
+    rows.foreach { r =>
+      val idx = r.getAs[Int]("idx")
+      if (idx == -1) savedD = r.getAs[Long]("v")
+      else if (idx == -2) savedScale = r.getAs[Long]("v")
+    }
+    require(savedD > 0 && savedScale > 0,
+      s"moment summary at $base/moments carries no shape — refusing to " +
+        "resume (pre-shape or torn generation)")
+    require(savedD == d && savedScale == scale,
+      s"moment summary at $base/moments was saved with d=$savedD " +
+        s"scale=$savedScale but resume asked for d=$d scale=$scale — a " +
+        "shape change would scramble the triangle slots")
+    val slots = new Array[Long](d * (d + 1) / 2 + d + 1)
+    rows.foreach { r =>
+      val idx = r.getAs[Int]("idx")
+      if (idx >= 0) slots(idx) = r.getAs[Long]("v")
+    }
+    new StreamingMoments(d, scale, slots)
   }
 }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{CovMoments, Covariance}
+import graft.ops.{CovMoments, Covariance, Pca, StreamingMoments}
 import org.apache.spark.sql.functions._
 
 /** The exact second-moment aggregate: distributed result equals a
@@ -75,6 +75,60 @@ class CovarianceSpec extends SparkSpec {
     // boundary |x| == 1 (q == scale exactly) still passes
     val edge = Seq(Tuple1(Array.fill(d)(1.0f))).toDF("embedding")
     assert(Covariance.moments(edge, "embedding", d).count() == d * (d + 1) / 2)
+  }
+
+  private def embDf(rs: Seq[Array[Long]]) =
+    rs.map(q => Tuple1(q.map(_.toFloat / 10000.0f))).toDF("embedding")
+
+  test("StreamingMoments: fold == batch under any chunking; PCA refresh needs no re-scan") {
+    val rows = fixture(180)
+    val batch = StreamingMoments(d)
+    batch.ingest(embDf(rows), "embedding")
+    for (chunk <- Seq(37, 80, rows.size)) {
+      val m = StreamingMoments(d)
+      rows.grouped(chunk).foreach(c => m.ingest(embDf(c), "embedding"))
+      assert(m.summaryArray.toSeq == batch.summaryArray.toSeq, s"chunk=$chunk")
+      assert(m.n == rows.size)
+    }
+    // the monitor's frame IS the batch operator's frame — so a PCA
+    // refresh from the monitor equals a full-corpus re-derivation,
+    // bit for bit, with no re-scan of anything
+    val fromMonitor = batch.moments(spark).collect().map(_.toSeq)
+      .sortBy(_.toString()).toSeq
+    val fromBatch = Covariance.moments(embDf(rows), "embedding", d)
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(fromMonitor == fromBatch)
+    val refreshed = Pca.topComponents(batch.moments(spark).collect(), d, k = 2)
+    val full = Pca.topComponents(
+      Covariance.moments(embDf(rows), "embedding", d).collect(), d, k = 2)
+    assert(refreshed.map(_.toSeq) == full.map(_.toSeq))
+  }
+
+  test("StreamingMoments: save/resume round-trips; torn and shape mismatches refuse") {
+    val rows = fixture(120)
+    val m = StreamingMoments(d)
+    m.ingest(embDf(rows.take(70)), "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_mom").toString + "/m"
+    m.save(path, spark)
+    val resumed = StreamingMoments.resume(d, path, spark)
+    assert(resumed.summaryArray.toSeq == m.summaryArray.toSeq)
+    // resumed + remaining == continuous
+    resumed.ingest(embDf(rows.drop(70)), "embedding")
+    m.ingest(embDf(rows.drop(70)), "embedding")
+    assert(resumed.summaryArray.toSeq == m.summaryArray.toSeq)
+    // a torn NEXT generation (crash before sentinel) falls back to the
+    // committed one
+    m.save(path, spark)
+    assert(new java.io.File(path, "gen=50/moments").mkdirs())
+    val after = StreamingMoments.resume(d, path, spark)
+    assert(after.summaryArray.toSeq == m.summaryArray.toSeq)
+    // shape gates: different d, different scale — both refuse loudly
+    for (bad <- Seq(() => StreamingMoments.resume(d + 1, path, spark),
+        () => StreamingMoments.resume(d, path, spark, scale = 1000L))) {
+      val e = intercept[IllegalArgumentException](bad())
+      assert(e.getMessage.contains("shape") || e.getMessage.contains("scale"),
+        e.getMessage)
+    }
   }
 
   test("null vector or element raises the contract message, not an encoder NPE") {
