@@ -584,6 +584,13 @@ object ScaleSmoke {
         ("embedding_covariance@100x", 1.0, covMoments),
         ("data_budget_cut@100x", 1.0, LlmQueries.dataBudgetCut _),
         ("data_budget_cut@100x-window", 1.0, budgetCutWindow),
+        // the trainer-manifest flagship e2e (row 107): cut → upsample →
+        // epoch order → shard → rollup composed at 100× — the row
+        // proves the CHAIN scales like its components (each measured
+        // individually above/below); the final rollup's group count is
+        // (epochs × shards) — a control frame
+        ("corpus_training_manifest@100x", 1.0,
+          LlmQueries.corpusTrainingManifest _),
         ("data_epoch_order@dominant", 1.0, epochOrderDominant),
         ("data_epoch_order@dominant-window", 1.0, epochOrderDominantWindow),
         ("cdc_asof_join@hotkey", 1.0, hotAsof(100000L)),
