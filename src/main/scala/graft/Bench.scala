@@ -122,13 +122,18 @@ object Bench {
         val good = allRuns(n)
         n -> (if (good.nonEmpty) good.min else -1.0)
       }.toMap
-      // observed per-query spread across every timed run (max/min − 1):
-      // the self-documenting noise floor a later round compares against
-      // before calling a delta a regression
-      val spreads = names.map { n =>
-        val good = allRuns(n)
-        n -> (if (good.size >= 2) good.max / good.min - 1.0 else 0.0)
-      }.toMap
+      // observed per-query spread (max/min − 1): the self-documenting
+      // noise floor a later round compares against before calling a
+      // delta a regression. `spread` is STEADY-STATE — it drops each
+      // query's first run of the emitted pair, because a cold first
+      // run is all JIT/codegen (r14's artifact showed 16× "spread" on
+      // 0.1 s queries, which defeats exactly the regression-floor job
+      // this field exists for). The cold-inclusive band ships alongside
+      // as `spread_all` so the JIT cost stays visible.
+      def band(rs: Seq[Double]): Double =
+        if (rs.size >= 2) rs.max / rs.min - 1.0 else 0.0
+      val spreads = names.map { n => n -> band(allRuns(n).drop(1)) }.toMap
+      val spreadsAll = names.map { n => n -> band(allRuns(n)) }.toMap
       val passTotals = passTotalsOf(passes)
       val gated = passes.size >= 2 && results.values.forall(_ >= 0) &&
         spreadOf(passes) <= 0.15
@@ -136,9 +141,11 @@ object Bench {
         .mkString("{", ",", "}")
       val sp = spreads.map { case (k, v) => f""""$k":$v%.3f""" }
         .mkString("{", ",", "}")
+      val spAll = spreadsAll.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val pt = passTotals.mkString("[", ",", "]")
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"attempts":$attempts,"pass_totals":$pt,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"queries":$qs,"spread":$sp,"sf":"$sfDir"}"""
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"attempts":$attempts,"pass_totals":$pt,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"queries":$qs,"spread":$sp,"spread_all":$spAll,"sf":"$sfDir"}"""
       // stdout from a forked sbt run is wrapped in [info] noise that
       // can defeat the driver's JSON parse — also write the line to a
       // clean file (env-var path, default alongside the repo).
@@ -170,11 +177,14 @@ object Bench {
       attempts += 1
       val a = sweep()
       // after sweep 1 of attempt 1 there is no pair yet — emit the
-      // half-attempt so a kill mid-pair still leaves numbers; later
-      // half-attempts re-emit the best COMPLETE pair instead (a lone
-      // new sweep carries less information than a gated pair).
+      // half-attempt so a kill mid-pair still leaves numbers. On later
+      // attempts the artifact already holds the best COMPLETE pair, so
+      // re-writing it would be a redundant emit with a misleading
+      // "interim after N sweeps" marker — just log that the attempt's
+      // first sweep landed and keep the prior pair on disk.
       if (tried.isEmpty) emit(Seq(a), attempts, finalEmit = false)
-      else emit(tried.minBy(spreadOf), attempts, finalEmit = false)
+      else System.err.println(s"[bench] attempt $attempts sweep 1 done, " +
+        f"elapsed $elapsedS%.0f s — best prior pair stays in $outPath")
       val b = sweep()
       tried ::= Seq(a, b)
       emit(tried.minBy(spreadOf), attempts, finalEmit = false)

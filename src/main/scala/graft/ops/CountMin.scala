@@ -150,6 +150,14 @@ final class StreamingCountMin private (p: CountMin.Params,
     * the overcount-only guarantee the monitor-composition invariant
     * depends on. [[StreamingCountMin.resume]] refuses a shape
     * mismatch as loudly as a torn generation.
+    *
+    * FORMAT BREAK (r14): generations written before the shape rows
+    * existed carry no (d, w) and are refused by default on resume —
+    * the saved indices cannot be trusted into ANY shape the file does
+    * not itself state. An operator who knows the sketch's original
+    * Params can pass `allowLegacy = true` to resume such a generation
+    * under the caller's shape (the caller vouches for it); otherwise
+    * pre-r14 checkpoints must be rebuilt.
     */
   def save(path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
@@ -166,10 +174,16 @@ object StreamingCountMin {
 
   /** Resume from the newest COMMITTED generation of
     * [[StreamingCountMin.save]]; torn generations are skipped or
-    * refused loudly, never half-read.
+    * refused loudly, never half-read. `allowLegacy` accepts a
+    * SHAPE-LESS generation (written before r14's shape rows) under the
+    * caller's `p` — an explicit "I know the original Params" opt-in;
+    * a generation that DOES carry a shape is still required to match
+    * exactly, allowLegacy or not (a stated-but-different shape is a
+    * real mismatch, never a trust question).
     */
   def resume(p: CountMin.Params, path: String,
-      spark: org.apache.spark.sql.SparkSession): StreamingCountMin = {
+      spark: org.apache.spark.sql.SparkSession,
+      allowLegacy: Boolean = false): StreamingCountMin = {
     val base = Dedup.newestCommittedGen(spark, path, Seq("cms"), "CMS summary")
     val rows = spark.read.parquet(s"$base/cms").collect()
     val cells = new Array[Long](p.d * p.w)
@@ -186,10 +200,13 @@ object StreamingCountMin {
     // mean what (d, w) said they meant at save time — resuming into a
     // different shape would silently misplace counters and let
     // estimate() undercount. Refuse as loudly as a torn generation.
-    require(savedD > 0 && savedW > 0,
+    require(allowLegacy || (savedD > 0 && savedW > 0),
       s"CMS summary at $base/cms carries no sketch shape — refusing to " +
-        "resume (pre-shape or torn generation)")
-    require(savedD == p.d && savedW == p.w,
+        "resume (pre-r14 or torn generation; pass allowLegacy = true to " +
+        "resume under the caller's Params if the original shape is known)")
+    // a PRESENT shape must match even under allowLegacy: the flag
+    // vouches for a missing shape, it cannot override a stated one
+    require(savedD <= 0 || (savedD == p.d && savedW == p.w),
       s"CMS summary at $base/cms was saved with shape d=$savedD w=$savedW " +
         s"but resume asked for d=${p.d} w=${p.w} — a shape change would " +
         "misplace counters and break the overcount-only guarantee")

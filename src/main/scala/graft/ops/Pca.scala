@@ -177,6 +177,19 @@ object Pca {
     */
   def pcaOracleSql(k: Int, steps: Int = Steps): String = {
     require(k >= 1 && steps >= 1)
+    // HUGEINT headroom bound (r15, from the r14 advisor's range
+    // analysis): the Scala side runs Gram–Schmidt in BigInt, but the
+    // generated CTE chain runs in DuckDB HUGEINT (±~1.7e38). Each
+    // orthogonalization within one power step multiplies the running
+    // iterate by another |Σ x²| ≤ d·10⁸ norm factor, so at k ≥ 4 the
+    // third orthogonalization of a step reaches ~1.3e40 and the oracle
+    // errors/hash-fails DESPITE a correct Scala derivation. Fail at
+    // generation time with the reason, not at driver-gate time with a
+    // mystery overflow.
+    require(k <= 3, s"pcaOracleSql: k=$k would overflow DuckDB HUGEINT " +
+      "in the per-step Gram-Schmidt chain (the third orthogonalization " +
+      "of a step exceeds ~1.7e38); the Scala path (BigInt) is fine — " +
+      "only the generated oracle is bounded at k <= 3")
     def fd(a: String, b: String) =
       s"((($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b))"
     val ctes = scala.collection.mutable.ArrayBuffer(

@@ -106,9 +106,25 @@ object Sketches {
     * scope's sample by (h, v)) and every input column. `h` and `v`
     * must be LONG (every caller's hash/value type; enforced loudly);
     * a NULL h or v sorts first, like the window ordering it replaces.
+    *
+    * TASK-MEMORY CONTRACT (r15): the heap map holds O(distinct scopes
+    * in the partition × k) deserialized rows — fine for the per-source
+    * scopes every registered caller uses (≤ dozens), but a
+    * high-cardinality scope (per-domain, per-url) would grow it
+    * unboundedly; the sort-based window this pass replaced spilled to
+    * disk, so the heap path must not trade that for an executor OOM.
+    * `maxScopesPerTask` bounds it: once a task tracks that many scopes,
+    * rows of scopes NOT already tracked pass through UNPRUNED straight
+    * to stage 2's window (exactly the shuffle the window formulation
+    * pays — graceful degradation, never an OOM, and never a wrong
+    * answer: stage 2 re-ranks and re-bounds whatever reaches it, so
+    * extra survivors are filtered, not kept). Established scopes keep
+    * their heaps — the long-lived scopes are where pruning pays.
     */
-  def bottomKSample(scoped: DataFrame, k: Int): DataFrame = {
+  def bottomKSample(scoped: DataFrame, k: Int,
+      maxScopesPerTask: Int = 4096): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxScopesPerTask > 0, "maxScopesPerTask must be positive")
     val schema = scoped.schema
     for (c <- Seq("h", "v"))
       require(schema(c).dataType == org.apache.spark.sql.types.LongType,
@@ -126,15 +142,31 @@ object Sketches {
     val local = scoped.mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap
         .empty[Any, java.util.PriorityQueue[org.apache.spark.sql.Row]]
-      it.foreach { r =>
-        // head = LARGEST kept (h, v): a new row either beats it
-        // (pop + push, O(log k)) or is discarded in O(1)
-        val heap = heaps.getOrElseUpdate(r.get(sIdx),
-          new java.util.PriorityQueue(math.max(k, 1), ord.reverse))
-        if (heap.size < k) heap.add(r)
-        else if (ord.lt(r, heap.peek())) { heap.poll(); heap.add(r) }
+      // lazy flatMap, not an eager foreach: over-cap pass-through rows
+      // stream straight to the output iterator instead of accumulating
+      // anywhere — task memory stays ≤ maxScopesPerTask × k rows
+      val pruned = it.flatMap { r =>
+        val key = r.get(sIdx)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None if heaps.size < maxScopesPerTask =>
+            val h = new java.util.PriorityQueue[org.apache.spark.sql.Row](
+              math.max(k, 1), ord.reverse)
+            heaps.put(key, h); h
+          case None => null // scope cap reached: pass the row through
+        }
+        if (heap == null) Iterator.single(r)
+        else {
+          // head = LARGEST kept (h, v): a new row either beats it
+          // (pop + push, O(log k)) or is discarded in O(1)
+          if (heap.size < k) heap.add(r)
+          else if (ord.lt(r, heap.peek())) { heap.poll(); heap.add(r) }
+          Iterator.empty
+        }
       }
-      heaps.valuesIterator.flatMap { h =>
+      // ++'s by-name rhs evaluates only after `pruned` is exhausted,
+      // i.e. after every heap is fully populated
+      pruned ++ heaps.valuesIterator.flatMap { h =>
         import scala.jdk.CollectionConverters._
         h.iterator().asScala
       }

@@ -176,6 +176,38 @@ class CountMinSpec extends SparkSpec {
       .counterArray.toSeq == m.counterArray.toSeq)
   }
 
+  test("allowLegacy resumes a shape-less (pre-r14) generation; default refuses") {
+    // simulate a pre-shape checkpoint: same cell/total rows, NO idx
+    // -2/-3 shape rows. Default resume must refuse loudly (the file
+    // cannot vouch for any shape); allowLegacy = true accepts it under
+    // the CALLER's Params and reproduces the counters exactly. A
+    // generation that DOES state a shape still refuses a mismatch even
+    // under allowLegacy — the flag vouches for absence, not conflict.
+    val items = fixture(40)
+    val m = StreamingCountMin(p)
+    m.ingest(items.toDF("item"), "item")
+    val legacy = java.nio.file.Files.createTempDirectory("graft_cms4").toString + "/c"
+    val frame = (m.counterArray.zipWithIndex.collect { case (c, i) if c != 0L =>
+      (i, c, false) }.toSeq :+ ((-1, m.n, true)))
+      .toDF("idx", "c", "is_n").coalesce(1)
+    // hand-written generation (save() would add the shape rows): the
+    // parquet plus the commit sentinel, exactly what a pre-r14 save left
+    frame.write.parquet(s"$legacy/gen=0/cms")
+    assert(new java.io.File(s"$legacy/gen=0/_GRAFT_COMMITTED").createNewFile())
+    val e = intercept[IllegalArgumentException](
+      StreamingCountMin.resume(p, legacy, spark))
+    assert(e.getMessage.contains("allowLegacy"))
+    val resumed = StreamingCountMin.resume(p, legacy, spark, allowLegacy = true)
+    assert(resumed.counterArray.toSeq == m.counterArray.toSeq)
+    assert(resumed.n == m.n)
+    // stated-shape mismatch is still fatal under allowLegacy
+    val shaped = java.nio.file.Files.createTempDirectory("graft_cms5").toString + "/c"
+    m.save(shaped, spark)
+    val e2 = intercept[IllegalArgumentException](StreamingCountMin.resume(
+      CountMin.Params(p.d, p.w * 2), shaped, spark, allowLegacy = true))
+    assert(e2.getMessage.contains("shape"))
+  }
+
   test("non-string probe column agrees with the string build (both hash modes)") {
     // counters() casts the build side to string; estimates() must cast
     // the probe identically — under fastHash, xxhash64 of a raw INT

@@ -31,6 +31,27 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("bottomKSample scope cap: over-cap scopes pass through unpruned, answer unchanged") {
+    // 50 scopes against a cap of 3: almost every scope overflows the
+    // per-task heap map, so its rows stream through unpruned to stage
+    // 2's window — the r15 task-memory contract (the map never exceeds
+    // maxScopesPerTask × k rows BY CONSTRUCTION: a 51st scope never
+    // allocates a heap). The cap is a memory bound, never a semantics
+    // knob: the capped result must equal the uncapped path's exactly.
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 50).flatMap { sc =>
+      (0 until 40).map(i => (s"s$sc", rnd.nextLong(), sc * 40L + i))
+    }
+    val df = rows.toDF("scope", "h", "v").repartition(4)
+    def run(cap: Int) = Sketches.bottomKSample(df, 8, maxScopesPerTask = cap)
+      .select("scope", "h", "v", "rank").as[(String, Long, Long, Int)]
+      .collect().toSet
+    val uncapped = run(Int.MaxValue)
+    val capped = run(3)
+    assert(capped == uncapped)
+    assert(capped.groupBy(_._1).values.forall(_.size == 8))
+  }
+
   test("sampledQuantiles: est is the sample's discrete quantile; n <= k => est = exact") {
     // small scope fits the sample entirely: every estimate must equal
     // the exact quantile (err = 0); big scope's err is bounded sanely
