@@ -74,6 +74,21 @@ object StreamBench {
     var lengthsLedger = Seq.empty[(Long, Long)].toDF("doc_id", "len")
     val exactWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     var lastExact = Map.empty[Double, Long]
+    // the DRIFT-AWARE PCA REFRESH stage (row 108 deployed, the rows
+    // 93/96 precedent): per trigger the O(d²) moment monitor folds the
+    // trigger's embedding slice; every compaction Pca.topComponents
+    // re-derives the principal directions FROM DRIVER STATE (no corpus
+    // re-scan) and the projection stage swaps to the fresh component —
+    // each trigger then projects its slice through the CURRENT
+    // direction (one codegen'd integer dot product per row)
+    import graft.ops.{Covariance, Pca, StreamingMoments}
+    val embs = Tables.embeddings(spark, base)
+      .select("vec_id", "embedding").cache()
+    embs.count()
+    val momMonitor = StreamingMoments(64)
+    var pcaComp: Option[Array[Long]] = None
+    val pcaRefreshWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var projSum = 0L
     val walls = (0 until nBatches).map { i =>
       val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
       val curated = TextOps.gopherFilters(
@@ -102,6 +117,15 @@ object StreamBench {
       trimmedTotal += gatedN - keptC.count()
       lengthsLedger = lengthsLedger.unionByName(keptC.select("doc_id", "len"))
       pairsTotal += state.ingest(keptC.select("doc_id", "text")).count()
+      // moment fold + projection through the current direction: the
+      // trigger's embedding slice rides the same %nBatches scheme
+      val eSlice = embs.filter(pmod(col("vec_id"), lit(nBatches)) === i)
+      momMonitor.ingest(eSlice, "embedding")
+      pcaComp.foreach { c =>
+        projSum += eSlice.select(sum(abs(Pca.project(
+            Covariance.quantized("embedding"), c))).as("s"))
+          .head().getLong(0)
+      }
       if ((i + 1) % compactEvery == 0) {
         // exact recalibration over everything kept so far — wall
         // recorded separately so the flat per-trigger claim stays honest
@@ -112,6 +136,12 @@ object StreamBench {
           .collect().map(r => r.getDouble(r.fieldIndex("q")) ->
             r.getAs[Long]("value")).toMap
         exactWalls += (System.nanoTime() - te) / 1e9
+        // PCA refresh from the monitor — pure driver math on the
+        // O(d²) summary, walled separately so its cost is visible
+        val tp = System.nanoTime()
+        pcaComp = Some(Pca.topComponents(
+          momMonitor.moments(spark).collect(), d = 64, k = 1).head)
+        pcaRefreshWalls += (System.nanoTime() - tp) / 1e9
       }
       keptC.unpersist()
       (System.nanoTime() - t0) / 1e9
@@ -125,9 +155,12 @@ object StreamBench {
     println(f"curation loop: $nBatches triggers, compactEvery=$compactEvery, " +
       f"pairs=$pairsTotal, trimmed=$trimmedTotal, firstQ ${firstQ}%.2f s/trigger, " +
       f"lastQ ${lastQ}%.2f, ramp ${ramp}%.2fx, swap trigger ${walls(swapAt)}%.2f s, " +
-      f"p95 est/exact $estP95/$exactP95")
+      f"p95 est/exact $estP95/$exactP95, pca refresh mean " +
+      f"${pcaRefreshWalls.sum / math.max(1, pcaRefreshWalls.size)}%.3f s, " +
+      f"projSum $projSum")
     docs.unpersist()
-    f"""{"mode": "curation_loop", "triggers": $nBatches, "compact_every": $compactEvery, "pairs": $pairsTotal, "trimmed": $trimmedTotal, "first_q_sec": $firstQ%.3f, "last_q_sec": $lastQ%.3f, "ramp": $ramp%.2f, "lm_swap_at": $swapAt, "lm_swap_sec": ${walls(swapAt)}%.3f, "p95_est": $estP95, "p95_exact": $exactP95, "exact_walls": [${exactWalls.map(w => f"$w%.2f").mkString(",")}], "walls": [${walls.map(w => f"$w%.2f").mkString(",")}]}"""
+    embs.unpersist()
+    f"""{"mode": "curation_loop", "triggers": $nBatches, "compact_every": $compactEvery, "pairs": $pairsTotal, "trimmed": $trimmedTotal, "first_q_sec": $firstQ%.3f, "last_q_sec": $lastQ%.3f, "ramp": $ramp%.2f, "lm_swap_at": $swapAt, "lm_swap_sec": ${walls(swapAt)}%.3f, "p95_est": $estP95, "p95_exact": $exactP95, "proj_sum": $projSum, "pca_refresh_walls": [${pcaRefreshWalls.map(w => f"$w%.3f").mkString(",")}], "exact_walls": [${exactWalls.map(w => f"$w%.2f").mkString(",")}], "walls": [${walls.map(w => f"$w%.2f").mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -391,6 +391,71 @@ class StreamingCurationSpec extends SparkSpec {
       "the near-dup pair must survive the model swap between its ends")
   }
 
+  test("drift-aware PCA refresh slots into the loop: monitor refresh ≡ full re-derivation, restart-safe, drift visible") {
+    import graft.ops.{Covariance, Pca, StreamingMoments}
+    // the row-108 deployment (rows 93/96 set the precedent): per
+    // trigger the O(d²) moment monitor folds the batch's embeddings;
+    // every `refreshEvery` triggers Pca.topComponents re-derives the
+    // principal directions FROM THE MONITOR — no corpus re-scan — and
+    // the projection stage swaps to the fresh components. Proven here:
+    // every refresh is bit-identical to a full-corpus re-derivation at
+    // that trigger, a save/resume restart mid-stream changes nothing,
+    // and the refresh actually TRACKS drift (the corpus's dominant
+    // axis flips mid-stream; the refreshed first component follows).
+    val d = 8
+    val rnd = new scala.util.Random(15L)
+    // regime A (first half): axis 0 dominant, modest amplitude;
+    // regime B (second half): axis 1 dominant, large amplitude — the
+    // final scatter is axis-1 led while the mid-stream one is axis-0
+    def vec(drift: Boolean): Seq[Double] = {
+      val (main, amp) = if (drift) (1, 0.9) else (0, 0.35)
+      Seq.tabulate(d) { j =>
+        val x = if (j == main) rnd.nextGaussian() * amp
+                else rnd.nextGaussian() * 0.04
+        math.max(-1.0, math.min(1.0, x))
+      }
+    }
+    val vecs = (0 until 240).map(i => (i.toLong, vec(i >= 120)))
+    val batches = vecs.grouped(60).toSeq
+
+    def runLoop(resumeAt: Option[Int]): Seq[Seq[Seq[Long]]] = {
+      var monitor = StreamingMoments(d)
+      val path = java.nio.file.Files.createTempDirectory("graft_pcaref")
+        .toString + "/m"
+      val refreshes = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Long]]]
+      batches.zipWithIndex.foreach { case (batch, bi) =>
+        resumeAt.filter(_ == bi).foreach { _ =>
+          monitor.save(path, spark)
+          monitor = StreamingMoments.resume(d, path, spark)
+        }
+        monitor.ingest(batch.toDF("vec_id", "embedding"), "embedding")
+        // refresh every other trigger, from DRIVER STATE only
+        if (bi % 2 == 1) {
+          val comps = Pca.topComponents(
+            monitor.moments(spark).collect(), d, k = 2)
+          refreshes += comps.map(_.toSeq)
+          // the refresh must equal a full re-derivation over everything
+          // ingested so far — same moments, same directions, bit-for-bit
+          val seen = vecs.take((bi + 1) * 60).toDF("vec_id", "embedding")
+          val full = Pca.topComponents(
+            Covariance.moments(seen, "embedding", d).collect(), d, k = 2)
+          assert(comps.map(_.toSeq) == full.map(_.toSeq), s"trigger $bi")
+        }
+      }
+      refreshes.toSeq
+    }
+
+    val refreshes = runLoop(None)
+    assert(refreshes.size == 2)
+    def leadAxis(c: Seq[Long]): Int = c.indices.maxBy(i => math.abs(c(i)))
+    // drift visible: first refresh (regime A only) leads on axis 0,
+    // final refresh (regime B's scatter dominates) leads on axis 1
+    assert(leadAxis(refreshes.head.head) == 0)
+    assert(leadAxis(refreshes.last.head) == 1)
+    // restart-safety: a save/resume between triggers changes nothing
+    assert(runLoop(Some(2)) == refreshes)
+  }
+
   test("length-band trim slots into the loop: O(k) monitor band + exact recalibration, restart-safe") {
     import graft.ops.{Buckets, QEntry, Sketches, StreamingQuantiles}
     // the rows-91/92 deployment: per trigger the quantile monitor
