@@ -442,7 +442,18 @@ object Similarity {
     // designed for dup-grade thresholds, where the clamp never binds).
     val (planes, tables) =
       lshGranularity(nPlanes, nTables, threshold, () => repVecs.count())
-    val b = repVecs.select(col("vid").as("rep_id"),
+    // explicit fan-out before the bucketing (r15 stage audit): the
+    // identity-collapse groupBy's output is SMALL IN BYTES (n_reps ×
+    // d floats), so AQE coalesces it to ~1 partition — and then the
+    // CPU-DENSE hash projection (tables × planes × d multiply-adds
+    // per vector) runs serially: one 3.5 s task owned 68% of
+    // dedup_embedding_cosine's gated wall at sf0.1, and at 100× the
+    // same byte-sized coalescing leaves ~2 tasks for ~10¹¹
+    // multiply-adds. A fixed-width round-robin exchange of the tiny
+    // rep frame (explicit numPartitions disables AQE coalescing)
+    // spreads the hashing across the cluster for ~1 MB of shuffle.
+    val fanOut = df.sparkSession.sparkContext.defaultParallelism
+    val b = repVecs.repartition(fanOut).select(col("vid").as("rep_id"),
       posexplode(lshTableBuckets(col("vec"), tables, planes))
         .as(Seq("table_id", "bucket")))
     selfPairsExpanded(b,
@@ -546,7 +557,11 @@ object Similarity {
     val repVecs = reps.select(col("rep_id"), col("__v").as("vec"))
     val (planes, tables) =
       lshGranularity(nPlanes, nTables, threshold, () => repVecs.count())
-    val buckets = repVecs.select(col("rep_id"),
+    // same explicit fan-out as embeddingNearDups (r15): the collapsed
+    // rep frame is byte-small, the hash projection is CPU-dense —
+    // don't let AQE serialize the index build's bucketing
+    val fanOut = df.sparkSession.sparkContext.defaultParallelism
+    val buckets = repVecs.repartition(fanOut).select(col("rep_id"),
       posexplode(lshTableBuckets(col("vec"), tables, planes))
         .as(Seq("table_id", "bucket")))
     EmbeddingIndex(buckets, repVecs, members, planes, tables)

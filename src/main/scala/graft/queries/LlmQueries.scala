@@ -2523,11 +2523,18 @@ object LlmQueries {
     val cap = 15
     val wCap = Window.partitionBy(col("source"))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    val kept = docs(s, dir)
+    // pre-barrier the NARROW scored frame (r15 stage audit, the
+    // budget-cut/leaf-pin precedent): ntileByHistogram evaluates its
+    // input twice (histogram pass + assignment join), so without the
+    // pin the cap window AND the tokenize regex re-run per leg — and
+    // the un-narrowed frame dragged the full `text` column through
+    // the bucket join. Three numeric-ish columns pin cheaply.
+    val kept = graft.ops.Materialize.barrier(docs(s, dir)
       .withColumn("__rn", row_number().over(wCap))
       .filter(col("__rn") <= cap)
       .drop("__rn")
       .withColumn("n_tokens", size(tokenize(col("text"))))
+      .select("doc_id", "source", "n_tokens"))
     val cells = Buckets.ntileByHistogram(kept, "n_tokens", "doc_id", 10)
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("cell_docs"),
