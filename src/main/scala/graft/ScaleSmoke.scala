@@ -117,7 +117,10 @@ object ScaleSmoke {
         s"curation fixture keep-set drifted: raw $rawKeeps × $reps != $fixKeeps")
     }
 
-    if (!reps100 && !fixtureDone(s"$out/events.parquet")) {
+    // events scale at EVERY reps since r15: the cdc_pipeline_e2e
+    // permanent 100× row reads them (6M rows at 100× — a one-time
+    // cached build like the others)
+    if (!fixtureDone(s"$out/events.parquet")) {
       val repCol = explode(sequence(lit(0), lit(reps - 1))).as("__r")
       // N replicas = N× the USERS with the same per-user event series:
       // per-key workload shape (txn buckets, sessions, GTID islands) is
@@ -169,6 +172,74 @@ object ScaleSmoke {
     // the Gopher keep-set matches and the dedup stage does real work)
     val curationE2e = (s: SparkSession, dir: String) =>
       LlmQueries.corpusCurationE2e(s, if (dir == base) dir else s"$out/curation")
+    // the composed embedding-dedup SHIP-IT step (edges → CC → per-label
+    // keep stats) in the dup-grade regime — shared by the 10× suite and
+    // (r15) the permanent 100× row: the components (cosine@0.8, CC) had
+    // 100× rows, the composed apply did not
+    val dedupEmbeddingApply08 = (s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir)
+      // verifyChunks at the BIG scale only (the embeddingIncr
+      // rationale): the 100× all-candidates verify spilled past this
+      // host's free disk — 8 sequential per-table-slice jobs bound
+      // peak shuffle at ~1/8; base keeps the single-plan path
+      val edges = graft.ops.Similarity.embeddingNearDups(
+        e, "vec_id", "embedding", nPlanes = 0, nTables = 0,
+        threshold = 0.8,
+        verifyChunks = if (dir == base) 1 else 8).select("id_a", "id_b")
+      val cl = graft.ops.Dedup.dupClusters(e.select("vec_id"), "vec_id", edges)
+      e.join(cl.select("vec_id", "is_dup"), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"))
+    }
+    // eval-probes-train decontamination at dup-grade 0.8 with auto
+    // granularity (shared 10×/100× — r15 adds the permanent 100× row):
+    // split on the ORIGINAL id so the eval set is 10% of every replica;
+    // the cross verify chunks at the big scale like embeddingIncr
+    val deconSemantic08 = (s: SparkSession, dir: String) => {
+      val e = Tables.embeddings(s, dir)
+      val orig = if (dir == base) col("vec_id")
+                 else floor(col("vec_id") / lit(mult)).cast("long")
+      val ix = graft.ops.Similarity.buildEmbeddingIndex(
+        e.filter(pmod(orig, lit(10)) =!= 0), "vec_id", "embedding",
+        nPlanes = 0, nTables = 0, threshold = 0.8)
+      graft.ops.Similarity.incrementalVecDupPairs(
+        e.filter(pmod(orig, lit(10)) === 0), ix,
+        "vec_id", "embedding", threshold = 0.8,
+        verifyChunks = if (dir == base) 1 else 8)
+    }
+    // the PQ serving shape in the PRUNED regime (r15, the AnnPruningSpec
+    // regime the oracle's exhaustive nCells=nProbe=16 config is not):
+    // nCells ∝ √n with a bounded probe over the %8 sub-corpus (the knn
+    // family's fixture), a PINNED 32-query sample (a fleet audits a
+    // fixed probe set), and the recall audit CARRIED — hits against the
+    // brute-force ground truth plus the mean |exact−quantized| cosine
+    // reconstruction error, so the row can't silently trade recall for
+    // wall. Assignment is n·√n (exponent 1.5 like the knn rows).
+    val ivfPqSqrtN = (s: SparkSession, dir: String) => {
+      val sub = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(8)) === 0)
+      val q = sub.orderBy("vec_id").limit(32)
+      val n = if (dir == base) 250L else 250L * reps
+      val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val exact = graft.ops.Similarity.bruteForceTopK(
+        sub, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      graft.ops.Similarity.ivfPqTopK(sub, q, "vec_id", "embedding",
+          nCells = nCells, nProbe = 4, k = 5, rerank = 64)
+        .join(exact.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy()
+        .agg(count(lit(1)).as("n_served"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+          avg(col("recon_err")).as("mean_recon_err"))
+        // always-true filter referencing every audit column: a global
+        // agg is 1 row whatever its expressions, so under count()
+        // Catalyst would otherwise prune them and time an empty plan
+        // (the text_lm_perplexity hazard)
+        .filter(col("n_served") >= 0L && col("n_hits") >= 0L &&
+          coalesce(col("mean_recon_err"), lit(0.0)) >= 0.0)
+    }
     // SemDeDup's k∝n constant-cell contract, at whatever reps this run uses
     val semanticKpropN = (s: SparkSession, dir: String) => {
       val k = if (dir == base) 8 else 8 * reps
@@ -595,7 +666,18 @@ object ScaleSmoke {
         ("data_epoch_order@dominant-window", 1.0, epochOrderDominantWindow),
         ("cdc_asof_join@hotkey", 1.0, hotAsof(100000L)),
         ("cdc_asof_join@hotkey-window", 1.0, hotAsof(Long.MaxValue)),
-        ("q_range_join@big", 1.0, rangeJoinBig))
+        ("q_range_join@big", 1.0, rangeJoinBig),
+        // r15 permanent rows: the composed embedding-dedup apply (its
+        // components had 100× rows, the composition did not), the
+        // eval-probes-train decontamination, the PQ serving probe in
+        // the pruned √n regime with the recall audit carried, and the
+        // CDC flagship e2e (proving the r14 parse-once leaf pin's win
+        // side at 100× — the rule's loss side was measured at 100× on
+        // curation_e2e, the win side only at sf0.1)
+        ("dedup_embedding_apply@0.8", 1.33, dedupEmbeddingApply08),
+        ("decon_semantic@0.8", 1.33, deconSemantic08),
+        ("ann_ivf_pq@sqrtn", 1.5, ivfPqSqrtN),
+        ("cdc_pipeline_e2e", 1.0, CdcQueries.pipelineE2e _))
       else Seq(
         ("cdc_gtid_frontier", 1.0, CdcQueries.gtidFrontier _),
         ("gtid_islands_single_source", 1.0, gtidSingleSource),
@@ -669,17 +751,7 @@ object ScaleSmoke {
         // eval probe of the train index at dup-grade 0.8 with auto
         // granularity (same regime rationale as the @0.8 rows): split
         // on the ORIGINAL id so the eval set is 10% of every replica
-        ("decon_semantic@0.8", 1.33, (s: SparkSession, dir: String) => {
-          val e = Tables.embeddings(s, dir)
-          val orig = if (dir == base) col("vec_id")
-                     else floor(col("vec_id") / lit(mult)).cast("long")
-          val ix = graft.ops.Similarity.buildEmbeddingIndex(
-            e.filter(pmod(orig, lit(10)) =!= 0), "vec_id", "embedding",
-            nPlanes = 0, nTables = 0, threshold = 0.8)
-          graft.ops.Similarity.incrementalVecDupPairs(
-            e.filter(pmod(orig, lit(10)) === 0), ix,
-            "vec_id", "embedding", threshold = 0.8)
-        }),
+        ("decon_semantic@0.8", 1.33, deconSemantic08),
         // posexplode + 64-group map-combined agg — ~linear
         ("embedding_dim_stats", 1.0, LlmQueries.embeddingDimStats _),
         // r10: the flagship e2e got its real scale row — the
@@ -729,17 +801,7 @@ object ScaleSmoke {
         // CC over the @0.8 auto-granularity edge set (same regime
         // rationale as the cosine rows below — at the query's
         // exploratory 0.45 the TRUE pair set is quadratic)
-        ("dedup_embedding_apply@0.8", 1.33, (s: SparkSession, dir: String) => {
-          val e = Tables.embeddings(s, dir)
-          val edges = graft.ops.Similarity.embeddingNearDups(
-            e, "vec_id", "embedding", nPlanes = 0, nTables = 0,
-            threshold = 0.8).select("id_a", "id_b")
-          val cl = graft.ops.Dedup.dupClusters(e.select("vec_id"), "vec_id", edges)
-          e.join(cl.select("vec_id", "is_dup"), "vec_id")
-            .groupBy("label")
-            .agg(count(lit(1)).as("n_vecs"),
-              sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"))
-        }),
+        ("dedup_embedding_apply@0.8", 1.33, dedupEmbeddingApply08),
         // measured at DUP-GRADE threshold 0.8, not the query's exploratory
         // 0.45: at dim 64, cross-corpus cosine has σ = 1/√64 = 0.125, so a
         // 0.45 cutoff (3.6σ) admits ~1e-4 of the ~2e8 random cross-replica
@@ -821,7 +883,11 @@ object ScaleSmoke {
     // also pre-build their (one-time, cached) txnlog fixture at BOTH
     // scales so the timed run measures the operator, not fixture I/O.
     selected.foreach { case (_, _, fn) => fn(spark, base).count() }
-    val fixtureBacked = Set("cdc_gtid_frontier", "cdc_txn_batches", "q_sessionize")
+    // cdc_pipeline_e2e builds its own content-keyed ndjson envelope
+    // fixture inside the query — pre-run it at BOTH scales so the
+    // timed run measures the pipeline, not the fixture write
+    val fixtureBacked = Set("cdc_gtid_frontier", "cdc_txn_batches",
+      "q_sessionize", "cdc_pipeline_e2e")
     selected.filter(o => fixtureBacked(o._1)).foreach { case (_, _, fn) =>
       fn(spark, out).count()
     }

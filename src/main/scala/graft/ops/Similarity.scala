@@ -414,9 +414,17 @@ object Similarity {
       part
     }.reduce(_ unionByName _).distinct()
 
+  /** `verifyChunks` > 1 runs the candidate verify in that many
+    * sequential per-table-slice jobs (the [[chunkedBy]] bounded-spill
+    * loop the incremental probe already uses) — the single-box valve
+    * for corpus-scale self-dedup whose all-candidates join would
+    * otherwise spill past local disk (the r15 composed-apply 100× row
+    * hit exactly that). Output is identical (post-threshold distinct
+    * restores the single-plan pair set).
+    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, nTables: Int, threshold: Double,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue, verifyChunks: Int = 1): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // exact-identity collapse FIRST: byte-identical embeddings collide
     // in every table's bucket, so a cluster of B identical vectors would
@@ -459,7 +467,7 @@ object Similarity {
     selfPairsExpanded(b,
       repVecs.select(col("vid").as("rep_id"), col("vec")),
       members.select(col("rep_id"), col("__id")),
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, verifyChunks)
   }
 
   /** k-NN join within groups (e.g. per label): for every vector, its k
