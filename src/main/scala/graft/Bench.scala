@@ -32,7 +32,16 @@ object Bench {
     // expressions entirely and the bench would flatter it. The noop
     // sink consumes every output column like Verify's parquet write
     // does, with zero I/O cost.
-    val names = SparkEntry.queries.keys.toSeq
+    // SPARK_GRAFT_BENCH_ONLY (dev only, unset in driver runs): restrict
+    // the sweep to a comma-separated subset — the gated best-of-2
+    // methodology on just the queries an optimization touches, without
+    // paying the full 155-query wall per A/B reading.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(csv) =>
+        val keep = csv.split(",").toSet
+        SparkEntry.queries.keys.toSeq.filter(keep)
+      case None => SparkEntry.queries.keys.toSeq
+    }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try {

@@ -168,6 +168,123 @@ object LshBuckets {
   }
 }
 
+/** Exact integer dot product of two `array<long>` columns — the
+  * codegen'd twin of `aggregate(zip_with(a, b, (x, y) -> x * y),
+  * 0L, (acc, v) -> acc + v)`, which runs in the interpreted
+  * higher-order-function evaluator (measured as the dominant cost of
+  * the SemDeDup within-cell pair stage: the quadratic candidate join
+  * evaluates it per pair). Arithmetic is raw Java long ops, so results
+  * are bit-identical to the declarative form for the repo contract:
+  * dense equal-length arrays without null elements (quantized vectors
+  * are built by `transform(round(...))` over non-null floats) whose
+  * products stay IN RANGE — call sites bound |q| via the quantScale
+  * range analysis. Out of range the two forms differ by construction:
+  * default-ANSI Spark throws on long overflow, this kernel wraps.
+  */
+case class DotQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotQ =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer squared L2 distance of two `array<long>` columns —
+  * codegen'd twin of `aggregate(zip_with(a, b, (x, y) ->
+  * (x - y) * (x - y)), 0L, (acc, v) -> acc + v)`, the k-means
+  * assignment kernel (evaluated n × k times per pass). Same exactness
+  * contract as [[DotQ]].
+  */
+case class Dist2Q(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dist2_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2Q =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine between a float query vector and a PER-VECTOR-AFFINE int8
   * QUANTIZED corpus vector, dequantized on the fly: codes are stored
   * int8 (offset by -128, so the 0..255 affine level of element i is
@@ -276,6 +393,18 @@ object GraftFunctions {
     QuantizedCosine(exprs(0), exprs(1), exprs(2), exprs(3))
   }
 
+  val dotQBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"graft_dot_q requires exactly 2 arguments, got ${exprs.length}")
+    DotQ(exprs(0), exprs(1))
+  }
+
+  val dist2QBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      s"graft_dist2_q requires exactly 2 arguments, got ${exprs.length}")
+    Dist2Q(exprs(0), exprs(1))
+  }
+
   // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
   // own runtime row-level filtering but does not expose them in the
   // SQL registry; graft's Membership ops surface them (same codegen'd
@@ -309,6 +438,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder, "built-in")
     if (!reg.functionExists(FunctionIdentifier("graft_might_contain")))
       reg.createOrReplaceTempFunction("graft_might_contain", mightContainBuilder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_dot_q")))
+      reg.createOrReplaceTempFunction("graft_dot_q", dotQBuilder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_dist2_q")))
+      reg.createOrReplaceTempFunction("graft_dist2_q", dist2QBuilder, "built-in")
   }
 }
 

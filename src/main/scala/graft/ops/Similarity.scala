@@ -931,6 +931,7 @@ object Similarity {
       twoLevel: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     require(iterations > 0, "iterations must be positive")
+    GraftFunctions.register(df.sparkSession)
     val q = df.select(col(idCol), transform(col(vecCol),
         x => round(x.cast("double") * quantScale).cast("long")).as("__q"))
     // k-row seed frame: the single-partition window is over k rows
@@ -939,8 +940,11 @@ object Similarity {
         row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
       .select(col("cluster"), col("__q").as("__c"))
 
-    def d2(a: String, b: String) = expr(s"aggregate(zip_with($a, $b, " +
-      "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    // codegen'd integer distance (r15): the assignment kernel runs
+    // n × k times per pass; the interpreted aggregate(zip_with(...))
+    // form it replaces is bit-identical (same Long arithmetic) but
+    // evaluated per element in the higher-order-function interpreter
+    def d2(a: String, b: String) = call_function("graft_dist2_q", col(a), col(b))
 
     def flatAssign(cent: DataFrame): DataFrame =
       q.crossJoin(broadcast(cent))
@@ -1053,17 +1057,34 @@ object Similarity {
     // broadcast-cross assignments), measured ~2× the query's wall
     val assigned = Materialize.barrier(
       kmeansCore(df, idCol, vecCol, k, iterations, quantScale, twoLevel)
-        .withColumn("__n2", expr(
-          "aggregate(__q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")))
-    val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
+        .withColumn("__n2", call_function("graft_dot_q", col("__q"), col("__q"))))
+    // ADAPTIVE SALT on the cell self-join (r15 stage audit): the join
+    // key has only k distinct values, so at small k the quadratic
+    // in-cell scoring hash-collides onto a couple of reducers — 2 tasks
+    // owned 2.4 s of dedup_semantic's sf0.1 wall. Salting the a-side
+    // deterministically and exploding the b-side `salts` ways spreads
+    // each cell's pair work over `salts` tasks with an identical pair
+    // set (every (a, b) pair meets exactly once, at a's salt). At scale
+    // SemDeDup grows k ∝ n (constant cell size), so salts collapses to
+    // 1 and the plan is EXACTLY the unsalted one.
+    val salts = math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism / math.max(1, k))
+    val a0 = assigned.select(col(idCol).as("id_a"), col("cluster"),
       col("__q").as("__qa"), col("__n2").as("__na2"))
-    val b = assigned.select(col(idCol).as("id_b"), col("cluster"),
+    val b0 = assigned.select(col(idCol).as("id_b"), col("cluster"),
       col("__q").as("__qb"), col("__n2").as("__nb2"))
-    // one equi-join on the cell id: pair work is Σ cellᵢ², never n²
-    val pairs = a.join(b, Seq("cluster"))
+    val (a, b, joinKeys) =
+      if (salts <= 1) (a0, b0, Seq("cluster"))
+      else (
+        a0.withColumn("__s", pmod(xxhash64(col("id_a")), lit(salts.toLong))),
+        b0.withColumn("__s", explode(sequence(lit(0L), lit(salts - 1L)))),
+        Seq("cluster", "__s"))
+    // one equi-join on the (salted) cell id: pair work is Σ cellᵢ²,
+    // never n²; the dot is the codegen'd integer kernel (bit-identical
+    // to the interpreted aggregate(zip_with) it replaces)
+    val pairs = a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("__dot", expr("aggregate(zip_with(__qa, __qb, " +
-        "(x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("__dot", call_function("graft_dot_q", col("__qa"), col("__qb")))
       .withColumn("cos_sim", col("__dot").cast("double") /
         (sqrt(col("__na2").cast("double")) * sqrt(col("__nb2").cast("double"))))
     val edges = pairs.filter(col("cos_sim") >= threshold)

@@ -62,6 +62,56 @@ class FunctionsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("dimensions")))
   }
 
+  test("graft_dot_q / graft_dist2_q match the interpreted integer forms bit-for-bit") {
+    GraftFunctions.register(spark)
+    // negatives, zeros, large magnitudes (quantScale-sized): in-range
+    // Long arithmetic must match the zip_with/aggregate form exactly.
+    // (Out-of-range inputs differ BY CONTRACT: under default ANSI mode
+    // the interpreted form throws on long overflow while the kernel
+    // wraps — call sites bound |q| via the quantScale range analysis,
+    // so products never overflow there.)
+    val rows = Seq(
+      (1L, Array(3L, -4L, 5L, 0L), Array(-7L, 2L, 9L, 1L)),
+      (2L, Array(1000L, -999L, 123456L), Array(-1000L, 999L, -123456L)),
+      (3L, Array(1000000L, -1000000L), Array(999999L, 999999L)),
+      (4L, Array(0L, 0L), Array(0L, 0L))
+    ).toDF("id", "a", "b")
+    val out = rows.select(
+      col("id"),
+      call_function("graft_dot_q", col("a"), col("b")).as("fd"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), " +
+        "(acc, v) -> acc + v)").as("sd"),
+      call_function("graft_dist2_q", col("a"), col("b")).as("f2"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("s2"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out.foreach { case (id, fd, sd, f2, s2) =>
+      assert(fd == sd, s"dot mismatch at id=$id")
+      assert(f2 == s2, s"dist2 mismatch at id=$id")
+    }
+    // null input propagates (matches the declarative form's null)
+    val withNull = Seq((1L, Array(1L, 2L), Option.empty[Array[Long]]))
+      .toDF("id", "a", "b")
+      .select(call_function("graft_dot_q", col("a"), col("b")))
+      .collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("graft_dot_q / graft_dist2_q: interpreted eval agrees with codegen") {
+    GraftFunctions.register(spark)
+    val rows = Seq((1L, Array(2L, -3L, 7L), Array(5L, 11L, -13L))).toDF("id", "a", "b")
+    def read() = rows.select(
+      call_function("graft_dot_q", col("a"), col("b")),
+      call_function("graft_dist2_q", col("a"), col("b")))
+      .as[(Long, Long)].collect()(0)
+    val gen = read()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(read() == gen)
+    }
+    assert(gen == ((2L * 5 - 3 * 11 - 7 * 13), (9L + 196L + 400L)))
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
