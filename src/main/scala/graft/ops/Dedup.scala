@@ -878,7 +878,14 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true): DedupIndex = {
     val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
-    val sh = shingleHashes(repDocs, id, text, k)
+    // pinned like repDupPairs/ngramCoverage pin theirs (r15 stage
+    // audit): the index's band frame AND its shingles frame both derive
+    // from `sh`, so an unpinned build re-ran the tokenize+shingle
+    // flatMap — the measured hot path — once per consumer leg (the
+    // probe's candidate join, the touched-rep verify, the sizes leg).
+    // The frame is 2 longs per shingle; the nightly deployment writes
+    // it to parquet anyway, so the pin is the in-session equivalent.
+    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text, k), eagerCheckpoint)
     DedupIndex(
       bandFrame(minhashFromShingles(sh, id, numHashes), id, bands, numHashes / bands),
       sh, members, numHashes, bands, k)

@@ -19,6 +19,40 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Fan a SCAN-ROOTED (exchange-free) frame out to the session's
+    * default parallelism when the scan itself cannot supply it. A
+    * single-row-group parquet file is ONE scan task no matter the
+    * split config (byte-range splits beyond the row group are empty),
+    * so every operator fused into that scan runs serially — the r15
+    * stage audits measured 1.7–2.2 s single tasks on the
+    * tokenize/BPE/CMS chains at sf0.1.
+    *
+    * Scale-adaptive by construction: with >= `defaultParallelism` scan
+    * splits (any real corpus; the 100× fixtures are 32 files) this is
+    * the IDENTITY — no exchange, the corpus is never shuffled for
+    * parallelism it already has. When it fires, the round-robin
+    * exchange is also the legs' shared evaluation point
+    * (ReuseExchange), so multi-consumer queries stop re-reading the
+    * leaf per leg.
+    *
+    * USE ONLY where (a) the downstream is a CPU-dense chain whose cost
+    * dwarfs one small-file shuffle, and (b) every downstream aggregate
+    * is partition-order-invariant (integer/decimal sums, min/max/count,
+    * per-row expressions — the repo doctrine). Measured REJECTIONS
+    * stand in OPTIMIZATION_r15.md: loader-level fan-out regressed every
+    * join-shaped consumer (the exchange is pure overhead in front of
+    * the join's own hash exchange), and fan-out before a barrier-heavy
+    * pipeline (curation) was noise-neutral.
+    *
+    * `df.rdd` on an exchange-free plan compiles the split list without
+    * materializing any query stage.
+    */
+  def fanOutNarrowScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= target) df else df.repartition(target)
+  }
+
   /** Two-phase salted aggregation.
     *
     * @param partials aggregate columns for the salted first phase

@@ -777,15 +777,24 @@ object CdcQueries {
   def gtidFrontier(s: SparkSession, dir: String): DataFrame = {
     val outDir = txnlogFixture(s, dir)
     val frames = TxnLog.read(s, outDir)
-    val txns = TxnLog.committedTxns(frames).select(
-      expr("xid div 100000000").as("source"),
-      pmod(col("xid"), lit(100000000L)).as("gno"),
-      col("commit_us"))
+    // parse-once pin (r15 stage audit; the cdc_pipeline_e2e leaf-pin
+    // rule's win side — narrow numerics, never text): without it the
+    // committedTxns JSON parse re-ran once per consumer leg (gtidSet,
+    // gtidResume, the pending rollup — 5 scans of the 26 MB log at
+    // sf0.1). The pinned frame is 3 longs per committed transaction.
+    val txns = graft.ops.Materialize.barrier(
+      TxnLog.committedTxns(frames).select(
+        expr("xid div 100000000").as("source"),
+        pmod(col("xid"), lit(100000000L)).as("gno"),
+        col("commit_us")))
     val cut = frames.agg(
       (min(col("ts_us")) + lit(15L * 86400L * 1000000L)).as("__cut"))
     val withCut = txns.crossJoin(broadcast(cut))
     val applied = withCut.filter(col("commit_us") <= col("__cut"))
-    val frontier = TxnLog.gtidFrontier(applied, "source", "gno")
+    // the frontier feeds BOTH the rendered set and the resume anti-join
+    // — pinned (a few interval rows), or the islands chain re-derives
+    val frontier = graft.ops.Materialize.barrier(
+      TxnLog.gtidFrontier(applied, "source", "gno"))
     val pending = TxnLog.gtidResume(withCut, frontier, "source", "gno")
       .groupBy("source").agg(count(lit(1)).as("n_pending"))
     TxnLog.gtidSet(frontier, "source")

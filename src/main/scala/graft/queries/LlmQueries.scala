@@ -307,7 +307,11 @@ object LlmQueries {
     val bannerA = "please accept our cookie policy to continue browsing"
     val bannerB = "copyright twenty twenty four all rights reserved unauthorized " +
       "reproduction strictly prohibited terms of service privacy policy"
-    val fixt = docs(s, dir)
+    // fan-out (r15 stage audit): the tokenize+segment chain ran as two
+    // serial 1.2–1.3 s scan-fused tasks (freq leg + regroup leg); the
+    // shared exchange spreads both and reads the leaf once. Counts are
+    // integers; clean_text is rebuilt per row. Identity at scale.
+    val fixt = graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
       .withColumn("__text", concat_ws(" ",
         when(col("doc_id") % 5 === 0, lit(bannerA)),
         when(col("doc_id") % 3 === 0, lit(bannerB)),
@@ -576,7 +580,10 @@ object LlmQueries {
     * tokens-per-word fertility the tokenizer team actually monitors.
     */
   def textBpeApply(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    // fan-out (r15 stage audit): the 16-replace merge chain fused into
+    // the single-row-group scan as ONE 2.2 s task; integer rollup, so
+    // partition-order-invariant. Identity at scale (see fanOutNarrowScan).
+    graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
       .select(col("source"), col("doc_id"),
         explode(tokenize(col("text"))).as("word"))
       .where(col("word") =!= "")
@@ -2066,7 +2073,11 @@ object LlmQueries {
     */
   def sketchCountMin(s: SparkSession, dir: String): DataFrame = {
     val p = graft.ops.CountMin.Params(d = 3, w = 64)
-    val toks = docs(s, dir)
+    // fan-out (r15 stage audit): the tokenize+md5-cell chain ran as one
+    // 1.7 s scan-fused task, once per leg (counters + exact probe); the
+    // shared exchange spreads it and evaluates the scan once. Integer
+    // counts only. Identity at scale (see fanOutNarrowScan).
+    val toks = graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
       .select(explode(TextOps.tokens(col("text"))).as("item"))
       .filter(length(col("item")) > 0)
     val ctrs = graft.ops.CountMin.counters(toks, "item", p)
