@@ -1784,7 +1784,10 @@ object LlmQueries {
     * restates the interleave formula bit for bit.
     */
   def dataZorderLayout(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // fan-out (r15): the tokenize+interleave chain ran as serial
+    // scan-fused tasks once per leg (audit + projection); integer
+    // min/max/count only. Identity at scale (see fanOutNarrowScan).
+    val d = graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
       .withColumn("qa", least(size(tokenize(col("text"))).cast("long"), lit(255L)))
       .withColumn("qb", least(expr("n_chars div 4"), lit(255L)))
       .withColumn("zval", graft.ops.Layout.zOrderKey(col("qa"), col("qb"), bits = 8))
@@ -2928,13 +2931,24 @@ object LlmQueries {
       .select("doc_id", "source", "text", "has_pii")
     val edges = Dedup.verifiedDupEdges(sur, "doc_id", "text",
       threshold = 0.8, numHashes = 32, bands = 16)
-    val cl = Dedup.dupClusters(sur, "doc_id", edges)
-    val surStats = sur.join(cl.select("doc_id", "is_dup"), "doc_id")
+    // NARROW survivor attributes pinned once (r15; the leaf-pin rule's
+    // WIN side — numerics + a short source string, never text): the CC
+    // universe leg and the publication rollup each re-ran the full
+    // PII+Gopher regex chain to read columns that reduce to 4 narrow
+    // values per survivor (the rollup needs length(text), not text).
+    // Two full-corpus regex passes become one narrow checkpoint read;
+    // the dedup stage itself still consumes `sur` lazily, unchanged —
+    // the r14 rejection of pinning the TEXT-bearing survivors stands.
+    val surAttrs = graft.ops.Materialize.barrier(
+      sur.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("__n_chars"), col("has_pii")))
+    val cl = Dedup.dupClusters(surAttrs.select("doc_id"), "doc_id", edges)
+    val surStats = surAttrs.join(cl.select("doc_id", "is_dup"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("__n_pass"),
         sum(when(!col("is_dup"), 1L).otherwise(0L)).as("__n_kept"),
-        sum(when(!col("is_dup"), length(col("text")).cast("long"))
-          .otherwise(0L)).as("__kept_chars"),
+        sum(when(!col("is_dup"), col("__n_chars")).otherwise(0L))
+          .as("__kept_chars"),
         sum(when(col("has_pii"), 1L).otherwise(0L)).as("__n_pii_docs"))
     raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
       .join(surStats, Seq("source"), "left")
