@@ -206,7 +206,10 @@ object LlmQueries {
     * string shingles — equality proves the hashed run collision-free.
     */
   def dedupSubstrings(s: SparkSession, dir: String): DataFrame =
-    Dedup.scrubRepeatedSpans(docs(s, dir), "doc_id", "text", k = 5, minDocs = 2)
+    // fan-out (r15): the positional-shingle and token legs each re-ran
+    // the tokenize chain scan-fused and serial; integer span counts.
+    Dedup.scrubRepeatedSpans(graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("doc_id", "text")),
+      "doc_id", "text", k = 5, minDocs = 2)
       .orderBy("doc_id")
 
   val dedupSubstringsSql: String =
@@ -311,7 +314,7 @@ object LlmQueries {
     // serial 1.2–1.3 s scan-fused tasks (freq leg + regroup leg); the
     // shared exchange spreads both and reads the leaf once. Counts are
     // integers; clean_text is rebuilt per row. Identity at scale.
-    val fixt = graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
+    val fixt = graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("doc_id", "text"))
       .withColumn("__text", concat_ws(" ",
         when(col("doc_id") % 5 === 0, lit(bannerA)),
         when(col("doc_id") % 3 === 0, lit(bannerB)),
@@ -583,7 +586,7 @@ object LlmQueries {
     // fan-out (r15 stage audit): the 16-replace merge chain fused into
     // the single-row-group scan as ONE 2.2 s task; integer rollup, so
     // partition-order-invariant. Identity at scale (see fanOutNarrowScan).
-    graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
+    graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("source", "doc_id", "text"))
       .select(col("source"), col("doc_id"),
         explode(tokenize(col("text"))).as("word"))
       .where(col("word") =!= "")
@@ -1063,7 +1066,8 @@ object LlmQueries {
     */
   def dataSpanCorruption(s: SparkSession, dir: String): DataFrame = {
     val m = 2147483647L
-    val toks = docs(s, dir).select(col("doc_id"),
+    val toks = graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("doc_id", "text"))
+      .select(col("doc_id"),
         posexplode(tokenize(col("text"))).as(Seq("pos", "tok")))
       .withColumn("block", expr("pos div 3"))
     val blocks = toks.groupBy("doc_id", "block")
@@ -1649,6 +1653,10 @@ object LlmQueries {
 
   private def textLmBucketsMode(s: SparkSession, dir: String,
       giantSourceThreshold: Long): DataFrame =
+    // NO fan-out here (r15, measured +36-41%): lmBucketsOn opens with a
+    // driver control read of per-source counts, which column-prunes the
+    // raw scan to almost nothing — a round-robin exchange underneath it
+    // would shuffle full text rows before the pruned count can run.
     lmBucketsOn(docs(s, dir).select("doc_id", "source", "text"),
       giantSourceThreshold)
 
@@ -1787,7 +1795,8 @@ object LlmQueries {
     // fan-out (r15): the tokenize+interleave chain ran as serial
     // scan-fused tasks once per leg (audit + projection); integer
     // min/max/count only. Identity at scale (see fanOutNarrowScan).
-    val d = graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
+    val d = graft.ops.Skew.fanOutNarrowScan(
+        docs(s, dir).select("doc_id", "text", "n_chars"))
       .withColumn("qa", least(size(tokenize(col("text"))).cast("long"), lit(255L)))
       .withColumn("qb", least(expr("n_chars div 4"), lit(255L)))
       .withColumn("zval", graft.ops.Layout.zOrderKey(col("qa"), col("qb"), bits = 8))
@@ -2040,7 +2049,10 @@ object LlmQueries {
     * runs.
     */
   def sketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val grams = TextOps.bigrams(docs(s, dir), "text")
+    // fan-out (r15): the MG summary and the recount pass each re-run
+    // the bigram explode against the 1-split scan; exact counts.
+    val grams = TextOps.bigrams(
+      graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("text")), "text")
       .select(concat_ws(" ", col("prev"), col("w")).as("gram"))
     graft.ops.Frequency.heavyHitters(grams, "gram", minShare = 0.001, k = 4096)
       .orderBy(col("cnt").desc, col("gram"))
@@ -2080,7 +2092,7 @@ object LlmQueries {
     // 1.7 s scan-fused task, once per leg (counters + exact probe); the
     // shared exchange spreads it and evaluates the scan once. Integer
     // counts only. Identity at scale (see fanOutNarrowScan).
-    val toks = graft.ops.Skew.fanOutNarrowScan(docs(s, dir))
+    val toks = graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("text"))
       .select(explode(TextOps.tokens(col("text"))).as("item"))
       .filter(length(col("item")) > 0)
     val ctrs = graft.ops.CountMin.counters(toks, "item", p)
@@ -2346,7 +2358,11 @@ object LlmQueries {
     val bucket = splitBucket(col("doc_id"))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     val withSplit = docs(s, dir).select(col("doc_id"), split.as("split"))
-    val sh8 = Dedup.shingleHashes(docs(s, dir), "doc_id", "text", k = 8)
+    // fan-out only the shingle leg's pruned input (r15): the split leg
+    // column-prunes to doc_id and must not ride a full-row exchange
+    val sh8 = Dedup.shingleHashes(
+      graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("doc_id", "text")),
+      "doc_id", "text", k = 8)
       .join(withSplit, "doc_id")
     val trainGrams = sh8.filter(col("split") === "train").select("shingle").distinct()
     val eval_ = sh8.filter(col("split") =!= "train")
@@ -2389,7 +2405,9 @@ object LlmQueries {
     * gate a corpus cleaner runs before training.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // fan-out (r15): token and bigram legs each tokenize the 1-split
+    // scan serially; per-doc ratios derive from exact integer counts.
+    val d = graft.ops.Skew.fanOutNarrowScan(docs(s, dir).select("doc_id", "text"))
     val toks = tokenize(col("text"))
     val tokCounts = d.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
