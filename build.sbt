@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's driver contract is "ONE JSON line on stdout". Two sbt
+// framing artifacts defeated a strict last-line parse for seven rounds
+// (BENCH_r09..r15 all carry `parsed: null`): the forked program's
+// stdout is re-logged under an "[info] " prefix, and sbt appends its
+// own "[success] Total time…" epilogue AFTER the JSON line. Pass the
+// fork's stdout through verbatim and drop the epilogue so the last
+// stdout line of `sbt "runMain graft.Bench"` is the bare JSON object.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another
+// setting — exclude it from the unused-key lint instead of letting the
+// warning pollute every batch invocation's output
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,6 +39,13 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(csv) =>
         val keep = csv.split(",").toSet
+        // fail LOUDLY on names the registry doesn't know (r15 ADVICE): a
+        // misspelled query would silently filter to a partial set and the
+        // sweep would still report a gated total for the wrong subset
+        val unknown = keep -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+            unknown.toSeq.sorted.mkString(", "))
         SparkEntry.queries.keys.toSeq.filter(keep)
       case None => SparkEntry.queries.keys.toSeq
     }
@@ -115,7 +122,13 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(1500.0)
     val tStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    // cpus-suffixed default (r16): the driver benches the SAME tree at
+    // two core counts back-to-back; with one shared default path the
+    // second run clobbered the first's full per-query artifact (r15:
+    // the 8-cpu run overwrote the 32-cpu detail). Each core count now
+    // owns its artifact unless the caller pins a path explicitly.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/root/repo/BENCH_LOCAL_c$cpus.json")
 
     // Emit the artifact for whatever sweeps exist RIGHT NOW (1..2):
     // written after EVERY completed sweep, not only at process end, so
@@ -161,13 +174,21 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
       if (finalEmit) {
+        // the contract line (metric/value/unit/queries/sf) — ~8 KB with
+        // 155 queries, so it CANNOT be the line a bounded-tail parse
+        // lands on; the compact line below goes LAST for exactly that.
         println(line)
-        // the full line above is ~8 KB (150+ queries × value + spread)
-        // — longer than a tail-capture window, which is exactly how the
-        // r11/r12 driver artifacts ended up `parsed: null` (the
-        // captured tail starts mid-line). Emit a COMPACT line LAST:
-        // totals + gate + a pointer to the full artifact, small enough
-        // that any last-line/tail JSON parse gets a complete object.
+        // r16 measurement-REPORTING fix (no change to the timed
+        // methodology; documented in OPTIMIZATION_r16.md): every driver
+        // artifact since r09 carries `parsed: null` because sbt framing
+        // defeated a strict last-line JSON parse — the forked program's
+        // stdout was re-logged under an "[info] " prefix and sbt
+        // appended a "[success] Total time…" epilogue AFTER the JSON.
+        // build.sbt now passes fork stdout through verbatim
+        // (OutputStrategy.StdoutOutput) and suppresses the epilogue
+        // (showSuccess := false), so this compact line — small enough
+        // for any tail window, with `detail` pointing at the full
+        // per-query artifact written above — is the genuine last line.
         println(s"""{"metric":"total","value":$total,"unit":"sec","gated":$gated,"attempts":$attempts,"pass_totals":$pt,"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"sf":"$sfDir","n_queries":${names.size},"detail":"$outPath"}""")
       } else {
         // progress marker on stderr (stdout stays parseable): which

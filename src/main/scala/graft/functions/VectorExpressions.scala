@@ -184,14 +184,23 @@ object LshBuckets {
 case class DotQ(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // containsNull = false REQUIRED (r15 ADVICE): the branch-free kernel
+  // would read a null element slot as a raw long (0) and return a
+  // plausible non-null value where the declarative zip_with twin
+  // returns NULL. The functions are registered session-wide, so the
+  // type check — not a call-site convention — is what keeps a future
+  // caller from silently diverging. Null handling belongs in the
+  // LINEAR projection that builds the quantized array (a coalesce
+  // there is n ops), never in this n×k / n² kernel.
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments, got " +
+      s"$prettyName requires two array<bigint> arguments with " +
+        s"non-nullable elements, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = LongType
@@ -200,7 +209,7 @@ case class DotQ(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotQ.checkedLength(x.numElements(), y.numElements())
     var dot = 0L
     var i = 0
     while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
@@ -213,7 +222,7 @@ case class DotQ(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.DotQ.checkedLength($a.numElements(), $b.numElements());
          |long $dot = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += $a.getLong($i) * $b.getLong($i);
@@ -227,6 +236,21 @@ case class DotQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object DotQ {
+  /** Unequal lengths throw (r15 ADVICE) instead of silently truncating
+    * to the shorter array: the declarative zip_with twin pads with
+    * nulls and returns NULL there — a wrong non-null answer is the one
+    * outcome both contracts forbid. Shared by [[DotQ]] and [[Dist2Q]],
+    * interpreted and generated code alike (one length check per CALL,
+    * zero per-element cost).
+    */
+  @inline def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"graft_dot_q/graft_dist2_q require equal-length arrays, got $a vs $b")
+    a
+  }
+}
+
 /** Exact integer squared L2 distance of two `array<long>` columns —
   * codegen'd twin of `aggregate(zip_with(a, b, (x, y) ->
   * (x - y) * (x - y)), 0L, (acc, v) -> acc + v)`, the k-means
@@ -236,14 +260,16 @@ case class DotQ(left: Expression, right: Expression)
 case class Dist2Q(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // same containsNull/length contract as [[DotQ]] — see the note there
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments, got " +
+      s"$prettyName requires two array<bigint> arguments with " +
+        s"non-nullable elements, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = LongType
@@ -252,7 +278,7 @@ case class Dist2Q(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = DotQ.checkedLength(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -270,7 +296,7 @@ case class Dist2Q(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.DotQ.checkedLength($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $d = $a.getLong($i) - $b.getLong($i);

@@ -66,11 +66,23 @@ object Dedup {
     */
   def collapseExact(docs: DataFrame, id: String, text: String,
       eagerCheckpoint: Boolean = true): (DataFrame, DataFrame) = {
+    val (members, repDocs) = collapseExactRaw(docs, id, text)
+    (maybeCheckpoint(members, eagerCheckpoint), repDocs)
+  }
+
+  /** [[collapseExact]] without the membership pin — for multi-pin
+    * operators that batch ALL their independent pins into one
+    * concurrent [[Materialize.barrierAll]] instead of paying a serial
+    * job latency per pin (the members pin has no dependency on the
+    * shingle/signature pins: repDocs reads `groups`, never the pinned
+    * members result).
+    */
+  private def collapseExactRaw(docs: DataFrame, id: String,
+      text: String): (DataFrame, DataFrame) = {
     val fp = docs.filter(col(id).isNotNull && col(text).isNotNull)
       .select(col(id), md5(norm(col(text))).as("__fp"))
     val groups = fp.groupBy("__fp").agg(min(col(id)).as("rep_id"))
-    val members = maybeCheckpoint(
-      fp.join(groups, "__fp").select(col(id), col("rep_id")), eagerCheckpoint)
+    val members = fp.join(groups, "__fp").select(col(id), col("rep_id"))
     val repDocs = docs.join(groups.select(col("rep_id").as(id)), Seq(id), "left_semi")
     (members, repDocs)
   }
@@ -366,9 +378,18 @@ object Dedup {
     */
   def dupClusters(docs: DataFrame, id: String, pairs: DataFrame,
       maxIters: Int = 12): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+    // barrier, not cache() (r16): a cached plan freezes its
+    // pre-AQE-coalesce layout (`canChangeCachedPlanOutputPartitioning`
+    // is off by default), so the edge frame kept shuffle.partitions-many
+    // near-empty partitions and EVERY loop stage below inherited that
+    // width — the r15 stage audit showed the CC rounds as stacks of
+    // 32-task stages moving zero bytes at ~100 ms/task of pure task
+    // overhead. The barrier materializes the AQE-final plan instead, so
+    // the loop's width follows the edge set's actual size at any scale.
+    val edges = Materialize.barrier(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
     // only nodes that touch an edge need propagation — singletons (the
     // overwhelming majority in a dedup graph) bypass the loop entirely
     val nodes = edges.select(col("src").as(id)).distinct()
@@ -393,20 +414,24 @@ object Dedup {
           col("cluster_id").as("__pl")), Seq("__p"), "left")
         .select(col(id),
           least(col("__p"), coalesce(col("__pl"), col("__p"))).as("cluster_id"))
-      // localCheckpoint truncates lineage each round — without it the
-      // plan nests joins per iteration (measured: 559 exchanges after
-      // 5 rounds) and any executor retry recomputes the whole history
-      labels = Materialize.barrier(labels)
+      // the materialization barrier truncates lineage each round —
+      // without it the plan nests joins per iteration (measured: 559
+      // exchanges after 5 rounds) and any executor retry recomputes the
+      // whole history. The convergence aggregate rides the SAME job
+      // (barrierAgg, r16): the loop's per-round cost at converged frame
+      // sizes is driver-sync job latency, not compute, and the separate
+      // agg job was half of it.
       // sum() over an empty frame is NULL — an empty pair graph (no
       // near-dups at all) is converged by definition, not an NPE
-      val sumRow = labels.agg(org.apache.spark.sql.functions.sum("cluster_id"))
-        .collect()(0)
+      val (pinned, sumRow) = Materialize.barrierAgg(labels,
+        org.apache.spark.sql.functions.sum("cluster_id"))
+      labels = pinned
       val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = sumRow.isNullAt(0) || prevSum.contains(sum)
       prevSum = Some(sum)
       iter += 1
     }
-    edges.unpersist()
+    Materialize.release(edges)
     if (!converged)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters rounds — component " +
@@ -461,14 +486,19 @@ object Dedup {
       threshold: Double, numHashes: Int, bands: Int,
       maxBucketSize: Int, eagerCheckpoint: Boolean,
       k: Int = 3): (DataFrame, DataFrame, DataFrame) = {
-    val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
+    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text)
     // the banding default is rows-per-band = 2: candidate recall at the
     // THRESHOLD (not just at dup-grade J) is what makes the verified
     // output exhaustive — miss = (1−J²)^b = 0.36³² ≈ 6e-15 at J = 0.8,
     // where r = 4 banding would miss ≈ 2e-4 of borderline pairs.
     // The shingle frame is built once and shared by the signature and
-    // verification stages (eagerly checkpointed — it is read 3×).
-    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text, k), eagerCheckpoint)
+    // verification stages (eagerly checkpointed — it is read 3×). The
+    // membership and shingle pins are independent, so they materialize
+    // concurrently (one job latency, not two).
+    val Seq(members, sh) =
+      if (eagerCheckpoint) Materialize.barrierAll(Seq(
+        membersRaw, shingleHashes(repDocs, id, text, k)))
+      else Seq(membersRaw, shingleHashes(repDocs, id, text, k))
     val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
       bands, numHashes / bands, maxBucketSize)
     val repPairs = jaccardFromShingles(sh, id, cands)
@@ -877,7 +907,7 @@ object Dedup {
   def buildDedupIndex(docs: DataFrame, id: String, text: String,
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true): DedupIndex = {
-    val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
+    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text)
     // pinned like repDupPairs/ngramCoverage pin theirs (r15 stage
     // audit): the index's band frame AND its shingles frame both derive
     // from `sh`, so an unpinned build re-ran the tokenize+shingle
@@ -885,7 +915,11 @@ object Dedup {
     // probe's candidate join, the touched-rep verify, the sizes leg).
     // The frame is 2 longs per shingle; the nightly deployment writes
     // it to parquet anyway, so the pin is the in-session equivalent.
-    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text, k), eagerCheckpoint)
+    // Membership + shingle pins are independent → concurrent (r16).
+    val Seq(members, sh) =
+      if (eagerCheckpoint) Materialize.barrierAll(Seq(
+        membersRaw, shingleHashes(repDocs, id, text, k)))
+      else Seq(membersRaw, shingleHashes(repDocs, id, text, k))
     DedupIndex(
       bandFrame(minhashFromShingles(sh, id, numHashes), id, bands, numHashes / bands),
       sh, members, numHashes, bands, k)
@@ -1082,14 +1116,19 @@ object Dedup {
     // exact-identity collapse first (see verifiedDupPairs): identical
     // docs share a simhash, so they collide in every band — without the
     // collapse one B-sized identical cluster yields B²/2 band candidates
-    val (members, repDocs) = collapseExact(docs, id, text, eagerCheckpoint)
-    val sh = maybeCheckpoint(shingleHashes(repDocs, id, text),
-      eagerCheckpoint) // shared: signatures + verify
-    // the signature frame feeds the band join (both sides) and the
-    // minhash tail's two hamming lookups — 4 reads; eagerly checkpoint
-    // the explode+groupBy instead of recomputing it per read
-    val sig = maybeCheckpoint(
-      simhash(repDocs, id, text).select(col(id), col("simhash")), eagerCheckpoint)
+    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text)
+    // three shared frames, all pinned: the membership map, the shingle
+    // frame (feeds signatures + verify), and the signature frame (feeds
+    // the band join's both sides and the minhash tail's two hamming
+    // lookups). None depends on another's PINNED result, so the three
+    // materializing jobs run CONCURRENTLY (barrierAll, r16) instead of
+    // paying three serial job latencies.
+    val Seq(members, sh, sig) =
+      if (eagerCheckpoint) Materialize.barrierAll(Seq(membersRaw,
+        shingleHashes(repDocs, id, text),
+        simhash(repDocs, id, text).select(col(id), col("simhash"))))
+      else Seq(membersRaw, shingleHashes(repDocs, id, text),
+        simhash(repDocs, id, text).select(col(id), col("simhash")))
     val banded = sig.select(col(id), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash"), b * width)

@@ -64,6 +64,61 @@ object Materialize {
     p
   }
 
+  /** [[barrier]] fused with a one-row aggregate over the pinned frame.
+    *
+    * Iterative callers (the connected-components loop) need BOTH a
+    * materialization barrier and a tiny convergence aggregate every
+    * round. Done naively that is TWO driver-sync jobs per round — and
+    * at the CC loop's frame sizes the per-round cost is job latency,
+    * not compute (measured r15: the suite's heavy dedup family ran
+    * FASTER on 8 cores than 32). Here the aggregate IS the
+    * materializing action: the frame is marked for materialization
+    * lazily and the aggregate's job computes every partition, storing
+    * the blocks as it goes — one job, same post-conditions as
+    * [[barrier]] (every later consumer reads stored blocks; lineage
+    * truncated on the local leg).
+    *
+    * The reliable-checkpoint leg cannot fuse (an eager reliable
+    * checkpoint re-runs the plan to write it; fusing would double
+    * compute) and keeps the two-job shape — correctness first on that
+    * path, the fusion is a latency optimization for the others.
+    */
+  def barrierAgg(df: DataFrame,
+      agg: org.apache.spark.sql.Column): (DataFrame, org.apache.spark.sql.Row) = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isLocal) {
+      val pinned = df.localCheckpoint(eager = false)
+      (pinned, pinned.agg(agg).collect()(0))
+    } else if (sc.getCheckpointDir.isDefined) {
+      val pinned = df.checkpoint(eager = true)
+      (pinned, pinned.agg(agg).collect()(0))
+    } else {
+      val p = df.persist(StorageLevel.DISK_ONLY_2)
+      (p, p.agg(agg).collect()(0))
+    }
+  }
+
+  /** Materialize several INDEPENDENT frames concurrently — each gets
+    * exactly the [[barrier]] treatment, but the materializing jobs are
+    * submitted from separate driver threads (guide §2.6: actions are
+    * only sequential because the driver calls them sequentially).
+    * Multi-pin operators (collapse membership + shingle + signature
+    * frames) otherwise serialize 2–3 small jobs whose cost at converged
+    * sizes is job latency, not compute; concurrent submission lets one
+    * job's tail back-fill with the next job's tasks. Callers must pass
+    * frames with no data dependency on each other's PINNED result
+    * (sharing upstream lineage is fine — each job evaluates its own).
+    */
+  def barrierAll(dfs: Seq[DataFrame]): Seq[DataFrame] =
+    if (dfs.lengthCompare(2) < 0) dfs.map(barrier)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val pinned = dfs.map(df => Future(barrier(df)))
+      pinned.map(Await.result(_, Duration.Inf))
+    }
+
   /** Best-effort release of a frame returned by [[barrier]] once every
     * consumer has run — bounds the blocks held across a long sweep
     * (the 100× suite's driver-heap floor). Non-blocking: safe to call

@@ -932,8 +932,15 @@ object Similarity {
     require(k > 0, "k must be positive")
     require(iterations > 0, "iterations must be positive")
     GraftFunctions.register(df.sparkSession)
+    // coalesce in the lambda pins the element type to containsNull =
+    // false — the kernel functions REQUIRE it (they reject nullable
+    // elements at type check rather than read a null slot as 0). The
+    // values are never null (embeddings are dense by contract); the
+    // null handling costs n ops here in the linear projection instead
+    // of a per-element branch in the n×k / n² kernels.
     val q = df.select(col(idCol), transform(col(vecCol),
-        x => round(x.cast("double") * quantScale).cast("long")).as("__q"))
+        x => coalesce(round(x.cast("double") * quantScale).cast("long"),
+          lit(0L))).as("__q"))
     // k-row seed frame: the single-partition window is over k rows
     val cent0 = q.orderBy(col(idCol)).limit(k)
       .withColumn("cluster",
@@ -981,7 +988,7 @@ object Similarity {
         .withColumn("__cv", expr("(__s - pmod(__s, __n)) div __n"))
         .groupBy(col("__coarse"))
         .agg(transform(array_sort(collect_list(struct(col("__i"), col("__cv")))),
-          p => p.getField("__cv")).as("__cc"))
+          p => coalesce(p.getField("__cv"), lit(0L))).as("__cc"))
       // route every fine centroid to its refined anchor (k × kc)
       val centRouted = routeTo(anchors)
       // corpus routing must only see anchors that OWN at least one fine
@@ -1020,7 +1027,7 @@ object Similarity {
         .withColumn("__cv", expr("(__s - pmod(__s, __n)) div __n"))
         .groupBy(col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("__i"), col("__cv")))),
-          p => p.getField("__cv")).as("__c"))
+          p => coalesce(p.getField("__cv"), lit(0L))).as("__c"))
 
     var cent = cent0
     for (_ <- 1 until iterations) cent = update(assign(cent))

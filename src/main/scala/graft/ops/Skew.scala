@@ -46,11 +46,21 @@ object Skew {
     *
     * `df.rdd` on an exchange-free plan compiles the split list without
     * materializing any query stage.
+    *
+    * Guarded on BOTH split count and estimated input size (r15 ADVICE):
+    * split count alone would fire on a cluster whose parallelism
+    * exceeds the corpus's split count (thousands of cores over a few
+    * hundred large splits) and round-robin-shuffle heavy rows the
+    * scan-fused chain never needed shuffled. `maxBytes` (default 2 GiB,
+    * plan-stats estimate — for a scan root this is the file size, known
+    * without running anything) limits the fan-out to genuinely small
+    * inputs, where the shuffle is a few MB against a CPU-dense chain.
     */
-  def fanOutNarrowScan(df: DataFrame): DataFrame = {
+  def fanOutNarrowScan(df: DataFrame, maxBytes: Long = 2L << 30): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
-    if (parts >= target) df else df.repartition(target)
+    lazy val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (parts >= target || estBytes > maxBytes) df else df.repartition(target)
   }
 
   /** Two-phase salted aggregation.
