@@ -66,7 +66,7 @@ object Dedup {
     */
   def collapseExact(docs: DataFrame, id: String, text: String,
       eagerCheckpoint: Boolean = true): (DataFrame, DataFrame) = {
-    val (members, repDocs) = collapseExactRaw(docs, id, text)
+    val (members, repDocs) = collapseExactRaw(docs, id, text, eagerCheckpoint)
     (maybeCheckpoint(members, eagerCheckpoint), repDocs)
   }
 
@@ -76,11 +76,23 @@ object Dedup {
     * job latency per pin (the members pin has no dependency on the
     * shingle/signature pins: repDocs reads `groups`, never the pinned
     * members result).
+    *
+    * The FINGERPRINT frame is pinned first (r16): `fp` is one
+    * normalize+md5 pass over the full text column, and it sits in the
+    * lineage of every downstream pin — the membership join reads it on
+    * both sides, and the shingle/signature jobs reach it through
+    * `groups`. Unpinned, each of those jobs replayed the text pass
+    * (the r16 curation stage audit showed it as stacked ~1.2 s
+    * single-task chains). Pinned, the corpus's text is read exactly
+    * twice per dedup operator — once here, once by the shingle/
+    * signature projections — and the pinned frame is the leaf-pin
+    * rule's WIN side: id + 32-char hash, never text.
     */
-  private def collapseExactRaw(docs: DataFrame, id: String,
-      text: String): (DataFrame, DataFrame) = {
-    val fp = docs.filter(col(id).isNotNull && col(text).isNotNull)
+  private def collapseExactRaw(docs: DataFrame, id: String, text: String,
+      eagerFp: Boolean = true): (DataFrame, DataFrame) = {
+    val fp0 = docs.filter(col(id).isNotNull && col(text).isNotNull)
       .select(col(id), md5(norm(col(text))).as("__fp"))
+    val fp = if (eagerFp) Materialize.barrier(fp0) else fp0
     val groups = fp.groupBy("__fp").agg(min(col(id)).as("rep_id"))
     val members = fp.join(groups, "__fp").select(col(id), col("rep_id"))
     val repDocs = docs.join(groups.select(col("rep_id").as(id)), Seq(id), "left_semi")
@@ -486,7 +498,7 @@ object Dedup {
       threshold: Double, numHashes: Int, bands: Int,
       maxBucketSize: Int, eagerCheckpoint: Boolean,
       k: Int = 3): (DataFrame, DataFrame, DataFrame) = {
-    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text)
+    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text, eagerCheckpoint)
     // the banding default is rows-per-band = 2: candidate recall at the
     // THRESHOLD (not just at dup-grade J) is what makes the verified
     // output exhaustive — miss = (1−J²)^b = 0.36³² ≈ 6e-15 at J = 0.8,
@@ -907,7 +919,7 @@ object Dedup {
   def buildDedupIndex(docs: DataFrame, id: String, text: String,
       numHashes: Int = 64, bands: Int = 32, k: Int = 3,
       eagerCheckpoint: Boolean = true): DedupIndex = {
-    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text)
+    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text, eagerCheckpoint)
     // pinned like repDupPairs/ngramCoverage pin theirs (r15 stage
     // audit): the index's band frame AND its shingles frame both derive
     // from `sh`, so an unpinned build re-ran the tokenize+shingle
@@ -1116,7 +1128,7 @@ object Dedup {
     // exact-identity collapse first (see verifiedDupPairs): identical
     // docs share a simhash, so they collide in every band — without the
     // collapse one B-sized identical cluster yields B²/2 band candidates
-    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text)
+    val (membersRaw, repDocs) = collapseExactRaw(docs, id, text, eagerCheckpoint)
     // three shared frames, all pinned: the membership map, the shingle
     // frame (feeds signatures + verify), and the signature frame (feeds
     // the band join's both sides and the minhash tail's two hamming
