@@ -511,8 +511,14 @@ object Dedup {
       if (eagerCheckpoint) Materialize.barrierAll(Seq(
         membersRaw, shingleHashes(repDocs, id, text, k)))
       else Seq(membersRaw, shingleHashes(repDocs, id, text, k))
-    val cands = lshCandidates(minhashFromShingles(sh, id, numHashes), id,
-      bands, numHashes / bands, maxBucketSize)
+    // the candidate-pair frame is read TWICE by jaccardFromShingles
+    // (the intersection derivation and the outer left join) — unpinned,
+    // the minhash + LSH band self-join + distinct re-ran per read (the
+    // r16 twin-stage audit signature). Two ids per row, the leaf-pin
+    // rule's win side.
+    val cands = maybeCheckpoint(
+      lshCandidates(minhashFromShingles(sh, id, numHashes), id,
+        bands, numHashes / bands, maxBucketSize), eagerCheckpoint)
     val repPairs = jaccardFromShingles(sh, id, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
@@ -932,8 +938,13 @@ object Dedup {
       if (eagerCheckpoint) Materialize.barrierAll(Seq(
         membersRaw, shingleHashes(repDocs, id, text, k)))
       else Seq(membersRaw, shingleHashes(repDocs, id, text, k))
+    // the band arm is pinned like incrementalCore pins ITS batch arm
+    // (and like the nightly deployment persists it to parquet): every
+    // probe's candidate join reads it, and unpinned each read re-ran
+    // the 32-hash minhash fold + band explode over the corpus shingles
     DedupIndex(
-      bandFrame(minhashFromShingles(sh, id, numHashes), id, bands, numHashes / bands),
+      maybeCheckpoint(bandFrame(minhashFromShingles(sh, id, numHashes),
+        id, bands, numHashes / bands), eagerCheckpoint),
       sh, members, numHashes, bands, k)
   }
 
@@ -1025,16 +1036,24 @@ object Dedup {
     val newBands = maybeCheckpoint(
       bandFrame(minhashFromShingles(shNew, id, numHashes),
         id, bands, numHashes / bands), eagerCheckpoint)
-    val cands = newBands.select(col("band_id"), col("bucket"), col(id).as("id_a"))
-      .join(index.bands.select(col("band_id"), col("bucket"), col(id).as("id_b")),
-        Seq("band_id", "bucket"))
-      .select("id_a", "id_b").distinct()
+    // pinned (r16): read three times — the touched-rep semi join and
+    // jaccardFromShingles' two pair reads — and each unpinned read
+    // re-ran the batch-vs-index band join + distinct
+    val cands = maybeCheckpoint(
+      newBands.select(col("band_id"), col("bucket"), col(id).as("id_a"))
+        .join(index.bands.select(col("band_id"), col("bucket"), col(id).as("id_b")),
+          Seq("band_id", "bucket"))
+        .select("id_a", "id_b").distinct(), eagerCheckpoint)
     // verification reads only the TOUCHED index representatives — the
     // semi-join keeps per-run cost proportional to the probe, not the
     // corpus (sizes stay exact: all shingles of a kept doc survive)
     val touched = index.shingles
       .join(cands.select(col("id_b").as(id)).distinct(), Seq(id), "left_semi")
-    val repPairs = jaccardFromShingles(shNew.unionByName(touched), id, cands)
+    // the verify shingle frame (batch ∪ touched reps) is read three
+    // times inside jaccardFromShingles (sizes + both intersection
+    // joins) — pin the union once; its size is probe-proportional
+    val shVerify = maybeCheckpoint(shNew.unionByName(touched), eagerCheckpoint)
+    val repPairs = jaccardFromShingles(shVerify, id, cands)
       .filter(col("jaccard") >= threshold)
     // expand BOTH reps to their identical members (same shingle set ⇒
     // same stats), re-orienting id_a < id_b with the stats following
@@ -1184,7 +1203,11 @@ object Dedup {
       .join(sig.select(col(id).as("id_b"), col("simhash").as("sim_b")), "id_b")
       .filter(ham(maxHamming))
       .select("id_a", "id_b")
-    val cands = bandCands.union(lshTail).distinct()
+    // pinned like repDupPairs' candidate frame: jaccardFromShingles
+    // reads it twice, and each unpinned read re-ran BOTH ensemble arms
+    // (the simhash band self-join and the minhash-LSH tail)
+    val cands = maybeCheckpoint(
+      bandCands.union(lshTail).distinct(), eagerCheckpoint)
     val repPairs = jaccardFromShingles(sh, id, cands)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_a", "n_b", "n_inter", "jaccard")
