@@ -22,11 +22,21 @@ object TimeOne {
     val names = (if (args.nonEmpty) args(0) else "dedup_embedding_cosine")
       .split(",").toSeq
     val name = names.last
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF (dev only): "k=v;k=v" session-conf
+    // overrides, the A/B surface for config experiments — the gated
+    // bench never reads it, so a config win must be promoted to the
+    // Bench/Verify sessions explicitly (and justified) to count.
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2)).collect {
+        case Array(k, v) => (k.trim, v.trim) }
+    val spark = extra.foldLeft(
+        SparkSession.builder().master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/embeddings.parquet").groupBy().count().collect()
 

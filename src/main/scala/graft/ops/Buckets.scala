@@ -340,7 +340,24 @@ object Buckets {
       tieCol: String, partCols: Seq[String],
       op: String = "ntileByRange"): DataFrame = {
     val df = requireKeys(df0, orderCol +: partCols, op)
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // SCALE-ADAPTIVE width (r16): an explicit numPartitions disables
+    // AQE coalescing, and the `__pid` math makes the count part of the
+    // physical contract — so pinning the session constant
+    // (shuffle.partitions) gave every ranged operator a 32-wide
+    // near-empty exchange at bench scale, and every stage downstream
+    // of the pin inherited 32 near-empty tasks (the r16 stage audit's
+    // corpus_training_manifest signature). Size the width from the
+    // plan's own estimate against the session's advisory partition
+    // bytes — exactly what AQE would do — capped at shuffle.partitions
+    // (the configured intent at cluster scale; unknown/huge estimates
+    // saturate the cap, i.e. the old behavior). Any width is correct:
+    // ranks derive from per-pid offsets, not from the count.
+    val conf = df.sparkSession.sessionState.conf
+    val maxParts = conf.numShufflePartitions
+    val advisory = math.max(1L, conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val est = df0.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((est / advisory) + 1).min(BigInt(maxParts)).max(BigInt(1)).toInt
     val sortCols = partCols.map(col) ++ Seq(col(orderCol), col(tieCol))
     df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())

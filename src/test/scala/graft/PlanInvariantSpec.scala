@@ -161,12 +161,28 @@ class PlanInvariantSpec extends SparkSpec {
       "expected the materialized (checkpointed) ranged leg in the plan")
     assert(!p.contains("ntile("), "ntile window leaked into the ranged plan")
     import spark.implicits._
-    val leg = graft.ops.Buckets.rangedPlan(
+    // the range width is SIZE-ADAPTIVE since r16 (estimate / advisory
+    // bytes, capped at shuffle.partitions) — pin both regimes: a tiny
+    // frame collapses the exchange to one partition (no 32-wide
+    // near-empty stages at bench scale), and anything above one
+    // advisory unit gets a genuine range partitioning.
+    val tiny = graft.ops.Buckets.rangedPlan(
       Seq((1L, "s", 0.5)).toDF("doc_id", "source", "mean_bits"),
       "mean_bits", "doc_id", Seq("source"))
-      .queryExecution.executedPlan.toString
-    assert(leg.toLowerCase.contains("rangepartitioning"),
-      "expected a range repartition in the ranged leg")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(tiny.contains("singlepartition"),
+      "expected the tiny ranged leg to collapse to one partition")
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevAdvisory = spark.conf.get(advisoryKey)
+    spark.conf.set(advisoryKey, "16b")
+    try {
+      val leg = graft.ops.Buckets.rangedPlan(
+        Seq((1L, "s", 0.5), (2L, "s", 0.7)).toDF("doc_id", "source", "mean_bits"),
+        "mean_bits", "doc_id", Seq("source"))
+        .queryExecution.executedPlan.toString
+      assert(leg.toLowerCase.contains("rangepartitioning"),
+        "expected a range repartition in the ranged leg")
+    } finally spark.conf.set(advisoryKey, prevAdvisory)
   }
 
   test("ranged packing plan: materialized range leg, no per-source corpus window") {
