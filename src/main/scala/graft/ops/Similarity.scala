@@ -437,9 +437,16 @@ object Similarity {
     val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val reps = base.groupBy("__v").agg(min(col("__id")).as("rep_id"))
-    val members = base.join(reps, "__v")
-      .select(col("__id"), col("rep_id"), col("__v"))
-    val repVecs = reps.select(col("rep_id").as("vid"), col("__v").as("vec"))
+    // pin the two shared collapse artifacts (r16, the repDupPairs
+    // precedent): the membership map is read four times by the member
+    // expansion and the rep-vector table three times by the vector
+    // fetch + self-sim legs — unpinned, each read re-ran the
+    // vector-value collapse groupBy over the raw corpus. Both frames
+    // are rep-/member-proportional and narrow (ids + one d-float
+    // vector); the pins run CONCURRENTLY (independent jobs).
+    val Seq(members, repVecs) = Materialize.barrierAll(Seq(
+      base.join(reps, "__v").select(col("__id"), col("rep_id")),
+      reps.select(col("rep_id").as("vid"), col("__v").as("vec"))))
     // recall budget: per-pair candidate-miss <= 1e-6 AT the threshold,
     // tables hard-capped at 512 — tables grow as 1/agree^planes, so at
     // low thresholds an uncapped budget explodes exponentially with the
@@ -461,12 +468,19 @@ object Similarity {
     // rep frame (explicit numPartitions disables AQE coalescing)
     // spreads the hashing across the cluster for ~1 MB of shuffle.
     val fanOut = df.sparkSession.sparkContext.defaultParallelism
-    val b = repVecs.repartition(fanOut).select(col("vid").as("rep_id"),
-      posexplode(lshTableBuckets(col("vec"), tables, planes))
-        .as(Seq("table_id", "bucket")))
+    // the bucket frame feeds BOTH sides of the candidate self-join, and
+    // the alias-renamed sides defeat exchange reuse — unpinned, the
+    // tables × planes × d hash projection (the operator's dominant CPU,
+    // 21 s of task time in the r16 stage audit) ran twice. Pinned, it
+    // runs once; the frame is 3 longs per (rep, table) — the same data
+    // the join's own shuffle files would hold anyway.
+    val b = Materialize.barrier(
+      repVecs.repartition(fanOut).select(col("vid").as("rep_id"),
+        posexplode(lshTableBuckets(col("vec"), tables, planes))
+          .as(Seq("table_id", "bucket"))))
     selfPairsExpanded(b,
       repVecs.select(col("vid").as("rep_id"), col("vec")),
-      members.select(col("rep_id"), col("__id")),
+      members,
       threshold, maxBucketSize, verifyChunks)
   }
 
