@@ -451,9 +451,21 @@ object Dedup {
     val all = docs.select(col(id))
       .join(labels, Seq(id), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(id)))
-    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, "cluster_id")
-      .select(col(id), col("cluster_id"), col("cluster_size"),
+    // cluster sizes come from the PINNED labels frame alone (r16): the
+    // old `all.groupBy(cluster_id)` rollup re-evaluated `all` — a
+    // second corpus scan + labels join — and exchanged the whole
+    // corpus by cluster_id just to count. Every multi-member cluster's
+    // members are labeled (labels hold exactly the edge-touching
+    // nodes), and a singleton's cluster_id is its own id, which can
+    // never equal a labeled cluster's id (those are min ids of
+    // edge-touching nodes, and pairs are drawn from the docs universe)
+    // — so size = the label count where one exists, else 1. One corpus
+    // scan, one join with the corpus, one tiny label aggregate.
+    val labelSizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__label_n"))
+    all.join(labelSizes, Seq("cluster_id"), "left")
+      .select(col(id), col("cluster_id"),
+        coalesce(col("__label_n"), lit(1L)).as("cluster_size"),
         (col(id) =!= col("cluster_id")).as("is_dup"))
   }
 
